@@ -1,0 +1,191 @@
+"""Per-document extraction orchestration (pure Python, Spark-free).
+
+Mirrors the reference's driver ``convertPdfToSearchable``
+(``src/lib/ocr/index.ts:27-173``) as a *pure function* ``bytes -> result
+dict`` so it can run identically in unit tests and inside Arrow-batched
+pandas UDFs (``operators/extract.py``).  All failure modes are
+**errors-as-values** (status/error fields, never exceptions) — the
+reference's envelope semantics (``index.ts:158-164``): one bad document must
+never fail a 10^12-document batch.
+
+Status values and their reference counterparts:
+
+=================  =============================================================
+``ok``             success envelope (``index.ts:152-157``)
+``empty``          success with no extractable text (all pages skipped/textless)
+``unsupported``    payload is neither PDF nor HTML (magic sniff fails —
+                   ``route.ts:60-65`` maps this to HTTP 400)
+``too_large``      size guard (``route.ts:6,40-45``; 50 MB default)
+``invalid_lang``   language-code regex guard (``route.ts:14-16,47-52``)
+``no_pages``       zero-page guard (``index.ts:46-48``)
+``too_many_pages`` max-pages guard (``index.ts:49-53``; route passes 200)
+``page_mismatch``  declared-vs-streamed page-count invariant
+                   (``index.ts:87-92,109-119``)
+``decode_error``   malformed payload (corrupt container / undecodable HTML)
+=================  =============================================================
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from .html_extract import extract_main_text
+from .hyphen import repair_hyphenation
+from .layout import build_copy_friendly_word_sequence
+from .pdfbin import decode_pdf, sniff_kind
+
+__all__ = ["ExtractOptions", "LANG_RE", "PAGE_SEP", "extract_document", "sniff_document"]
+
+# reference isValidOcrLanguage (route.ts:14-16): /^[a-z]{3}(\+[a-z]{3})*$/i
+LANG_RE = re.compile(r"^[a-z]{3}(\+[a-z]{3})*$", re.IGNORECASE)
+
+# Page texts of one document are joined with form-feed, the same page
+# delimiter pdftotext emits (the external oracle the reference validated
+# against — BUGFIXES.md:104,189,286).  Skipped (has_text) pages contribute an
+# empty segment, mirroring "page copied with no new text layer"
+# (builder.ts:146-147 left-join semantics).
+PAGE_SEP = "\f"
+
+
+class ExtractOptions:
+    """Knobs mirroring ``OcrOptions`` + route guards.  Plain attributes so the
+    object pickles cheaply into UDF closures."""
+
+    __slots__ = ("max_bytes", "max_pages", "validate_lang", "fix_hyphenation",
+                 "min_words", "max_link_density")
+
+    def __init__(
+        self,
+        max_bytes: int = 50 * 1024 * 1024,   # MAX_PDF_BYTES, route.ts:6
+        max_pages: int = 200,                # MAX_PDF_PAGES, route.ts:7
+        validate_lang: bool = True,
+        fix_hyphenation: bool = False,       # OFF for byte-identity core
+        min_words: int = 5,
+        max_link_density: float = 1.0 / 3.0,
+    ) -> None:
+        self.max_bytes = max_bytes
+        self.max_pages = max_pages
+        self.validate_lang = validate_lang
+        self.fix_hyphenation = fix_hyphenation
+        self.min_words = min_words
+        self.max_link_density = max_link_density
+
+
+DEFAULT_OPTIONS = ExtractOptions()
+
+
+def sniff_document(html: bytes | None, lang: str | None,
+                   options: ExtractOptions = DEFAULT_OPTIONS) -> dict[str, Any]:
+    """Stage-1 sniff (cheap, no parsing of page bodies): kind + guard status.
+
+    Mirrors the reference's fail-fast validation ordering
+    (``route.ts:26-65`` — cheapest predicates first, before any expensive
+    work).  Returns ``{"kind", "status", "error", "n_bytes"}`` where
+    ``status='ok'`` means "eligible for extraction".
+    """
+    n_bytes = len(html) if html else 0
+    kind = sniff_kind(html)
+    if html is None or n_bytes == 0:
+        return {"kind": "other", "status": "unsupported",
+                "error": "empty payload", "n_bytes": 0}
+    if n_bytes > options.max_bytes:
+        return {"kind": kind, "status": "too_large",
+                "error": f"payload is {n_bytes} bytes, exceeds the maximum "
+                         f"allowed {options.max_bytes} bytes", "n_bytes": n_bytes}
+    if options.validate_lang and lang is not None and not LANG_RE.match(lang):
+        return {"kind": kind, "status": "invalid_lang",
+                "error": f"invalid language code: {lang}", "n_bytes": n_bytes}
+    if kind == "other":
+        return {"kind": kind, "status": "unsupported",
+                "error": "payload is neither PDF nor HTML", "n_bytes": n_bytes}
+    return {"kind": kind, "status": "ok", "error": None, "n_bytes": n_bytes}
+
+
+def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
+    try:
+        doc = decode_pdf(html)
+    except ValueError as exc:
+        return {"status": "decode_error", "error": str(exc),
+                "n_pages": 0, "n_words": 0, "text": None}
+
+    page_count = int(doc["page_count"])
+    pages = doc["pages"]
+
+    # guards from metadata, before any per-page work (index.ts:44-53)
+    if page_count == 0:
+        return {"status": "no_pages", "error": "PDF has no pages",
+                "n_pages": 0, "n_words": 0, "text": None}
+    if options.max_pages and page_count > options.max_pages:
+        return {"status": "too_many_pages",
+                "error": f"PDF has {page_count} pages, which exceeds the "
+                         f"maximum allowed {options.max_pages} pages",
+                "n_pages": page_count, "n_words": 0, "text": None}
+    if len(pages) != page_count:
+        # streamed-pages vs declared-count invariant (index.ts:109-113)
+        return {"status": "page_mismatch",
+                "error": f"Page extraction mismatch: OCR received "
+                         f"{len(pages)} of {page_count} page(s)",
+                "n_pages": page_count, "n_words": 0, "text": None}
+
+    page_texts: list[str] = []
+    n_words = 0
+    for page in pages:
+        if page.get("has_text"):
+            # OCR-skip predicate (index.ts:94-97): existing text layer wins,
+            # page contributes no extracted text.
+            page_texts.append("")
+            continue
+        seq = build_copy_friendly_word_sequence(
+            (w[0], w[1], w[2], w[3], w[4]) for w in (page.get("words") or [])
+        )
+        n_words += len(seq)
+        text = "".join(cw.text for cw in seq)
+        if options.fix_hyphenation:
+            text = repair_hyphenation(text)
+        page_texts.append(text)
+
+    text = PAGE_SEP.join(page_texts)
+    status = "ok" if any(page_texts) else "empty"
+    return {"status": status, "error": None, "n_pages": page_count,
+            "n_words": n_words, "text": text}
+
+
+def _extract_html(html: bytes, options: ExtractOptions) -> dict[str, Any]:
+    try:
+        markup = html.decode("utf-8", errors="replace")
+    except Exception as exc:  # pragma: no cover - decode w/ replace can't raise
+        return {"status": "decode_error", "error": str(exc),
+                "n_pages": 0, "n_words": 0, "text": None}
+    text = extract_main_text(
+        markup,
+        max_link_density=options.max_link_density,
+        min_words=options.min_words,
+    )
+    status = "ok" if text else "empty"
+    return {"status": status, "error": None, "n_pages": 1,
+            "n_words": len(text.split()), "text": text}
+
+
+def extract_document(html: bytes | None, lang: str | None,
+                     options: ExtractOptions = DEFAULT_OPTIONS) -> dict[str, Any]:
+    """Full per-document pipeline: sniff → guards → route → extract.
+
+    Returns ``{"kind", "status", "error", "n_bytes", "n_pages", "n_words",
+    "text"}``.  Never raises: any unexpected exception is folded into
+    ``status='decode_error'`` (error-as-value, ``index.ts:158-164``).
+    """
+    sniff = sniff_document(html, lang, options)
+    out = {"kind": sniff["kind"], "status": sniff["status"],
+           "error": sniff["error"], "n_bytes": sniff["n_bytes"],
+           "n_pages": 0, "n_words": 0, "text": None}
+    if sniff["status"] != "ok":
+        return out
+    try:
+        body = _extract_pdf(html, options) if sniff["kind"] == "pdf" \
+            else _extract_html(html, options)
+    except Exception as exc:  # noqa: BLE001 - error isolation per document
+        body = {"status": "decode_error", "error": f"{type(exc).__name__}: {exc}",
+                "n_pages": 0, "n_words": 0, "text": None}
+    out.update(body)
+    return out

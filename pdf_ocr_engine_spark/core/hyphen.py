@@ -1,0 +1,33 @@
+"""Hyphenation repair (north_star: "PDF layout parsing with word-box
+ordering, column detection, hyphenation repair").
+
+The reference engine stops at the separator-classified word sequence
+(``builder.ts:113-121``); hyphenation repair is the one extraction step the
+north_star adds on top.  It is therefore an *optional post-pass* over the
+already byte-identical layout output — OFF in the byte-identity core, exposed
+as its own operator.
+
+Rule (deterministic, pure string rewrite): a line ending in an
+ASCII-hyphenated word fragment is joined with the first word of the next
+line when that word starts with a lowercase letter — the classic
+"continuation is lowercase ⇒ soft line-break hyphen" heuristic used by
+pdftotext-style extractors.  The hyphen is removed and the two fragments are
+fused; the rest of the second line is preserved.
+"""
+
+from __future__ import annotations
+
+import re
+
+# "frag-\ncontinuation" where frag ends with a letter and continuation starts
+# lowercase.  \n is the line separator emitted by layout W6.
+_HYPHEN_BREAK = re.compile(r"(?<=[A-Za-z])-\n(?=[a-z])")
+
+
+def repair_hyphenation(text: str) -> str:
+    """Fuse soft line-break hyphens: ``"exam-\\nple" -> "example"``.
+
+    Hard hyphens (continuation starts with uppercase/digit, e.g.
+    ``"Jean-\\nPaul"``) are preserved with the line break intact.
+    """
+    return _HYPHEN_BREAK.sub("", text)

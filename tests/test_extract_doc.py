@@ -1,0 +1,190 @@
+"""Orchestration-scenario tests mirroring the reference's
+``src/lib/ocr/__tests__/index.test.ts:30-252`` — guard ordering, has_text
+skipping, page-count invariants, error-as-value envelopes — plus the codec
+round-trip and the HTML path."""
+
+import math
+
+from pdf_ocr_engine_spark.core.extract_doc import (
+    ExtractOptions,
+    extract_document,
+    sniff_document,
+)
+from pdf_ocr_engine_spark.core.hyphen import repair_hyphenation
+from pdf_ocr_engine_spark.core.html_extract import extract_main_text
+from pdf_ocr_engine_spark.core.pdfbin import decode_pdf, encode_pdf, sniff_kind
+
+
+def page(page_no, words, has_text=False, width=612.0, height=792.0):
+    return {"page_no": page_no, "width": width, "height": height,
+            "has_text": has_text, "words": words}
+
+
+HELLO = [("Hello", 10, 10, 56, 20), ("world", 62, 10, 104, 20)]
+
+
+class TestCodec:
+    def test_roundtrip(self):
+        data = encode_pdf([page(1, HELLO)])
+        assert data[:5] == b"%PDF-"
+        doc = decode_pdf(data)
+        assert doc["page_count"] == 1
+        assert doc["pages"][0]["words"][0][0] == "Hello"
+
+    def test_nan_roundtrip(self):
+        data = encode_pdf([page(1, [("nan", math.nan, 0, 10, 10)])])
+        doc = decode_pdf(data)
+        assert math.isnan(doc["pages"][0]["words"][0][1])
+
+    def test_sniff(self):
+        assert sniff_kind(b"%PDF-1.7\nrest") == "pdf"
+        assert sniff_kind(b"<!DOCTYPE html><html>") == "html"
+        assert sniff_kind(b"  \n<html lang=en>") == "html"
+        assert sniff_kind(b"\x89PNG\r\n") == "other"
+        assert sniff_kind(b"") == "other"
+        assert sniff_kind(None) == "other"
+
+
+class TestGuards:
+    def test_happy_path_two_pages(self):
+        # index.test.ts:39-101
+        data = encode_pdf([page(1, HELLO), page(2, [("p2", 10, 10, 30, 20)])])
+        r = extract_document(data, "eng")
+        assert r["status"] == "ok"
+        assert r["n_pages"] == 2
+        assert r["text"] == "Hello world\fp2"
+        assert r["n_words"] == 3
+
+    def test_zero_pages(self):
+        # index.test.ts:177-191
+        r = extract_document(encode_pdf([]), "eng")
+        assert r["status"] == "no_pages"
+        assert r["error"] == "PDF has no pages"
+
+    def test_max_pages(self):
+        # index.test.ts:154-175 (250-page doc vs maxPages=200): the guard
+        # fires from cheap metadata BEFORE any page work
+        data = encode_pdf([page(i + 1, []) for i in range(5)])
+        r = extract_document(data, "eng", ExtractOptions(max_pages=3))
+        assert r["status"] == "too_many_pages"
+        assert "exceeds the maximum allowed 3 pages" in r["error"]
+
+    def test_page_mismatch(self):
+        # index.test.ts:103-132 — declared 3 pages, streamed 2
+        data = encode_pdf([page(1, HELLO), page(2, HELLO)], page_count=3)
+        r = extract_document(data, "eng")
+        assert r["status"] == "page_mismatch"
+        assert "2 of 3 page(s)" in r["error"]
+
+    def test_has_text_pages_skipped(self):
+        # index.test.ts:193-227 — only the imageless page is extracted;
+        # has_text pages contribute empty segments
+        data = encode_pdf([
+            page(1, HELLO, has_text=True),
+            page(2, [("ocr", 10, 10, 40, 20)]),
+            page(3, HELLO, has_text=True),
+        ])
+        r = extract_document(data, "eng")
+        assert r["status"] == "ok"
+        assert r["text"] == "\focr\f"
+        assert r["n_words"] == 1
+
+    def test_all_text_doc_empty(self):
+        # index.test.ts:229-251 — all pages have text: nothing extracted
+        data = encode_pdf([page(1, HELLO, has_text=True)])
+        r = extract_document(data, "eng")
+        assert r["status"] == "empty"
+        assert r["text"] == ""
+
+    def test_size_guard(self):
+        data = encode_pdf([page(1, HELLO)])
+        r = extract_document(data, "eng", ExtractOptions(max_bytes=10))
+        assert r["status"] == "too_large"
+
+    def test_invalid_lang(self):
+        # route.ts:14-16,47-52 — "english" fails ^[a-z]{3}(\+[a-z]{3})*$
+        data = encode_pdf([page(1, HELLO)])
+        assert extract_document(data, "english")["status"] == "invalid_lang"
+        assert extract_document(data, "eng+fra")["status"] == "ok"
+        assert extract_document(data, "ENG")["status"] == "ok"  # /i flag
+
+    def test_unsupported_payload(self):
+        r = extract_document(b"\x89PNG junk bytes", "eng")
+        assert r["status"] == "unsupported"
+        assert extract_document(b"", "eng")["status"] == "unsupported"
+        assert extract_document(None, "eng")["status"] == "unsupported"
+
+    def test_corrupt_pdf_is_value_not_exception(self):
+        r = extract_document(b"%PDF-1.7\n%WBOX1\nnot-json\n%%EOF", "eng")
+        assert r["status"] == "decode_error"
+
+    def test_guard_order_size_before_decode(self):
+        # fail-fast ordering (route.ts:26-65): size guard fires before the
+        # payload is ever decoded, even for corrupt payloads
+        r = extract_document(b"%PDF-" + b"x" * 100, "eng",
+                             ExtractOptions(max_bytes=50))
+        assert r["status"] == "too_large"
+
+
+class TestHtmlPath:
+    HTML = b"""<!DOCTYPE html>
+    <html><head><title>T</title><style>.x{}</style></head><body>
+    <nav><a href="/">Home</a> <a href="/a">About</a></nav>
+    <header><h1>Site Title Banner</h1></header>
+    <article>
+      <h2>Real Headline</h2>
+      <p>This is the first paragraph of the main content body text.</p>
+      <p>And a second paragraph with enough words to be kept as well.</p>
+    </article>
+    <aside><p>Sidebar junk with plenty of words but inside an aside.</p></aside>
+    <footer>Copyright 2026 Example Corp All Rights Reserved Worldwide</footer>
+    </body></html>"""
+
+    def test_boilerplate_stripped(self):
+        r = extract_document(self.HTML, "eng")
+        assert r["status"] == "ok"
+        assert r["kind"] == "html"
+        assert r["text"] == (
+            "Real Headline\n\n"
+            "This is the first paragraph of the main content body text.\n\n"
+            "And a second paragraph with enough words to be kept as well."
+        )
+
+    def test_link_density_kills_block(self):
+        html = ('<html><body><div><a href="x">one two three four five six '
+                'seven</a> eight</div>'
+                "<p>normal paragraph with many plain words kept here</p>"
+                "</body></html>")
+        out = extract_main_text(html)
+        assert out == "normal paragraph with many plain words kept here"
+
+    def test_trailing_heading_dropped(self):
+        html = ("<html><body><p>body paragraph with sufficient word count "
+                "here</p><h2>Dangling Footer Heading</h2></body></html>")
+        out = extract_main_text(html)
+        assert "Dangling" not in out
+
+
+class TestHyphenRepair:
+    def test_soft_hyphen_fused(self):
+        assert repair_hyphenation("exam-\nple text") == "example text"
+
+    def test_hard_hyphen_kept(self):
+        assert repair_hyphenation("Jean-\nPaul") == "Jean-\nPaul"
+        assert repair_hyphenation("page 1-\n2") == "page 1-\n2"
+
+    def test_option_plumbs_through(self):
+        words1 = [("exam-", 10, 10, 50, 20)]
+        words2 = [("ple", 10, 30, 30, 40)]
+        data = encode_pdf([page(1, words1 + words2)])
+        plain = extract_document(data, "eng")
+        fixed = extract_document(data, "eng", ExtractOptions(fix_hyphenation=True))
+        assert plain["text"] == "exam-\nple"
+        assert fixed["text"] == "example"
+
+
+class TestSniffStage:
+    def test_sniff_ok(self):
+        s = sniff_document(encode_pdf([page(1, HELLO)]), "eng")
+        assert s == {"kind": "pdf", "status": "ok", "error": None,
+                     "n_bytes": s["n_bytes"]}
