@@ -1,0 +1,84 @@
+"""Text-analysis column expressions — JVM-side, whole-stage-codegen friendly.
+
+Everything here is built from ``pyspark.sql.functions`` (no Python UDFs):
+language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + word-regex), and document
+fingerprinting (normalized md5).  Each has an exact ANSI-SQL twin used by the
+DuckDB oracle (see ``pdf_ocr_engine_spark.queries``), with integer-valued
+scores wherever cross-engine float determinism would be at risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny deterministic per-language stopword lists for the lang-ID heuristic
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es": ("el", "los", "que", "de", "y", "una", "es", "para"),
+    "de": ("der", "die", "und", "das", "nicht", "ein", "ist", "zu"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish regex token count: alphanumeric runs + single non-space
+    punctuation marks each count as one token."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(tokens(col), lambda x: x.isin(words))).cast("long")
+
+
+def norm_ws(col: Column) -> Column:
+    """Normalization for fingerprinting: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(F.encode(norm_ws(col), "UTF-8"))
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0))).cast("long")
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Integer-exact quality features (cross-engine hash-stable):
+    chars, tokens, punct marks, English stopword hits, and a boolean
+    `is_quality` flag (≥1 stopword per 10 tokens and ≥5 tokens)."""
+    toks = token_count(col)
+    stop = stopword_hits(col, "en")
+    return {
+        "n_chars_m": F.length(col).cast("long"),
+        "n_tokens": toks,
+        "n_punct": punct_count(col),
+        "stop_hits": stop,
+        "is_quality": (stop * 10 >= toks) & (toks >= 5),
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language ID with fixed precedence (en,fr,es,de) on ties;
+    'und' when no stopwords hit at all."""
+    hits = {lg: stopword_hits(col, lg) for lg in ("en", "fr", "es", "de")}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build from lowest precedence up so 'en' wins ties
+    for lg in ("de", "es", "fr", "en"):
+        expr = F.when((hits[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr

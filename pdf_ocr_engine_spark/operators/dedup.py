@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — all designed around the shuffle budget at
+100 TB scale:
+
+* :func:`exact_dedup` — md5-of-normalized-text groupBy.  ONE hash-aggregate
+  shuffle on a 16-byte key; partial aggregation collapses duplicates map-side.
+* :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash over
+  word shingles, banded LSH.  The self-join shuffles on (band, band_hash)
+  — only colliding docs meet, never the full cross product.
+* :func:`simhash64` + :func:`simhash_candidate_pairs` — 64-bit SimHash,
+  near-dup via 4×16-bit band collision (Hamming ≤ 3 within collided pairs
+  verified exactly with a popcount expression).
+* :func:`ngram_jaccard_pairs` — exact verification of candidate pairs
+  (array_intersect/array_union on distinct shingles) — run AFTER an LSH
+  stage, never standalone at scale.
+
+MinHash/SimHash signatures use a vectorized pandas UDF (numpy over hashed
+shingles — Arrow-batched, no per-row Python round trips).  Hash seeds are
+fixed constants: signatures are reproducible across runs and clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.text_funcs import fingerprint, norm_ws
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                ) -> DataFrame:
+    """Exact duplicate groups: one row per distinct normalized text with the
+    keeper (min id) and the duplicate count.  SQL-oracle-checkable."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count("*").cast("long").alias("n_dups"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep only the minimum-id representative of each duplicate group.
+    Implemented as a min-aggregate + semi join (both shuffles key on the
+    16-byte fingerprint; broadcast is wrong here — keepers ≈ corpus size)."""
+    keep = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_HASH_A_SEED = 0x9E3779B97F4A7C15
+_HASH_B_SEED = 0xC2B2AE3D27D4EB4F
+
+
+def _minhash_udf(n_hashes: int, shingle_k: int):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+
+    def sig_of(text: str) -> list[int]:
+        toks = (text or "").lower().split()
+        if len(toks) < shingle_k:
+            shingles = {" ".join(toks)} if toks else {""}
+        else:
+            shingles = {" ".join(toks[i:i + shingle_k])
+                        for i in range(len(toks) - shingle_k + 1)}
+        h = np.fromiter((hash_shingle(s) for s in shingles),
+                        dtype=np.uint64, count=len(shingles))
+        # (a*x + b) mod p, vectorized over (n_hashes, n_shingles)
+        vals = (a[:, None].astype(np.uint64) * (h[None, :] % _MERSENNE)
+                + b[:, None].astype(np.uint64)) % _MERSENNE
+        return vals.min(axis=1).astype(np.int64).tolist()
+
+    def fn(texts: "pd.Series") -> "pd.Series":
+        return texts.map(sig_of)
+
+    return F.pandas_udf(fn, ArrayType(LongType()))
+
+
+def hash_shingle(s: str) -> int:
+    """Deterministic 64-bit FNV-1a over the UTF-8 bytes (process-independent,
+    unlike Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 64,
+                       shingle_k: int = 3) -> DataFrame:
+    """(id, sig ARRAY<LONG>[n_hashes]) — narrow, Arrow-batched."""
+    udf = _minhash_udf(n_hashes, shingle_k)
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16) -> DataFrame:
+    """Banded LSH: explode signatures into (band, band_hash) buckets, self-join
+    buckets, emit distinct candidate pairs (a < b).
+
+    Scale shape: the shuffle key is (band, band_hash) — cardinality ≈
+    bands × corpus, uniformly hashed; no skew unless the corpus contains
+    mega-clusters of near-identical docs (then salt the verify stage).
+    """
+    n = sigs.select(F.size("sig")).first()[0]
+    rows_per_band = n // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("sig", i * rows_per_band + j + 1)
+                           for j in range(rows_per_band)]))
+                for i in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_hashes: int = 64,
+                        bands: int = 16, shingle_k: int = 3,
+                        min_jaccard: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact-verify
+    with estimated Jaccard from signature agreement (integer-exact)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = agree / F.size("sig_a")
+    return (joined.select("id_a", "id_b", agree.alias("n_agree"),
+                          F.size("sig_a").alias("n_hashes"))
+            .where(est >= min_jaccard))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_udf():
+    import numpy as np
+    import pandas as pd
+
+    def sim_of(text: str) -> int:
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = hash_shingle(t)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        # map to signed int64 for Spark LongType
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    def fn(texts: "pd.Series") -> "pd.Series":
+        return texts.map(sim_of)
+
+    return F.pandas_udf(fn, LongType())
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col),
+                     _simhash_udf()(F.col(text_col)).alias("simhash"))
+
+
+def _popcount64(c: Column) -> Column:
+    """bit_count exists in Spark 3.5+/4.x as a SQL function."""
+    return F.expr(f"bit_count({c._jc.toString() if hasattr(c, '_jc') else c})")
+
+
+def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 16-bit band collision + exact Hamming verify.
+    Any pair within Hamming ≤ 3 shares at least one of the 4 bands
+    (pigeonhole), so banding loses nothing."""
+    bands = hashes.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("band", "val"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    pairs = (
+        l.join(r, ["band", "val"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"))
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification)
+# ---------------------------------------------------------------------------
+
+
+def word_bigrams(col: Column) -> Column:
+    """Distinct adjacent-token bigrams as 'a_b' strings — pure SQL exprs
+    (zip tokens with their tail), so it has a DuckDB twin."""
+    toks = F.split(F.trim(norm_ws(col)), " ")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))), shifted,
+        lambda a, b: F.concat_ws("_", a, b))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_id: int | None = None) -> DataFrame:
+    """Exact bigram-Jaccard for all pairs with id < max_id (testing/verify
+    tier; at scale, feed LSH candidates instead of a cross join).
+    Integer-exact output: intersection/union sizes + jaccard per-mille."""
+    base = df.select(F.col(id_col), word_bigrams(F.col(text_col)).alias("grams"))
+    if max_id is not None:
+        base = base.where(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                inter.cast("long").alias("n_inter"),
+                union.cast("long").alias("n_union"),
+                F.when(union > 0, (inter * 1000).cast("long") / union)
+                 .otherwise(F.lit(0)).cast("long").alias("jaccard_pm"))
+    )

@@ -1,0 +1,119 @@
+"""Arrow-batched extraction operator — the pipeline's hot stage.
+
+``extract_pages(df)`` maps the Common-Crawl-style pages DataFrame
+``(url, warc_ts, html, text, lang, ...)`` to the extracted-output DataFrame
+with one ``mapInPandas`` in **iterator form**: per-task init happens once and
+is amortized over all Arrow batches — the Spark analog of the reference's
+singleton OCR worker reused across pages (``src/lib/ocr/index.ts:99-103``,
+the "64x faster" design note in its README).
+
+Scale notes (100 TB / 1000-executor design):
+* This is a **narrow** transformation — zero shuffle.  Parallelism is the
+  input partitioning (see ``plans.pipeline.salted_repartition`` for skew).
+* Column pruning: only ``url, warc_ts, html, lang`` are read; select them
+  before calling so the parquet/Iceberg scan prunes the rest (``text`` in
+  particular — it's an output column on the input schema).
+* Arrow batch sizing: ``html`` blobs are up to 50 MB, so the job config caps
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (see plans.pipeline).
+* Error isolation: every failure mode is a status/error value — one poisoned
+  document never fails a task (reference ``index.ts:158-164``).
+* Lineage: every output row carries the executor partition id and per-doc
+  wall-clock, from which per-partition metrics are aggregated map-side.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..core.extract_doc import DEFAULT_OPTIONS, ExtractOptions, extract_document
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Output schema — explicit, never inferred (SURVEY.md §1.3).
+EXTRACTED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("lang", StringType(), True),
+    StructField("kind", StringType(), False),
+    StructField("status", StringType(), False),
+    StructField("error", StringType(), True),
+    StructField("n_bytes", LongType(), False),
+    StructField("n_pages", IntegerType(), False),
+    StructField("n_words", IntegerType(), False),
+    StructField("text", StringType(), True),
+    StructField("partition_id", IntegerType(), False),
+    StructField("wall_us", LongType(), False),
+])
+
+
+def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataFrame:
+    """Sniff → guard → route → extract, one Arrow-batched pass, no shuffle."""
+    opts = options or DEFAULT_OPTIONS
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # executor-side import
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        # per-task init point (mirrors the reference's singleton worker);
+        # our decoder is stateless, but model-backed decoders initialize here.
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            urls = batch["url"].tolist()
+            langs = batch["lang"].tolist() if "lang" in batch else [None] * n
+            payloads = batch["html"].tolist()
+            ts = (batch["warc_ts"] if "warc_ts" in batch
+                  else pd.Series([pd.NaT] * n))
+
+            cols: dict[str, list] = {k: [] for k in
+                                     ("kind", "status", "error", "n_bytes",
+                                      "n_pages", "n_words", "text", "wall_us")}
+            for payload, lang in zip(payloads, langs):
+                t0 = time.perf_counter_ns()
+                r = extract_document(
+                    bytes(payload) if payload is not None else None, lang, opts)
+                wall = (time.perf_counter_ns() - t0) // 1000
+                cols["kind"].append(r["kind"])
+                cols["status"].append(r["status"])
+                cols["error"].append(r["error"])
+                cols["n_bytes"].append(r["n_bytes"])
+                cols["n_pages"].append(r["n_pages"])
+                cols["n_words"].append(r["n_words"])
+                cols["text"].append(r["text"])
+                cols["wall_us"].append(wall)
+
+            yield pd.DataFrame({
+                "url": urls,
+                "warc_ts": ts.reset_index(drop=True),
+                "lang": langs,
+                "kind": cols["kind"],
+                "status": cols["status"],
+                "error": cols["error"],
+                "n_bytes": pd.Series(cols["n_bytes"], dtype="int64"),
+                "n_pages": pd.Series(cols["n_pages"], dtype="int32"),
+                "n_words": pd.Series(cols["n_words"], dtype="int32"),
+                "text": cols["text"],
+                "partition_id": pd.Series([pid] * n, dtype="int32"),
+                "wall_us": pd.Series(cols["wall_us"], dtype="int64"),
+            })
+
+    # column pruning: request only what the stage reads, so the scan's
+    # ReadSchema shrinks to 4 columns even on wide input tables.
+    wanted = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
+    return df.select(*wanted).mapInPandas(run, EXTRACTED_SCHEMA)

@@ -1,0 +1,54 @@
+"""Adapters from the driver testdata tables to the pipeline's input shape.
+
+``pages_from_documents`` wraps ``documents.parquet`` rows into deterministic
+word-box PDF payloads laid out on the fixed grid of ``sources.fixtures``.
+Because the grid is invertible, the full pipeline output has a closed-form
+ANSI-SQL oracle (re-wrap the whitespace-split tokens at WORDS_PER_LINE per
+line) — giving the flagship extraction query a real DuckDB correctness check
+(``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from .fixtures import WORDS_PER_LINE, text_to_pdf_payload
+
+#: testdata `documents.lang` uses 2-letter codes; the pipeline's language
+#: guard (reference route.ts:14-16) wants ISO-639-2-style 3-letter codes.
+LANG_MAP = {"en": "eng", "fr": "fra", "es": "spa", "zh": "chi", "de": "deu"}
+
+
+def lang3_col(lang=None):
+    """2-letter → 3-letter language code as a Catalyst CASE chain."""
+    lang = lang if lang is not None else F.col("lang")
+    expr = F.lit("eng")
+    for k, v in LANG_MAP.items():
+        expr = F.when(lang == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+@F.pandas_udf(BinaryType())
+def _text_to_payload(text):
+    """Vectorized (Arrow-batched) text → word-box-PDF payload encoder."""
+    return text.map(lambda t: text_to_pdf_payload(t or "", WORDS_PER_LINE))
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → input_hint-shaped pages table
+    ``(url, warc_ts, html, text, lang)``; url embeds source + doc_id."""
+    return documents(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        _text_to_payload(F.col("text")).alias("html"),
+        F.lit("").alias("text"),
+        lang3_col().alias("lang"),
+        F.col("doc_id"),
+    )

@@ -1,0 +1,42 @@
+import os
+import shutil
+
+import pytest
+
+BUILD_DIR = os.path.join(os.path.dirname(__file__), "..", "_build")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pdf_ocr_engine_spark.plans.pipeline import build_session
+
+    spark = build_session("pdf-ocr-engine-spark-tests", master="local[4]",
+                          shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("WARN")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def build_dir():
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    yield os.path.abspath(BUILD_DIR)
+
+
+@pytest.fixture(scope="session")
+def fixture_pages_path(build_dir):
+    """Deterministic fixture corpus parquet (generated once per test run)."""
+    from pdf_ocr_engine_spark.sources.fixtures import write_pages_parquet
+
+    path = os.path.join(build_dir, "pages_test.parquet")
+    if os.path.exists(path):
+        os.remove(path)
+        g = path.replace(".parquet", "_golden.parquet")
+        if os.path.exists(g):
+            os.remove(g)
+    return write_pages_parquet(path, n_docs=120)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # keep _build for debugging unless explicitly cleaned
+    _ = shutil
