@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``pdf_ocr_engine_spark`` (see SURVEY.md §2 for the
+operator inventory each query maps to); this module is the thin contract
+surface.
 """
 
 from __future__ import annotations
@@ -13,26 +16,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_ocr_engine_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full extraction pipeline
+    (sniff → decode → layout reconstruction → assemble) over the documents
+    table wrapped as Common-Crawl-style pages, with per-partition lineage."""
+    from pdf_ocr_engine_spark.queries import q_extract_documents
+
+    return q_extract_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family from SURVEY.md §2 plus the
+    training-data-pipeline operators (dedup / similarity / text analysis /
+    multimodal).  Each callable takes (spark, sf_dir) → DataFrame; all
+    computed columns are aliased identically to the oracle SQL."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin per query.  Omitted keys
+    (dedup_minhash, dedup_simhash, ann_lsh) are signature-algebra operators
+    with no SQL equivalent → driver records the weaker rows-only check."""
+    return dict(ORACLES)

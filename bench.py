@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Headline: the full extraction pipeline (sniff → decode → layout
+reconstruction → assemble → metrics) over the documents table wrapped as
+Common-Crawl-style pages, plus the operator families from the query registry.
+The pages payload table is materialized once to ``_build/`` and reused, so
+the timed section measures extraction, not fixture encoding.
+
+Extra JSON fields beyond the driver contract: ``docs_per_sec`` (the
+BASELINE.json throughput metric), ``n_docs``, ``cpus``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize_pages(spark, sf_dir: str, cache_path: str) -> None:
+    from pdf_ocr_engine_spark.sources.testdata import pages_from_documents
+
+    if os.path.exists(cache_path):
+        return
+    pages_from_documents(spark, sf_dir).write.mode("overwrite") \
+        .parquet(cache_path)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_engine_spark.plans.pipeline import build_session, run_extraction
+    from pdf_ocr_engine_spark.queries import QUERIES
+
+    spark = build_session(f"bench-{cpus}", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
+    os.makedirs(build_dir, exist_ok=True)
+    pages_path = os.path.join(build_dir, f"bench_pages_sf{sf}.parquet")
+    materialize_pages(spark, sf_dir, pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: full extraction (force full materialization via aggregation —
+    # sums every output column's work without shipping texts to the driver)
+    def run_extract():
+        res = run_extraction(pages, num_partitions=cpus * 2, run_id="bench")
+        res.extracted.agg(F.sum("n_words"), F.sum(F.length("text")),
+                          F.count("*")).collect()
+
+    timed("extract", run_extract)
+
+    bench_queries = [
+        "token_count", "quality_score", "lang_id", "fingerprint",
+        "dedup_exact", "dedup_minhash", "ann_cosine_topk",
+        "pricing_summary", "nation_revenue", "event_windows", "event_gaps",
+    ]
+    for name in bench_queries:
+        fn = QUERIES[name]
+        timed(name, lambda f=fn: f(spark, sf_dir)
+              .agg(F.count("*")).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "docs_per_sec": round(n_docs / timings["extract"], 1),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -86,7 +86,7 @@ def _minhash_udf(n_hashes: int, shingle_k: int):
                 + b[:, None].astype(np.uint64)) % _MERSENNE
         return vals.min(axis=1).astype(np.int64).tolist()
 
-    def fn(texts: "pd.Series") -> "pd.Series":
+    def fn(texts):
         return texts.map(sig_of)
 
     return F.pandas_udf(fn, ArrayType(LongType()))
@@ -186,7 +186,7 @@ def _simhash_udf():
         # map to signed int64 for Spark LongType
         return out - (1 << 64) if out >= (1 << 63) else out
 
-    def fn(texts: "pd.Series") -> "pd.Series":
+    def fn(texts):
         return texts.map(sim_of)
 
     return F.pandas_udf(fn, LongType())

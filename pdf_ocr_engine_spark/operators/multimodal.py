@@ -1,0 +1,114 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary + metadata.
+
+Design: media travels as ``binary`` columns with a typed metadata struct
+``(media_type, n_bytes, width, height, duration_ms)``; heavy decode /
+feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages with the same shape as the extraction operator (iterator init →
+per-batch numpy work → struct columns out).
+
+The actual codecs (PIL/ffmpeg) are NOT available in this environment, so the
+decode step is **stubbed behind a deterministic fake codec**: payloads
+beginning with the fake magic ``FAKEIMG1``/``FAKEAUD1`` carry a tiny header
+``(width:uint16, height:uint16)`` / ``(duration_ms:uint32)`` that the "decoder"
+parses; anything else raises ``NotImplementedError`` (clearly marked).  The
+Spark-side plumbing — schema, batch shape, partitioning, UDF signatures — is
+real and tested, so swapping the fake parser for PIL is a one-function change.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+IMG_MAGIC = b"FAKEIMG1"
+AUD_MAGIC = b"FAKEAUD1"
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("media_type", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+])
+
+
+def encode_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
+    return IMG_MAGIC + struct.pack("<HH", width, height) + payload
+
+
+def encode_fake_audio(duration_ms: int, payload: bytes = b"") -> bytes:
+    return AUD_MAGIC + struct.pack("<I", duration_ms) + payload
+
+
+def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None, int | None]:
+    """(media_type, width, height, duration_ms) from the fake-codec header.
+
+    A real deployment replaces this with PIL/pyav probing — the UDF batch
+    shape around it is unchanged.
+    """
+    if not data:
+        return ("empty", None, None, None)
+    if data[:8] == IMG_MAGIC:
+        w, h = struct.unpack("<HH", data[8:12])
+        return ("image", w, h, None)
+    if data[:8] == AUD_MAGIC:
+        (ms,) = struct.unpack("<I", data[8:12])
+        return ("audio", None, None, ms)
+    return ("unknown", None, None, None)
+
+
+def decode_image_pixels(data: bytes):  # pragma: no cover - stub
+    """STUB: real pixel decode needs an image library not present in this
+    environment.  The metadata path (:func:`decode_media_header`) and all
+    Spark plumbing work without it."""
+    raise NotImplementedError(
+        "pixel decode requires an image codec (PIL/pyspark-ml image); "
+        "this environment ships none — plug one in here")
+
+
+def media_metadata(df: DataFrame, media_col: str = "media",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched header probe: (id, media_type, n_bytes, width, height,
+    duration_ms).  Narrow, no shuffle; the 100 TB plan runs this as the cheap
+    sniff stage before any expensive decode (same plan shape as extraction
+    stage 1)."""
+    out_schema = StructType(
+        [StructField(id_col, LongType(), False)] + list(MEDIA_META_SCHEMA))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            metas = [decode_media_header(b) for b in batch[media_col]]
+            yield pd.DataFrame({
+                id_col: batch[id_col].astype("int64"),
+                "media_type": [m[0] for m in metas],
+                "n_bytes": pd.Series(
+                    [len(b) if b is not None else 0 for b in batch[media_col]],
+                    dtype="int64"),
+                "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                "duration_ms": pd.array([m[3] for m in metas], dtype="Int32"),
+            })
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000):  # pragma: no cover
+    """STUB: video frame sampling — the real implementation explodes
+    (doc, frame_ts) rows inside mapInPandas exactly like extraction explodes
+    pages.  Requires a video codec; not available here."""
+    raise NotImplementedError("video frame sampling requires pyav/ffmpeg")

@@ -1,0 +1,635 @@
+"""Query registry — every implemented operator exposed as a (Spark, oracle-SQL)
+pair for the driver's DuckDB correctness gate (``__spark_entry__.py``).
+
+Each entry maps to SURVEY.md §2 rows (noted per query).  Column names are
+aliased identically on both sides — the driver's compare sorts columns by
+name before value-hashing.  Cross-engine float determinism policy:
+integer-exact outputs wherever possible; float aggregates rounded on BOTH
+sides with the same rounding; raw stored doubles (no arithmetic) pass through
+unrounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text_funcs as T
+from .operators.ann import cosine_topk, lsh_bucket_ann
+from .operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .operators.extract import extract_pages
+from .operators.multimodal import media_metadata
+from .sources.testdata import lang3_col, pages_from_documents
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: the lang CASE expression, shared by flagship query + oracle
+_LANG_SQL = ("CASE lang WHEN 'en' THEN 'eng' WHEN 'fr' THEN 'fra' "
+             "WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'chi' WHEN 'de' THEN 'deu' "
+             "ELSE 'eng' END")
+
+# ---------------------------------------------------------------------------
+# flagship: full extraction pipeline with closed-form oracle
+# (S1,S3,F1,F4,U1,U5,W1-W8,P2,A6 — SURVEY.md §2; see sources/fixtures.py for
+# the invertible layout grammar that makes the SQL oracle possible)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages)
+    return out.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.col("url"),
+        F.col("lang"),
+        F.col("status"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("text"),
+    )
+
+
+_SQL_EXTRACT_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord FROM toks
+), lines AS (
+  SELECT doc_id, (ord - 1) // 12 AS line_no,
+         string_agg(tok, ' ' ORDER BY ord) AS line
+  FROM flat GROUP BY doc_id, (ord - 1) // 12
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id,
+       'https://' || t.source || '.example/doc/' || t.doc_id AS url,
+       {_LANG_SQL} AS lang,
+       'ok' AS status,
+       CAST(1 AS BIGINT) AS n_pages,
+       CAST(len(t.t) AS BIGINT) AS n_words,
+       a.text AS text
+FROM toks t JOIN agg a USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# filters / guards / scalar functions (F1-F4, L1-L3, C5-C6)
+# ---------------------------------------------------------------------------
+
+
+def q_sniff_prefix(spark, sf_dir):
+    """F1 magic-byte sniff semantics demonstrated as a pushable column expr."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 5).alias("head5"),
+        (F.substring("text", 1, 5) == "%PDF-").alias("is_pdf"),
+    )
+
+
+_SQL_SNIFF_PREFIX = """
+SELECT doc_id, substr(text, 1, 5) AS head5,
+       substr(text, 1, 5) = '%PDF-' AS is_pdf
+FROM documents
+"""
+
+
+def q_guard_size(spark, sf_dir):
+    """F3 size-limit guard routed to status values (never dropped rows)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(F.col("n_chars") > 500, "too_large").otherwise("ok").alias("status"),
+    )
+
+
+_SQL_GUARD_SIZE = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n_chars > 500 THEN 'too_large' ELSE 'ok' END AS status
+FROM documents
+"""
+
+
+def q_lang_validate(spark, sf_dir):
+    """F4 language-code regex (reference route.ts:14-16) on raw + mapped."""
+    lang_re = r"^[a-z]{3}(\+[a-z]{3})*$"
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", lang3_col().alias("lang3"),
+        F.col("lang").rlike(lang_re).alias("raw_valid"),
+        lang3_col().rlike(lang_re).alias("mapped_valid"),
+    )
+
+
+_SQL_LANG_VALIDATE = f"""
+SELECT doc_id, lang, {_LANG_SQL} AS lang3,
+       regexp_full_match(lang, '[a-z]{{3}}(\\+[a-z]{{3}})*') AS raw_valid,
+       regexp_full_match({_LANG_SQL}, '[a-z]{{3}}(\\+[a-z]{{3}})*') AS mapped_valid
+FROM documents
+"""
+
+
+def q_hyphen_repair(spark, sf_dir):
+    """north_star hyphenation repair as portable regexp algebra: inject soft
+    line-breaks into the head of each doc, then fuse letter--lowercase breaks."""
+    breaky = F.regexp_replace(F.substring("text", 1, 80), " ", "-\n")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(breaky, "([A-Za-z])-\n([a-z])", r"$1$2").alias("repaired"),
+    )
+
+
+_SQL_HYPHEN_REPAIR = r"""
+SELECT doc_id,
+       regexp_replace(replace(substr(text, 1, 80), ' ', '-' || chr(10)),
+                      '([A-Za-z])-' || chr(10) || '([a-z])', '\1\2', 'g')
+         AS repaired
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis (token counting, quality, lang-ID, fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.word_token_count(F.col("text")).alias("n_wtokens"),
+    )
+
+
+_SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_wtokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    feats = T.quality_features(F.col("text"))
+    return _docs(spark, sf_dir).select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+_SQL_QUALITY_SCORE = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              x -> x IN ('the','and','of','to','a','in','is','it'))) AS BIGINT)
+           AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens, n_punct, stop_hits,
+       (stop_hits * 10 >= n_tokens) AND (n_tokens >= 5) AS is_quality
+FROM f
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_stop_hits(lg_words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in lg_words)
+    return (r"CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), "
+            f"x -> x IN ({lst}))) AS BIGINT)")
+
+
+_SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_stop_hits(T.STOPWORDS['en'])} AS h_en,
+         {_sql_stop_hits(T.STOPWORDS['fr'])} AS h_fr,
+         {_sql_stop_hits(T.STOPWORDS['es'])} AS h_es,
+         {_sql_stop_hits(T.STOPWORDS['de'])} AS h_de
+  FROM documents
+), m AS (
+  SELECT doc_id, h_en, h_fr, h_es, h_de,
+         greatest(h_en, h_fr, h_es, h_de) AS best
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN h_en = best THEN 'en'
+            WHEN h_fr = best THEN 'fr'
+            WHEN h_es = best THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+_SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), max_id=60)
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)),
+                                      i -> t[i] || '_' || t[i+1])) AS grams
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                            ' ') AS t
+        FROM documents WHERE doc_id < 60)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
+         AS n_union,
+       CAST((len(list_intersect(a.grams, b.grams)) * 1000)
+            // len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
+         AS jaccard_pm
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates — signature agreement is not
+    SQL-expressible; driver records the rows-only check."""
+    return minhash_dedup_pairs(_docs(spark, sf_dir), min_jaccard=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash signatures — rows-only check (deterministic across runs)."""
+    return simhash64(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    top = cosine_topk(emb, qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+_SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, round(cosine, 6) AS cosine_r6
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate ANN — bucketing is numpy-random-plane based;
+    rows-only check (deterministic: fixed seed)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    # n_bits sizes the bucket count to the corpus: 2^6 buckets over ~5k
+    # vectors ≈ 78/bucket; multiprobe widens recall (at 10^9 vectors use
+    # n_bits≈20 + bucketed table layout)
+    return lsh_bucket_ann(emb, qvec, k=10, n_bits=6).select(
+        "vec_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_media_meta(spark, sf_dir):
+    """Binary media columns round-trip: synthesize fake-codec image payloads
+    from documents, decode headers back via the Arrow-batched probe."""
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import encode_fake_image
+
+    @F.pandas_udf(BinaryType())
+    def make_media(text, n_chars, doc_id):
+        import pandas as pd
+        return pd.Series([
+            encode_fake_image(int(n) % 640 + 1, int(d) % 480 + 1,
+                              (t or "").encode("utf-8"))
+            for t, n, d in zip(text, n_chars, doc_id)
+        ])
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", make_media("text", "n_chars", "doc_id").alias("media"))
+    meta = media_metadata(docs)
+    return meta.select("doc_id", "media_type", "n_bytes",
+                       F.col("width").cast("long").alias("width"),
+                       F.col("height").cast("long").alias("height"))
+
+
+_SQL_MEDIA_META = """
+SELECT doc_id, 'image' AS media_type,
+       CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(n_chars % 640 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 480 + 1 AS BIGINT) AS height
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# relational core over TPC-H-ish tables (J1-J3, A1-A7, W4, W6, L-guards)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (A2/A4 partial+final agg; float sums rounded both sides)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Multi-join revenue rollup; nation/region dims are broadcast (J1)."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue"),
+                  F.count("*").alias("n_items")))
+    return rev
+
+
+_SQL_NATION_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customer_order_counts(spark, sf_dir):
+    """Left-outer lookup + conditional count (J1 left-join semantics: missing
+    ⇒ zero, mirroring 'page copied with no text layer')."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+                  .cast("long").alias("n_filled")))
+
+
+_SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_filled
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join invariant check (J3: expected-vs-actual mismatch surface)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+            .select("c_custkey", "c_name")
+
+
+_SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_event_gaps(spark, sf_dir):
+    """W4 lag-gap computation (reading-order gap analog) on the events table;
+    integer-exact epoch-microsecond gaps."""
+    from pyspark.sql.window import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff is NTZ-safe and timezone-free (events ts is TIMESTAMP_NTZ)
+    return (e.withColumn("prev_ts", F.lag("ts").over(w))
+            .selectExpr("user_id", "event_id",
+                        "timestampdiff(MICROSECOND, prev_ts, ts) AS gap_us"))
+
+
+_SQL_EVENT_GAPS = """
+SELECT user_id, event_id,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_us
+FROM events
+"""
+
+
+def q_event_type_stats(spark, sf_dir):
+    """A2 conditional counts per event_type (expectedOcrPages analog)."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long")
+         .alias("n_high"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling event-time window aggregation (batch form of the streaming
+    windowed agg; window start as exact epoch seconds)."""
+    e = _read(spark, sf_dir, "events")
+    # hour-aligned tumbling window keyed by wall-clock string (NTZ-safe and
+    # timezone-free on both engines)
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("window_h"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+_SQL_EVENT_WINDOWS = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS window_h,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_order_rank(spark, sf_dir):
+    """W6 row_number ranking with a total (deterministic) order."""
+    from pyspark.sql.window import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey",
+                    F.row_number().over(w).alias("rn"))
+
+
+_SQL_ORDER_RANK = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS INTEGER)
+         AS rn
+FROM orders
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """Top-k with deterministic tie-break (TakeOrderedAndProject — no global
+    sort at scale)."""
+    o = _read(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice").limit(10))
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_documents": q_extract_documents,
+    "sniff_prefix": q_sniff_prefix,
+    "guard_size": q_guard_size,
+    "lang_validate": q_lang_validate,
+    "hyphen_repair": q_hyphen_repair,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "media_meta": q_media_meta,
+    "pricing_summary": q_pricing_summary,
+    "nation_revenue": q_nation_revenue,
+    "customer_order_counts": q_customer_order_counts,
+    "customers_without_orders": q_customers_without_orders,
+    "event_gaps": q_event_gaps,
+    "event_type_stats": q_event_type_stats,
+    "event_windows": q_event_windows,
+    "order_rank": q_order_rank,
+    "top_orders": q_top_orders,
+}
+
+ORACLES: dict[str, str] = {
+    "extract_documents": _SQL_EXTRACT_DOCUMENTS,
+    "sniff_prefix": _SQL_SNIFF_PREFIX,
+    "guard_size": _SQL_GUARD_SIZE,
+    "lang_validate": _SQL_LANG_VALIDATE,
+    "hyphen_repair": _SQL_HYPHEN_REPAIR,
+    "token_count": _SQL_TOKEN_COUNT,
+    "quality_score": _SQL_QUALITY_SCORE,
+    "lang_id": _SQL_LANG_ID,
+    "fingerprint": _SQL_FINGERPRINT,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    # dedup_minhash / dedup_simhash / ann_lsh: signature algebra is not
+    # SQL-expressible -> rows-only checks (driver records the weaker check)
+    "ann_cosine_topk": _SQL_ANN_COSINE_TOPK,
+    "media_meta": _SQL_MEDIA_META,
+    "pricing_summary": _SQL_PRICING_SUMMARY,
+    "nation_revenue": _SQL_NATION_REVENUE,
+    "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
+    "customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "event_gaps": _SQL_EVENT_GAPS,
+    "event_type_stats": _SQL_EVENT_TYPE_STATS,
+    "event_windows": _SQL_EVENT_WINDOWS,
+    "order_rank": _SQL_ORDER_RANK,
+    "top_orders": _SQL_TOP_ORDERS,
+}

@@ -1,0 +1,197 @@
+"""Operator-level Spark tests: dedup family, ANN, multimodal plumbing,
+checkpoint/resume."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+            (2, "The  quick brown FOX jumps over the lazy dog"),  # normalized dup
+            (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+            (4, "completely different content about spark engines and shuffles"),
+            (5, "completely different content about spark engines and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    return df.cache()
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, docs):
+        from pdf_ocr_engine_spark.operators.dedup import exact_dedup
+
+        groups = {r.keep_id: r.n_dups for r in exact_dedup(docs).collect()}
+        assert groups[0] == 3   # 0,1,2 normalize identically
+        assert groups[3] == 1
+        assert groups[4] == 2
+
+    def test_drop_exact_dups(self, docs):
+        from pdf_ocr_engine_spark.operators.dedup import drop_exact_dups
+
+        kept = sorted(r.doc_id for r in drop_exact_dups(docs).collect())
+        assert kept == [0, 3, 4]
+
+    def test_minhash_finds_near_dups(self, docs):
+        from pdf_ocr_engine_spark.operators.dedup import minhash_dedup_pairs
+
+        pairs = {(r.id_a, r.id_b)
+                 for r in minhash_dedup_pairs(docs, min_jaccard=0.9).collect()}
+        assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+        assert (4, 5) in pairs
+        assert (0, 4) not in pairs
+
+    def test_minhash_near_threshold(self, docs):
+        from pdf_ocr_engine_spark.operators.dedup import minhash_dedup_pairs
+
+        pairs = {(r.id_a, r.id_b)
+                 for r in minhash_dedup_pairs(docs, min_jaccard=0.3).collect()}
+        assert (0, 3) in pairs  # near-dup caught at a looser threshold
+
+    def test_simhash_hamming(self, docs):
+        from pdf_ocr_engine_spark.operators.dedup import (
+            simhash64,
+            simhash_candidate_pairs,
+        )
+
+        h = simhash64(docs)
+        vals = {r.doc_id: r.simhash for r in h.collect()}
+        assert vals[0] == vals[1]  # identical docs, identical hash
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in simhash_candidate_pairs(h, max_hamming=10).collect()}
+        assert pairs[(0, 1)] == 0
+        assert (4, 5) in pairs and pairs[(4, 5)] == 0
+
+    def test_simhash_deterministic_across_runs(self, docs, spark):
+        from pdf_ocr_engine_spark.operators.dedup import simhash64
+
+        a = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+        b = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+        assert a == b
+
+    def test_ngram_jaccard_exact(self, docs):
+        from pdf_ocr_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = {(r.id_a, r.id_b): (r.n_inter, r.n_union, r.jaccard_pm)
+                for r in ngram_jaccard_pairs(docs).collect()}
+        assert rows[(0, 1)][2] == 1000  # identical → jaccard 1.000
+        assert rows[(0, 4)][0] == 0     # disjoint bigrams
+
+
+class TestAnn:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+    def test_bruteforce_self_is_top1(self, emb):
+        from pdf_ocr_engine_spark.operators.ann import cosine_topk
+
+        q = [float(x) for x in emb.where(F.col("vec_id") == 7)
+             .select("embedding").first()[0]]
+        top = cosine_topk(emb, q, k=5).collect()
+        assert top[0].vec_id == 7
+        assert abs(top[0].cosine - 1.0) < 1e-9
+        sims = [r.cosine for r in top]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_recalls_self_bucket(self, emb):
+        from pdf_ocr_engine_spark.operators.ann import cosine_topk, lsh_bucket_ann
+
+        q = [float(x) for x in emb.where(F.col("vec_id") == 7)
+             .select("embedding").first()[0]]
+        approx = lsh_bucket_ann(emb, q, k=5, n_bits=5).collect()
+        # the query vector itself is guaranteed recall (same bucket);
+        # broader recall depends on data clustering, not asserted here
+        assert approx and approx[0].vec_id == 7
+        exact_ids = {r.vec_id for r in cosine_topk(emb, q, k=5).collect()}
+        approx_ids = {r.vec_id for r in approx}
+        assert len(exact_ids & approx_ids) >= 1
+
+
+class TestMultimodal:
+    def test_header_probe(self, spark):
+        from pdf_ocr_engine_spark.operators.multimodal import (
+            encode_fake_audio,
+            encode_fake_image,
+            media_metadata,
+        )
+
+        df = spark.createDataFrame(
+            [(1, encode_fake_image(640, 480, b"pix")),
+             (2, encode_fake_audio(2500)),
+             (3, b"\x00garbage"),
+             (4, None)],
+            ["doc_id", "media"],
+        )
+        rows = {r.doc_id: r for r in media_metadata(df).collect()}
+        assert (rows[1].media_type, rows[1].width, rows[1].height) == ("image", 640, 480)
+        assert rows[1].n_bytes == 15
+        assert (rows[2].media_type, rows[2].duration_ms) == ("audio", 2500)
+        assert rows[3].media_type == "unknown"
+        assert rows[4].media_type == "empty"
+
+    def test_pixel_decode_is_stubbed(self):
+        from pdf_ocr_engine_spark.operators.multimodal import decode_image_pixels
+
+        with pytest.raises(NotImplementedError):
+            decode_image_pixels(b"FAKEIMG1\x01\x00\x01\x00")
+
+
+class TestCheckpointResume:
+    def test_interrupt_resume_equals_oneshot(self, spark, fixture_pages_path,
+                                             build_dir):
+        from pdf_ocr_engine_spark.plans.checkpoint import (
+            completed_buckets,
+            run_resumable,
+        )
+
+        pages = spark.read.parquet(fixture_pages_path)
+        out = os.path.join(build_dir, "ckpt_out")
+        shutil.rmtree(out, ignore_errors=True)
+
+        # simulated interruption: only 2 chunks of 4 buckets each
+        r1 = run_resumable(spark, pages, out, n_buckets=16, chunk_buckets=4,
+                           max_chunks=2, run_id="r1")
+        assert len(r1.processed_buckets) == 8
+        assert len(completed_buckets(out)) == 8
+        n_partial = spark.read.parquet(f"{out}/data").count()
+
+        # resume: must skip the 8 done buckets and finish the rest
+        r2 = run_resumable(spark, pages, out, n_buckets=16, chunk_buckets=4,
+                           run_id="r2")
+        assert sorted(r2.skipped_buckets) == sorted(r1.processed_buckets)
+        assert len(completed_buckets(out)) == 16
+        resumed = spark.read.parquet(f"{out}/data")
+        assert resumed.count() == 120 > n_partial
+        assert resumed.select("url").distinct().count() == 120
+
+        # idempotence: a third run does nothing
+        r3 = run_resumable(spark, pages, out, n_buckets=16, chunk_buckets=4)
+        assert r3.processed_buckets == [] and r3.docs_written == 0
+        assert spark.read.parquet(f"{out}/data").count() == 120
+
+    def test_resumed_equals_oneshot_bytes(self, spark, fixture_pages_path,
+                                          build_dir):
+        from pdf_ocr_engine_spark.operators.extract import extract_pages
+        from pdf_ocr_engine_spark.plans.checkpoint import run_resumable
+
+        pages = spark.read.parquet(fixture_pages_path)
+        out = os.path.join(build_dir, "ckpt_out2")
+        shutil.rmtree(out, ignore_errors=True)
+        run_resumable(spark, pages, out, n_buckets=8, chunk_buckets=3,
+                      max_chunks=1)
+        run_resumable(spark, pages, out, n_buckets=8, chunk_buckets=3)
+        resumed = {r.url: r.text for r in
+                   spark.read.parquet(f"{out}/data").select("url", "text").collect()}
+        oneshot = {r.url: r.text for r in
+                   extract_pages(pages).select("url", "text").collect()}
+        assert resumed == oneshot
