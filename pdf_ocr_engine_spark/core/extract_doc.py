@@ -32,8 +32,8 @@ from typing import Any
 
 from .html_extract import extract_main_text
 from .hyphen import repair_hyphenation
-from .layout import build_copy_friendly_word_sequence
-from .pdfbin import decode_pdf, sniff_kind
+from .layout_fast import page_text_fast
+from .pdfbin import decode_pdf_arrays, sniff_kind
 
 __all__ = ["ExtractOptions", "LANG_RE", "PAGE_SEP", "extract_document", "sniff_document"]
 
@@ -104,7 +104,7 @@ def sniff_document(html: bytes | None, lang: str | None,
 
 def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
     try:
-        doc = decode_pdf(html)
+        doc = decode_pdf_arrays(html)
     except ValueError as exc:
         return {"status": "decode_error", "error": str(exc),
                 "n_pages": 0, "n_words": 0, "text": None}
@@ -136,11 +136,10 @@ def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
             # page contributes no extracted text.
             page_texts.append("")
             continue
-        seq = build_copy_friendly_word_sequence(
-            (w[0], w[1], w[2], w[3], w[4]) for w in (page.get("words") or [])
-        )
-        n_words += len(seq)
-        text = "".join(cw.text for cw in seq)
+        # vectorized byte-identical kernel (layout_fast; fuzz-checked against
+        # the reference-port in layout.py)
+        text, n_page_words = page_text_fast(page["texts"], page["coords"])
+        n_words += n_page_words
         if options.fix_hyphenation:
             text = repair_hyphenation(text)
         page_texts.append(text)

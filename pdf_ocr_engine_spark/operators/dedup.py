@@ -264,3 +264,59 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 F.when(union > 0, (inter * 1000).cast("long") / union)
                  .otherwise(F.lit(0)).cast("long").alias("jaccard_pm"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.25,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            max_id: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ ``threshold`` — the exact
+    tier (verification / bounded subsets).  Pure JVM column expressions
+    (``zip_with`` dot product, whole-stage codegen, float64).
+
+    Scale shape: the bounded side is broadcast, so the pair generation is a
+    BroadcastNestedLoopJoin over a small dimension — never a shuffled cross
+    product.  At 10^9 vectors run :func:`embedding_neardup_lsh` instead:
+    candidates from a random-hyperplane signature equi-join, exact cosine
+    only inside colliding buckets.
+    """
+    from .ann import cosine_sim
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if max_id is not None:
+        base = base.where(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    cos = cosine_sim(F.col("v_a"), F.col("v_b"))
+    return (a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine_r6"))
+            .where(F.col("cosine_r6") >= threshold))
+
+
+def embedding_neardup_lsh(df: DataFrame, threshold: float = 0.25,
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          n_bits: int = 8, seed: int = 42,
+                          dim: int = 64) -> DataFrame:
+    """Scale tier: random-hyperplane LSH bucketing (fixed seed → reproducible
+    across runs/clusters), self-join on the signature — only same-bucket
+    pairs meet — then exact cosine filter.  The equi-join shuffles on the
+    signature key, never materializing the cross product; recall is tuned by
+    ``n_bits`` (fewer bits → bigger buckets → higher recall, more compute)."""
+    from .ann import cosine_sim, rp_signature_udf
+
+    sig = rp_signature_udf(dim, n_bits, seed)
+    signed = df.select(F.col(id_col), F.col(vec_col),
+                       sig(F.col(vec_col)).alias("sig"))
+    a = signed.select(F.col("sig"), F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("v_a"))
+    b = signed.select(F.col("sig"), F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("v_b"))
+    cos = cosine_sim(F.col("v_a"), F.col("v_b"))
+    return (a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine_r6"))
+            .where(F.col("cosine_r6") >= threshold))

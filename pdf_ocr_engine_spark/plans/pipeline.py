@@ -93,6 +93,29 @@ def run_extraction(
     return ExtractionResult(extracted, partition_metrics(extracted, run_id))
 
 
+def write_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    *,
+    options: ExtractOptions | None = None,
+    num_partitions: int | None = None,
+    salt_buckets: int = 16,
+    run_id: str = "adhoc",
+) -> DataFrame:
+    """Materialize the DAG once: extract → write data → derive the metrics
+    table from a **read-back** of the written parquet (lineage columns are in
+    every row), so the expensive extract stage is never recomputed for
+    metrics.  Returns the read-back extracted DataFrame."""
+    res = run_extraction(pages, options=options, num_partitions=num_partitions,
+                         salt_buckets=salt_buckets, run_id=run_id)
+    res.extracted.write.mode("overwrite").parquet(f"{output_dir}/data")
+    written = spark.read.parquet(f"{output_dir}/data")
+    partition_metrics(written, run_id).write.mode("overwrite") \
+        .parquet(f"{output_dir}/metrics")
+    return written
+
+
 #: Job-level session config for the extraction workload.  Values chosen for
 #: executor memory safety with up-to-50MB binary payloads (F3 guard):
 #: 64 rows/Arrow batch * 50 MB worst case ≈ 3.2 GB absolute ceiling, while

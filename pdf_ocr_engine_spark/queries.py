@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from .functions import text_funcs as T
 from .operators.ann import cosine_topk, lsh_bucket_ann
 from .operators.dedup import (
+    embedding_neardup_lsh,
+    embedding_neardup_pairs,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -307,6 +309,35 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact tier (broadcast, bounded ids)."""
+    return embedding_neardup_pairs(_read(spark, sf_dir, "embeddings"),
+                                   threshold=0.25, max_id=200)
+
+
+_SQL_DEDUP_EMBEDDING = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE vec_id < 200
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine_r6
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_r6 FROM p WHERE cosine_r6 >= 0.25
+"""
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (scale tier) — signature algebra is not
+    SQL-expressible; rows-only check (deterministic: fixed seed)."""
+    return embedding_neardup_lsh(_read(spark, sf_dir, "embeddings"),
+                                 threshold=0.25)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -593,6 +624,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "media_meta": q_media_meta,
@@ -619,8 +652,10 @@ ORACLES: dict[str, str] = {
     "fingerprint": _SQL_FINGERPRINT,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
-    # dedup_minhash / dedup_simhash / ann_lsh: signature algebra is not
-    # SQL-expressible -> rows-only checks (driver records the weaker check)
+    # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh:
+    # signature algebra is not SQL-expressible -> rows-only checks
+    # (driver records the weaker check)
+    "dedup_embedding": _SQL_DEDUP_EMBEDDING,
     "ann_cosine_topk": _SQL_ANN_COSINE_TOPK,
     "media_meta": _SQL_MEDIA_META,
     "pricing_summary": _SQL_PRICING_SUMMARY,

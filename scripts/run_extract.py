@@ -37,8 +37,8 @@ def main(argv: list[str]) -> int:
     from pdf_ocr_engine_spark.plans.checkpoint import run_resumable
     from pdf_ocr_engine_spark.plans.pipeline import (
         build_session,
-        run_extraction,
         salted_repartition,
+        write_extraction,
     )
 
     spark = build_session("pdf-ocr-engine-spark")
@@ -56,12 +56,10 @@ def main(argv: list[str]) -> int:
               f"skipped={len(report.skipped_buckets)} "
               f"docs={report.docs_written}")
     else:
-        res = run_extraction(pages, options=opts,
-                             num_partitions=args.partitions,
-                             salt_buckets=args.salt_buckets,
-                             run_id=args.run_id)
-        res.extracted.write.mode("overwrite").parquet(f"{args.output}/data")
-        res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+        write_extraction(spark, pages, args.output, options=opts,
+                         num_partitions=args.partitions,
+                         salt_buckets=args.salt_buckets,
+                         run_id=args.run_id)
     return 0
 
 

@@ -135,3 +135,62 @@ class TestLayoutEdgeCases:
         words = [w("first", 10, 10, 40, 20), w("second", 10, 10, 45, 20)]
         out = seq(words)
         assert out[0] == "first"
+
+
+class TestFastKernelEquivalence:
+    """layout_fast must be byte-identical to the reference-port kernel."""
+
+    def _both(self, words):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.layout_fast import page_text_fast
+
+        slow = page_text(words)
+        texts = [x[0] for x in words]
+        coords = np.array([[x[1], x[2], x[3], x[4], 90.0] for x in words],
+                          dtype="f8").reshape(len(words), 5)
+        fast, n_words = page_text_fast(texts, coords)
+        assert fast == slow
+        assert n_words == len(build_copy_friendly_word_sequence(words))
+        return fast
+
+    def test_goldens_match(self):
+        assert self._both([
+            w("Qty", 180, 10, 220, 22), w("Item", 10, 10, 60, 22),
+            w("Price", 320, 10, 370, 22), w("2", 190, 34, 205, 46),
+            w("$3.00", 320, 34, 380, 46), w("Apple", 10, 34, 70, 46),
+        ]) == "Item\tQty\tPrice\nApple\t2\t$3.00"
+
+    def test_invalid_words_match(self):
+        self._both([
+            w("", 10, 10, 60, 22), w("good", 10, 10, 60, 22),
+            w("zero", 10, 10, 10, 22), w("nan", math.nan, 10, 60, 22),
+            w("﻿", 70, 10, 90, 22),
+        ])
+
+    def test_empty(self):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.layout_fast import page_text_fast
+        assert page_text_fast([], np.empty((0, 5))) == ("", 0)
+
+    def test_fuzz_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        coord = st.one_of(
+            st.floats(min_value=0, max_value=500, allow_nan=False),
+            st.sampled_from([math.nan, math.inf, -math.inf]),
+            st.integers(min_value=0, max_value=40).map(float),  # force ties
+        )
+        word = st.tuples(
+            st.text(alphabet="ab \t ", max_size=3),
+            coord, coord, coord, coord)
+        words = st.lists(word, max_size=60)
+
+        @settings(max_examples=300, deadline=None)
+        @given(words)
+        def check(ws):
+            self._both([w(*x) for x in ws])
+
+        check()
