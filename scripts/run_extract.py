@@ -24,7 +24,7 @@ def main(argv: list[str]) -> int:
     p.add_argument("--run-id", default="run")
     p.add_argument("--partitions", type=int, default=None,
                    help="salted repartition width (omit: keep source splits)")
-    p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--salt-buckets", type=int, default=None)
     p.add_argument("--buckets", type=int, default=256,
                    help="resume-manifest buckets")
     p.add_argument("--resume", action="store_true",

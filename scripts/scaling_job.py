@@ -34,7 +34,7 @@ def main(argv: list[str]) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--runs", type=int, default=2)
     p.add_argument("--partitions", type=int, default=64)
-    p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--salt-buckets", type=int, default=None)
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
