@@ -105,9 +105,14 @@ def run_resumable(
         out = with_bucket(extracted, n_buckets)
         out.write.mode("append").partitionBy(BUCKET_COL).parquet(data_dir)
 
-        # commit point: manifests AFTER the data write succeeded
+        # commit point: manifests AFTER the data write succeeded.  Counts
+        # come from a read-back of the written files (partition pruning keeps
+        # the scan to this chunk) — never recompute the extract stage.
         counts = {r[BUCKET_COL]: r["n"] for r in
-                  out.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()}
+                  spark.read.parquet(data_dir)
+                       .where(F.col(BUCKET_COL).isin(chunk))
+                       .groupBy(BUCKET_COL).agg(F.count("*").alias("n"))
+                       .collect()}
         for b in chunk:
             with open(os.path.join(_manifest_dir(output_dir),
                                    f"bucket_{b}.json"), "w") as f:

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests — the 100 TB concerns, asserted on
+`.explain` output: column pruning reaches the scan, filters push into
+parquet, small dims broadcast, the extract stage stays narrow, top-k never
+global-sorts.  A plan regression here is a scale bug even when every
+correctness test stays green."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_engine_spark.operators.extract import extract_pages
+from pdf_ocr_engine_spark.plans.pipeline import salted_repartition
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_str(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+def test_extract_scan_prunes_columns(spark, fixture_pages_path):
+    """The pages table carries an output `text` column on input; the extract
+    stage must never read it — ReadSchema stays at the 4 wanted columns."""
+    pages = spark.read.parquet(fixture_pages_path)
+    plan = plan_str(extract_pages(pages))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    line = read_schema[0]
+    for col in ("url", "warc_ts", "html", "lang"):
+        assert col in line
+    assert "text" not in line
+
+
+def test_extract_is_narrow_no_shuffle(spark, fixture_pages_path):
+    """scan → mapInPandas with zero Exchange; the ONLY shuffle in the DAG is
+    the explicit salted repartition when requested."""
+    pages = spark.read.parquet(fixture_pages_path)
+    assert "Exchange" not in plan_str(extract_pages(pages))
+    # "simple" mode prints each node once (formatted repeats them in the
+    # details section, which would double-count)
+    salted = plan_str(extract_pages(salted_repartition(pages, 8)), "simple")
+    assert salted.count("Exchange") == 1, salted
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_str(docs.where(F.col("doc_id") < 60).select("doc_id", "text"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThan(doc_id,60)" in pushed[0], plan
+
+
+def test_nation_revenue_broadcasts_dim(spark):
+    from pdf_ocr_engine_spark.queries import q_nation_revenue
+
+    assert "BroadcastHashJoin" in plan_str(q_nation_revenue(spark, SF_DIR))
+
+
+def test_topk_avoids_global_sort(spark):
+    from pdf_ocr_engine_spark.queries import q_top_orders
+
+    plan = plan_str(q_top_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_event_gaps_single_shuffle(spark):
+    from pdf_ocr_engine_spark.queries import q_event_gaps
+
+    plan = plan_str(q_event_gaps(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    """Map-side combine: partial_sum before the exchange (two-phase agg)."""
+    from pdf_ocr_engine_spark.queries import q_pricing_summary
+
+    plan = plan_str(q_pricing_summary(spark, SF_DIR), "simple")
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges == 1, plan
