@@ -35,6 +35,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 IMG_MAGIC = b"FAKEIMG1"
 AUD_MAGIC = b"FAKEAUD1"
+VID_MAGIC = b"FAKEVID1"
 
 MEDIA_META_SCHEMA = StructType([
     StructField("media_type", StringType(), False),
@@ -53,6 +54,10 @@ def encode_fake_audio(duration_ms: int, payload: bytes = b"") -> bytes:
     return AUD_MAGIC + struct.pack("<I", duration_ms) + payload
 
 
+def encode_fake_video(duration_ms: int, payload: bytes = b"") -> bytes:
+    return VID_MAGIC + struct.pack("<I", duration_ms) + payload
+
+
 def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None, int | None]:
     """(media_type, width, height, duration_ms) from the fake-codec header.
 
@@ -67,6 +72,9 @@ def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None
     if data[:8] == AUD_MAGIC:
         (ms,) = struct.unpack("<I", data[8:12])
         return ("audio", None, None, ms)
+    if data[:8] == VID_MAGIC:
+        (ms,) = struct.unpack("<I", data[8:12])
+        return ("video", None, None, ms)
     return ("unknown", None, None, None)
 
 
@@ -107,8 +115,49 @@ def media_metadata(df: DataFrame, media_col: str = "media",
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
 
 
-def frame_sample_plan(df: DataFrame, every_ms: int = 1000):  # pragma: no cover
-    """STUB: video frame sampling — the real implementation explodes
-    (doc, frame_ts) rows inside mapInPandas exactly like extraction explodes
-    pages.  Requires a video codec; not available here."""
-    raise NotImplementedError("video frame sampling requires pyav/ffmpeg")
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """Video frame sampling plan: one input row per video → one output row
+    per sampled frame timestamp (``ts_ms = 0, every_ms, 2*every_ms, … <
+    duration``).  The row explosion inside ``mapInPandas`` is exactly how
+    extraction explodes pages; the *pixel* grab at each timestamp is the
+    stubbed codec step (:func:`decode_frame_pixels`).  Narrow — no shuffle;
+    at scale the fan-out factor (duration/every_ms) is the memory knob, so
+    long videos should be re-batched upstream by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+    ])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            tss: list[int] = []
+            for did, blob in zip(batch[id_col], batch[media_col]):
+                mtype, _w, _h, ms = decode_media_header(blob)
+                if mtype != "video" or not ms:
+                    continue
+                n = (int(ms) + every_ms - 1) // every_ms
+                ids.extend([int(did)] * n)
+                idxs.extend(range(n))
+                tss.extend(range(0, n * every_ms, every_ms))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "ts_ms": pd.Series(tss, dtype="int64"),
+            })
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def decode_frame_pixels(data: bytes, ts_ms: int):  # pragma: no cover - stub
+    """STUB: real frame decode needs a video codec (pyav/ffmpeg) not present
+    in this environment.  The sampling plan (:func:`frame_sample`) and all
+    Spark plumbing work without it."""
+    raise NotImplementedError(
+        "frame pixel decode requires a video codec — plug pyav in here")

@@ -418,6 +418,92 @@ SELECT doc_id, 'image' AS media_type,
 FROM documents
 """
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (S3-analog row explosion): synthesize
+    fake-codec videos with deterministic durations, sample every 500 ms."""
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import encode_fake_video, frame_sample
+
+    @F.pandas_udf(BinaryType())
+    def make_video(n_chars, doc_id):
+        import pandas as pd
+        return pd.Series([
+            encode_fake_video((int(n) * 37 + int(d)) % 5000 + 1)
+            for n, d in zip(n_chars, doc_id)
+        ])
+
+    vids = _docs(spark, sf_dir).select(
+        "doc_id", make_video("n_chars", "doc_id").alias("media"))
+    return frame_sample(vids, every_ms=500)
+
+
+_SQL_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT doc_id, (n_chars * 37 + doc_id) % 5000 + 1 AS duration_ms
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(duration_ms / 500.0) AS BIGINT))) AS fi
+  FROM v
+)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       CAST(fi * 500 AS BIGINT) AS ts_ms
+FROM f
+"""
+
+
+def q_word_boxes(spark, sf_dir):
+    """The layout grammar inverted in pure relational algebra: rebuild the
+    fixture grid's word boxes (sources/fixtures.layout_words) from document
+    text with posexplode + a windowed prefix sum — the W4-family windowed
+    geometry (lag/cumsum) as checked SQL.  Integer-exact output."""
+    from pyspark.sql.window import Window
+
+    toks = (_docs(spark, sf_dir).where(F.col("doc_id") < 100)
+            .select("doc_id",
+                    F.posexplode(F.split(F.trim("text"), r"\s+"))
+                     .alias("ord", "tok")))
+    g = toks.withColumn("line_no", (F.col("ord") / 12).cast("long"))
+    w = (Window.partitionBy("doc_id", "line_no").orderBy("ord")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    x0 = (F.lit(10) + F.coalesce(
+        F.sum(F.length("tok") * 6 + 4).over(w), F.lit(0))).cast("long")
+    return g.select(
+        "doc_id", F.col("ord").cast("long").alias("ord"), "tok", "line_no",
+        x0.alias("x0"),
+        (x0 + F.length("tok") * 6).cast("long").alias("x1"),
+        (F.lit(10) + F.col("line_no") * 20).cast("long").alias("y0"),
+        (F.lit(22) + F.col("line_no") * 20).cast("long").alias("y1"),
+    )
+
+
+_SQL_WORD_BOXES = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE doc_id < 100
+), f AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         generate_subscripts(arr, 1) - 1 AS ord
+  FROM t
+), g AS (
+  SELECT doc_id, tok, ord, ord // 12 AS line_no FROM f
+), x AS (
+  SELECT doc_id, tok, ord, line_no,
+         10 + coalesce(sum(length(tok) * 6 + 4) OVER (
+              PARTITION BY doc_id, line_no ORDER BY ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x0
+  FROM g
+)
+SELECT doc_id, CAST(ord AS BIGINT) AS ord, tok, CAST(line_no AS BIGINT) AS line_no,
+       CAST(x0 AS BIGINT) AS x0,
+       CAST(x0 + length(tok) * 6 AS BIGINT) AS x1,
+       CAST(10 + line_no * 20 AS BIGINT) AS y0,
+       CAST(22 + line_no * 20 AS BIGINT) AS y1
+FROM x
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational core over TPC-H-ish tables (J1-J3, A1-A7, W4, W6, L-guards)
 # ---------------------------------------------------------------------------
@@ -629,6 +715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "media_meta": q_media_meta,
+    "frame_sample": q_frame_sample,
+    "word_boxes": q_word_boxes,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
     "customer_order_counts": q_customer_order_counts,
@@ -658,6 +746,8 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": _SQL_DEDUP_EMBEDDING,
     "ann_cosine_topk": _SQL_ANN_COSINE_TOPK,
     "media_meta": _SQL_MEDIA_META,
+    "frame_sample": _SQL_FRAME_SAMPLE,
+    "word_boxes": _SQL_WORD_BOXES,
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "nation_revenue": _SQL_NATION_REVENUE,
     "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,

@@ -146,6 +146,36 @@ class TestMultimodal:
             decode_image_pixels(b"FAKEIMG1\x01\x00\x01\x00")
 
 
+    def test_frame_sample_explodes_rows(self, spark):
+        from pdf_ocr_engine_spark.operators.multimodal import (
+            encode_fake_video,
+            frame_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, encode_fake_video(2200)),   # 0,500,...,2000 -> 5 frames
+             (2, encode_fake_video(500)),    # exactly one period -> 1 frame
+             (3, encode_fake_video(1)),      # 1 ms -> frame 0 only
+             (4, b"FAKEIMG1\x01\x00\x01\x00"),  # not video -> no rows
+             (5, None)],
+            ["doc_id", "media"],
+        )
+        rows = frame_sample(df, every_ms=500).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.ts_ms))
+        assert sorted(by_doc[1]) == [(i, i * 500) for i in range(5)]
+        assert by_doc[2] == [(0, 0)]
+        assert by_doc[3] == [(0, 0)]
+        assert 4 not in by_doc and 5 not in by_doc
+
+    def test_frame_pixel_decode_is_stubbed(self):
+        from pdf_ocr_engine_spark.operators.multimodal import decode_frame_pixels
+
+        with pytest.raises(NotImplementedError):
+            decode_frame_pixels(b"FAKEVID1\x10\x00\x00\x00", 0)
+
+
 class TestCheckpointResume:
     def test_interrupt_resume_equals_oneshot(self, spark, fixture_pages_path,
                                              build_dir):
