@@ -32,7 +32,7 @@ from typing import Any
 
 from .html_extract import extract_main_text
 from .hyphen import repair_hyphenation
-from .layout_fast import page_text_fast
+from .layout_fast import page_layout_fast
 from .pdfbin import decode_pdf_arrays, sniff_kind
 
 __all__ = ["ExtractOptions", "LANG_RE", "PAGE_SEP", "extract_document", "sniff_document"]
@@ -53,7 +53,7 @@ class ExtractOptions:
     object pickles cheaply into UDF closures."""
 
     __slots__ = ("max_bytes", "max_pages", "validate_lang", "fix_hyphenation",
-                 "min_words", "max_link_density")
+                 "min_words", "max_link_density", "emit_spans")
 
     def __init__(
         self,
@@ -63,6 +63,7 @@ class ExtractOptions:
         fix_hyphenation: bool = False,       # OFF for byte-identity core
         min_words: int = 5,
         max_link_density: float = 1.0 / 3.0,
+        emit_spans: bool = False,            # positioned spans (C1-C3 path)
     ) -> None:
         self.max_bytes = max_bytes
         self.max_pages = max_pages
@@ -70,6 +71,7 @@ class ExtractOptions:
         self.fix_hyphenation = fix_hyphenation
         self.min_words = min_words
         self.max_link_density = max_link_density
+        self.emit_spans = emit_spans
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -130,6 +132,7 @@ def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
 
     page_texts: list[str] = []
     n_words = 0
+    spans: list[tuple] | None = [] if options.emit_spans else None
     for page in pages:
         if page.get("has_text"):
             # OCR-skip predicate (index.ts:94-97): existing text layer wins,
@@ -138,16 +141,25 @@ def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
             continue
         # vectorized byte-identical kernel (layout_fast; fuzz-checked against
         # the reference-port in layout.py)
-        text, n_page_words = page_text_fast(page["texts"], page["coords"])
+        text, n_page_words, page_spans = page_layout_fast(
+            page["texts"], page["coords"], want_spans=options.emit_spans)
         n_words += n_page_words
         if options.fix_hyphenation:
             text = repair_hyphenation(text)
         page_texts.append(text)
+        if options.emit_spans:
+            pno = int(page["page_no"])
+            spans.extend(
+                (pno, idx, raw, x0, y0, x1, y1)
+                for idx, (raw, x0, y0, x1, y1) in enumerate(page_spans))
 
     text = PAGE_SEP.join(page_texts)
     status = "ok" if any(page_texts) else "empty"
-    return {"status": status, "error": None, "n_pages": page_count,
-            "n_words": n_words, "text": text}
+    out = {"status": status, "error": None, "n_pages": page_count,
+           "n_words": n_words, "text": text}
+    if options.emit_spans:
+        out["spans"] = spans
+    return out
 
 
 def _extract_html(html: bytes, options: ExtractOptions) -> dict[str, Any]:

@@ -28,7 +28,7 @@ import numpy as np
 
 from .layout import _JS_WS
 
-__all__ = ["page_text_fast"]
+__all__ = ["page_text_fast", "page_layout_fast"]
 
 
 def page_text_fast(texts: list[str], coords: np.ndarray) -> tuple[str, int]:
@@ -38,9 +38,22 @@ def page_text_fast(texts: list[str], coords: np.ndarray) -> tuple[str, int]:
     ``x0, y0, x1, y1`` (column 4, confidence, is ignored — the reference's
     builder never reads it).  Returns ``(page_text, n_words)``.
     """
+    text, n_words, _ = page_layout_fast(texts, coords, want_spans=False)
+    return text, n_words
+
+
+def page_layout_fast(
+    texts: list[str], coords: np.ndarray, want_spans: bool = False,
+) -> tuple[str, int, list[tuple] | None]:
+    """Like :func:`page_text_fast` but optionally also emits the positioned
+    spans: ``(raw_text, x0, y0, x1, y1)`` per surviving word in reading
+    order — the reference's ``CopyFriendlyWord`` sequence
+    (``builder.ts:4-8,113-121``) minus the separator prefix, which is
+    recoverable from the page text.  Span assembly allocates per word, so it
+    is opt-in (the text-only hot path stays allocation-free)."""
     n = len(texts)
     if n == 0:
-        return "", 0
+        return "", 0, [] if want_spans else None
 
     c = coords[:, :4]
     # F5 validity: finite coords, positive box — vectorized; JS-trim-nonempty
@@ -52,7 +65,7 @@ def page_text_fast(texts: list[str], coords: np.ndarray) -> tuple[str, int]:
         if mask[i] and not texts[i].strip(_JS_WS):
             mask[i] = False
     if not mask.any():
-        return "", 0
+        return "", 0, [] if want_spans else None
 
     kept = np.flatnonzero(mask)
     x0 = c[kept, 0]
@@ -107,6 +120,9 @@ def page_text_fast(texts: list[str], coords: np.ndarray) -> tuple[str, int]:
     line_order = sorted(range(len(line_cy)), key=line_cy.__getitem__)
 
     parts: list[str] = []
+    spans: list[tuple] | None = [] if want_spans else None
+    ys0 = c[kept, 1].tolist() if want_spans else None
+    ys1 = c[kept, 3].tolist() if want_spans else None
     n_words = 0
     for line_index, li in enumerate(line_order):
         # W3: in-line stable sort by x0 (builder.ts:84)
@@ -135,7 +151,10 @@ def page_text_fast(texts: list[str], coords: np.ndarray) -> tuple[str, int]:
                 if gap > space_threshold:
                     parts.append("\t" if gap >= table_gap_threshold else " ")
             parts.append(texts[kept_list[i]])
+            if want_spans:
+                spans.append((texts[kept_list[i]], xs0[i], ys0[i],
+                              xs1[i], ys1[i]))
             prev_x1 = xs1[i]
         n_words += len(members)
 
-    return "".join(parts), n_words
+    return "".join(parts), n_words, spans

@@ -30,6 +30,8 @@ from typing import TYPE_CHECKING
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -59,10 +61,30 @@ EXTRACTED_SCHEMA = StructType([
     StructField("wall_us", LongType(), False),
 ])
 
+#: One positioned word (image coords, reading order) — the reference's
+#: ``CopyFriendlyWord`` (``builder.ts:4-8``); ``idx`` is the in-page reading
+#: position.  Emitted only with ``options.emit_spans``.
+SPAN_SCHEMA = StructType([
+    StructField("page", IntegerType(), False),
+    StructField("idx", IntegerType(), False),
+    StructField("raw", StringType(), False),
+    StructField("x0", DoubleType(), False),
+    StructField("y0", DoubleType(), False),
+    StructField("x1", DoubleType(), False),
+    StructField("y1", DoubleType(), False),
+])
+
+EXTRACTED_SCHEMA_SPANS = StructType(
+    list(EXTRACTED_SCHEMA) + [StructField("spans", ArrayType(SPAN_SCHEMA), True)])
+
 
 def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataFrame:
-    """Sniff → guard → route → extract, one Arrow-batched pass, no shuffle."""
+    """Sniff → guard → route → extract, one Arrow-batched pass, no shuffle.
+
+    With ``options.emit_spans`` the output gains a ``spans`` array column
+    (:data:`SPAN_SCHEMA`) carrying the positioned word sequence per document."""
     opts = options or DEFAULT_OPTIONS
+    emit_spans = bool(opts.emit_spans)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # executor-side import
@@ -83,7 +105,8 @@ def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataF
 
             cols: dict[str, list] = {k: [] for k in
                                      ("kind", "status", "error", "n_bytes",
-                                      "n_pages", "n_words", "text", "wall_us")}
+                                      "n_pages", "n_words", "text", "wall_us",
+                                      "spans")}
             for payload, lang in zip(payloads, langs):
                 t0 = time.perf_counter_ns()
                 r = extract_document(
@@ -97,7 +120,10 @@ def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataF
                 cols["n_words"].append(r["n_words"])
                 cols["text"].append(r["text"])
                 cols["wall_us"].append(wall)
+                if emit_spans:
+                    cols["spans"].append(r.get("spans") or [])
 
+            spans_col = {"spans": cols["spans"]} if emit_spans else {}
             yield pd.DataFrame({
                 "url": urls,
                 "warc_ts": ts.reset_index(drop=True),
@@ -111,9 +137,11 @@ def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataF
                 "text": cols["text"],
                 "partition_id": pd.Series([pid] * n, dtype="int32"),
                 "wall_us": pd.Series(cols["wall_us"], dtype="int64"),
+                **spans_col,
             })
 
     # column pruning: request only what the stage reads, so the scan's
     # ReadSchema shrinks to 4 columns even on wide input tables.
     wanted = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
-    return df.select(*wanted).mapInPandas(run, EXTRACTED_SCHEMA)
+    schema = EXTRACTED_SCHEMA_SPANS if emit_spans else EXTRACTED_SCHEMA
+    return df.select(*wanted).mapInPandas(run, schema)

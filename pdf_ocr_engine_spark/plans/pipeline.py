@@ -115,10 +115,33 @@ def write_extraction(
     """Materialize the DAG once: extract → write data → derive the metrics
     table from a **read-back** of the written parquet (lineage columns are in
     every row), so the expensive extract stage is never recomputed for
-    metrics.  Returns the read-back extracted DataFrame."""
+    metrics.  Returns the read-back extracted DataFrame.
+
+    Job-level counters ride the write action itself via ``df.observe``
+    (the reference's progress/timing spans, SURVEY.md S9) — zero extra
+    passes — and land in ``<output>/observed.json``."""
+    import json
+    import os
+
+    from pyspark.sql import Observation
+
     res = run_extraction(pages, options=options, num_partitions=num_partitions,
                          salt_buckets=salt_buckets, run_id=run_id)
-    res.extracted.write.mode("overwrite").parquet(f"{output_dir}/data")
+    obs = Observation(f"extract-{run_id}")
+    observed = res.extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("docs_ok"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_bytes").alias("bytes_in"),
+        F.sum(F.length("text")).alias("bytes_out"),
+    )
+    observed.write.mode("overwrite").parquet(f"{output_dir}/data")
+    if "://" not in output_dir:  # local fs only; object stores skip the json
+        with open(os.path.join(output_dir, "observed.json"), "w") as f:
+            json.dump({"run_id": run_id,
+                       **{k: (int(v) if v is not None else 0)
+                          for k, v in obs.get.items()}}, f)
     written = spark.read.parquet(f"{output_dir}/data")
     partition_metrics(written, run_id).write.mode("overwrite") \
         .parquet(f"{output_dir}/metrics")

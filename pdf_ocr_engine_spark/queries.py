@@ -418,6 +418,81 @@ SELECT doc_id, 'image' AS media_type,
 FROM documents
 """
 
+def q_extract_spans(spark, sf_dir):
+    """Positioned-spans pipeline (C1-C3, W8): full extraction with
+    ``emit_spans``, spans exploded to rows, y-flip + baseline offset and
+    font-size fit applied as pure column arithmetic.  Grid coordinates are
+    exact small integers → integer-exact x/y boxes; transforms rounded to
+    6 decimals on both sides."""
+    from .core.extract_doc import ExtractOptions
+    from .functions.geometry import (
+        approx_text_width_at_12,
+        font_size_fit,
+        pdf_y,
+    )
+    from .operators.extract import extract_pages
+
+    pages = pages_from_documents(spark, sf_dir)
+    pages = pages.withColumn(
+        "doc_id", F.element_at(F.split("url", "/"), -1).cast("long"))
+    out = extract_pages(pages.where(F.col("doc_id") < 100),
+                        ExtractOptions(emit_spans=True))
+    s = (out.select(
+            F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+            F.posexplode("spans").alias("pos", "s"))
+         .select("doc_id", F.col("s.idx").cast("long").alias("idx"),
+                 F.col("s.raw").alias("raw"),
+                 F.col("s.x0").cast("long").alias("x0"),
+                 F.col("s.y0").cast("long").alias("y0"),
+                 F.col("s.x1").cast("long").alias("x1"),
+                 F.col("s.y1").cast("long").alias("y1"),
+                 F.col("s.x0").alias("fx0"), F.col("s.y0").alias("fy0"),
+                 F.col("s.x1").alias("fx1"), F.col("s.y1").alias("fy1")))
+    one = F.lit(1.0)
+    fs = font_size_fit(F.col("fx0"), F.col("fx1"), F.col("fy0"), F.col("fy1"),
+                       one, one, approx_text_width_at_12(F.col("raw")))
+    return s.select(
+        "doc_id", "idx", "raw", "x0", "y0", "x1", "y1",
+        F.round(pdf_y(F.col("fy0"), F.col("fy1"), one, F.lit(792.0)), 6)
+         .alias("pdf_y_r6"),
+        F.round(fs, 6).alias("font_r6"))
+
+
+_SQL_EXTRACT_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE doc_id < 100
+), f AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) - 1 AS ord
+  FROM t
+), g AS (
+  SELECT doc_id, tok, ord, ord // 12 AS line_no FROM f
+), x AS (
+  SELECT doc_id, tok, ord, line_no,
+         10 + coalesce(sum(length(tok) * 6 + 4) OVER (
+              PARTITION BY doc_id, line_no ORDER BY ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x0,
+         10 + line_no * 20 AS y0
+  FROM g
+)
+SELECT doc_id, CAST(ord AS BIGINT) AS idx, tok AS raw,
+       CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+       CAST(x0 + length(tok) * 6 AS BIGINT) AS x1,
+       CAST(y0 + 12 AS BIGINT) AS y1,
+       -- ::DOUBLE casts: DuckDB float literals default to DECIMAL, which
+       -- formats (772.40) and rounds differently from Spark's doubles
+       round(792.0::DOUBLE - (y0 + 12.0::DOUBLE)
+             + 12.0::DOUBLE * 0.2::DOUBLE, 6) AS pdf_y_r6,
+       round(greatest(least((length(tok) * 6.0::DOUBLE)
+                            / (length(tok) * (0.6::DOUBLE * 12.0::DOUBLE))
+                            * 12.0::DOUBLE,
+                            12.0::DOUBLE * 0.9::DOUBLE),
+                      4.0::DOUBLE), 6) AS font_r6
+FROM x
+WHERE length(tok) > 0  -- F5: the layout kernel drops empty words
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plan (S3-analog row explosion): synthesize
     fake-codec videos with deterministic durations, sample every 500 ms."""
@@ -717,6 +792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta": q_media_meta,
     "frame_sample": q_frame_sample,
     "word_boxes": q_word_boxes,
+    "extract_spans": q_extract_spans,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
     "customer_order_counts": q_customer_order_counts,
@@ -748,6 +824,7 @@ ORACLES: dict[str, str] = {
     "media_meta": _SQL_MEDIA_META,
     "frame_sample": _SQL_FRAME_SAMPLE,
     "word_boxes": _SQL_WORD_BOXES,
+    "extract_spans": _SQL_EXTRACT_SPANS,
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "nation_revenue": _SQL_NATION_REVENUE,
     "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,

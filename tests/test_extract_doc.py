@@ -188,3 +188,30 @@ class TestSniffStage:
         s = sniff_document(encode_pdf([page(1, HELLO)]), "eng")
         assert s == {"kind": "pdf", "status": "ok", "error": None,
                      "n_bytes": s["n_bytes"]}
+
+
+class TestSpans:
+    def test_spans_follow_reading_order(self):
+        from pdf_ocr_engine_spark.core.extract_doc import (
+            ExtractOptions,
+            extract_document,
+        )
+        from pdf_ocr_engine_spark.core.pdfbin import encode_pdf
+
+        # reference table-gap golden, input deliberately unsorted
+        words = [("Qty", 180, 10, 220, 22), ("Item", 10, 10, 60, 22),
+                 ("2", 190, 34, 205, 46), ("Apple", 10, 34, 70, 46)]
+        pdf = encode_pdf([{"page_no": 1, "words": words}])
+        r = extract_document(pdf, "eng", ExtractOptions(emit_spans=True))
+        assert r["text"] == "Item\tQty\nApple\t2"
+        assert [s[2] for s in r["spans"]] == ["Item", "Qty", "Apple", "2"]
+        # (page, idx, raw, x0, y0, x1, y1) — coords are the input boxes
+        assert r["spans"][0] == (1, 0, "Item", 10.0, 10.0, 60.0, 22.0)
+        assert r["spans"][3] == (1, 3, "2", 190.0, 34.0, 205.0, 46.0)
+
+    def test_spans_off_by_default(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfbin import encode_pdf
+
+        pdf = encode_pdf([{"page_no": 1, "words": [("x", 0, 0, 5, 9)]}])
+        assert "spans" not in extract_document(pdf, "eng")

@@ -110,3 +110,17 @@ def test_documents_roundtrip_oracle(spark):
     for r in rows:
         assert r.status == "ok"
         assert r.text == expected_text(r.src.split()), r.doc_id
+
+
+def test_write_extraction_observed_metrics(spark, fixture_pages_path, tmp_path):
+    from pdf_ocr_engine_spark.plans.pipeline import write_extraction
+
+    out = str(tmp_path / "wx")
+    written = write_extraction(spark, spark.read.parquet(fixture_pages_path),
+                               out, num_partitions=4, run_id="obs-test")
+    import json
+    obs = json.load(open(f"{out}/observed.json"))
+    assert obs["run_id"] == "obs-test"
+    assert obs["docs_in"] == written.count() == 120
+    assert obs["docs_ok"] == written.where("status = 'ok'").count()
+    assert obs["words"] == written.agg(F.sum("n_words")).first()[0]
