@@ -493,6 +493,31 @@ WHERE length(tok) > 0  -- F5: the layout kernel drops empty words
 """
 
 
+def q_assemble_pdf(spark, sf_dir):
+    """U3 searchable-PDF assembly over the wrapped documents table; the PDF
+    binary itself is deterministic (checked in tests/test_pdfwrite.py), the
+    relational columns have a closed-form oracle."""
+    from .operators.assemble import assemble_searchable
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = assemble_searchable(pages)
+    return out.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        "status",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
+_SQL_ASSEMBLE_PDF = r"""
+SELECT doc_id, 'ok' AS status, CAST(1 AS BIGINT) AS n_pages,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS n_words
+FROM documents
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plan (S3-analog row explosion): synthesize
     fake-codec videos with deterministic durations, sample every 500 ms."""
@@ -793,6 +818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "word_boxes": q_word_boxes,
     "extract_spans": q_extract_spans,
+    "assemble_pdf": q_assemble_pdf,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
     "customer_order_counts": q_customer_order_counts,
@@ -825,6 +851,7 @@ ORACLES: dict[str, str] = {
     "frame_sample": _SQL_FRAME_SAMPLE,
     "word_boxes": _SQL_WORD_BOXES,
     "extract_spans": _SQL_EXTRACT_SPANS,
+    "assemble_pdf": _SQL_ASSEMBLE_PDF,
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "nation_revenue": _SQL_NATION_REVENUE,
     "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
