@@ -21,6 +21,8 @@ Status values and their reference counterparts:
 ``too_many_pages`` max-pages guard (``index.ts:49-53``; route passes 200)
 ``page_mismatch``  declared-vs-streamed page-count invariant
                    (``index.ts:87-92,109-119``)
+``timeout``        per-document wall-clock budget (``maxDuration``,
+                   ``route.ts:5``; checked between pages)
 ``decode_error``   malformed payload (corrupt container / undecodable HTML)
 =================  =============================================================
 """
@@ -28,6 +30,7 @@ Status values and their reference counterparts:
 from __future__ import annotations
 
 import re
+import time
 from typing import Any
 
 from .html_extract import extract_main_text
@@ -53,7 +56,7 @@ class ExtractOptions:
     object pickles cheaply into UDF closures."""
 
     __slots__ = ("max_bytes", "max_pages", "validate_lang", "fix_hyphenation",
-                 "min_words", "max_link_density", "emit_spans")
+                 "min_words", "max_link_density", "emit_spans", "max_doc_ms")
 
     def __init__(
         self,
@@ -64,6 +67,7 @@ class ExtractOptions:
         min_words: int = 5,
         max_link_density: float = 1.0 / 3.0,
         emit_spans: bool = False,            # positioned spans (C1-C3 path)
+        max_doc_ms: int | None = None,       # L3 wall-clock budget per doc
     ) -> None:
         self.max_bytes = max_bytes
         self.max_pages = max_pages
@@ -72,6 +76,7 @@ class ExtractOptions:
         self.min_words = min_words
         self.max_link_density = max_link_density
         self.emit_spans = emit_spans
+        self.max_doc_ms = max_doc_ms
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -130,10 +135,21 @@ def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
                          f"{len(pages)} of {page_count} page(s)",
                 "n_pages": page_count, "n_words": 0, "text": None}
 
+    # L3 wall-clock budget (reference maxDuration=300s per request,
+    # route.ts:5): checked between pages so a pathological document yields
+    # status='timeout' instead of stalling its whole task at 10^12-row scale.
+    deadline = (time.perf_counter() + options.max_doc_ms / 1000.0
+                if options.max_doc_ms is not None else None)
+
     page_texts: list[str] = []
     n_words = 0
     spans: list[tuple] | None = [] if options.emit_spans else None
     for page in pages:
+        if deadline is not None and time.perf_counter() > deadline:
+            return {"status": "timeout",
+                    "error": f"document exceeded {options.max_doc_ms} ms "
+                             f"budget after {len(page_texts)} page(s)",
+                    "n_pages": page_count, "n_words": 0, "text": None}
         if page.get("has_text"):
             # OCR-skip predicate (index.ts:94-97): existing text layer wins,
             # page contributes no extracted text.

@@ -41,9 +41,11 @@ def main(argv: list[str]) -> int:
         write_extraction,
     )
 
+    from pdf_ocr_engine_spark.sources.sinks import read_pages
+
     spark = build_session("pdf-ocr-engine-spark")
     opts = ExtractOptions(max_bytes=args.max_bytes, max_pages=args.max_pages)
-    pages = spark.read.parquet(args.input)
+    pages = read_pages(spark, args.input)  # parquet path or iceberg:db.table
 
     if args.resume:
         df = pages

@@ -215,3 +215,24 @@ class TestSpans:
 
         pdf = encode_pdf([{"page_no": 1, "words": [("x", 0, 0, 5, 9)]}])
         assert "spans" not in extract_document(pdf, "eng")
+
+
+class TestTimeBudget:
+    def test_timeout_is_status_value(self):
+        from pdf_ocr_engine_spark.core.extract_doc import (
+            ExtractOptions,
+            extract_document,
+        )
+        from pdf_ocr_engine_spark.core.pdfbin import encode_pdf
+        from pdf_ocr_engine_spark.sources.fixtures import layout_words
+
+        pages = [{"page_no": p + 1,
+                  "words": layout_words([f"w{p}t{i}" for i in range(200)])}
+                 for p in range(50)]
+        pdf = encode_pdf(pages)
+        r = extract_document(pdf, "eng", ExtractOptions(max_doc_ms=0))
+        assert r["status"] == "timeout"
+        assert "budget" in r["error"]
+        # without a budget, the same document extracts fine
+        r2 = extract_document(pdf, "eng")
+        assert r2["status"] == "ok" and r2["n_pages"] == 50
