@@ -36,6 +36,38 @@ def materialize_pages(spark, sf_dir: str, cache_path: str) -> None:
         .parquet(cache_path)
 
 
+def materialize_html_pages(spark, sf_dir: str, cache_path: str) -> None:
+    """documents wrapped as boilerplate-heavy HTML pages (stage-3a bench)."""
+    if os.path.exists(cache_path):
+        return
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def wrap_html(text):
+        def enc(t):
+            body = "".join(f"<p>{seg}</p>" for seg in (t or "").split(". "))
+            return (
+                "<!DOCTYPE html><html><head><title>t</title>"
+                "<style>.x{color:red}</style></head><body>"
+                "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+                "<a href='/b'>More</a></nav><header>banner</header>"
+                f"<article>{body}</article>"
+                "<aside><a href='/x'>rel one</a> <a href='/y'>rel two</a>"
+                "</aside><footer>footer legal text</footer></body></html>"
+            ).encode()
+        return text.map(enc)
+
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".example/html/"),
+                         F.col("doc_id").cast("string")).alias("url"),
+                F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+                wrap_html("text").alias("html"),
+                F.lit("").alias("text"), F.lit("eng").alias("lang"))
+        .write.mode("overwrite").parquet(cache_path))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -82,6 +114,25 @@ def main() -> int:
                           F.count("*")).collect()
 
     timed("extract", run_extract)
+
+    html_path = os.path.join(build_dir, f"bench_html_v1_sf{sf}.parquet")
+    materialize_html_pages(spark, sf_dir, html_path)
+    html_pages = spark.read.parquet(html_path)
+
+    def run_extract_html():
+        res = run_extraction(html_pages, num_partitions=cpus * 2,
+                             run_id="bench-html")
+        res.extracted.agg(F.sum("n_words"), F.sum(F.length("text")),
+                          F.count("*")).collect()
+
+    timed("extract_html", run_extract_html)
+
+    def run_assemble():
+        from pdf_ocr_engine_spark.operators.assemble import assemble_searchable
+        assemble_searchable(pages).agg(
+            F.sum("n_words"), F.sum(F.length("pdf")), F.count("*")).collect()
+
+    timed("assemble_pdf", run_assemble)
 
     bench_queries = [
         "token_count", "quality_score", "lang_id", "fingerprint",
