@@ -93,12 +93,13 @@ def _minhash_udf(n_hashes: int, shingle_k: int):
 
 
 def hash_shingle(s: str) -> int:
-    """Deterministic 64-bit FNV-1a over the UTF-8 bytes (process-independent,
-    unlike Python's salted hash())."""
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit shingle hash (process-independent, unlike
+    Python's salted ``hash()``).  blake2b runs in C — a pure-Python
+    byte-loop hash here dominated the whole MinHash stage."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",

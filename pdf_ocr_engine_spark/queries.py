@@ -687,16 +687,21 @@ GROUP BY c_custkey, c_name
 
 
 def q_customers_without_orders(spark, sf_dir):
-    """Anti-join invariant check (J3: expected-vs-actual mismatch surface)."""
+    """Anti-join invariant check (J3: expected-vs-actual mismatch surface) —
+    customers with no order since mid-1998, so the result is non-empty and
+    the anti-join semantics actually get value-checked."""
     c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders")
+    o = _read(spark, sf_dir, "orders") \
+        .where(F.col("o_orderdate") >= F.lit("1998-06-01"))
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
             .select("c_custkey", "c_name")
 
 
 _SQL_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
 """
 
 
