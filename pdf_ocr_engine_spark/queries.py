@@ -765,6 +765,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity), batch tier — the
+    temporal twin of the layout kernel's W5 clustering; streaming twin in
+    streaming/sessionize.py is equivalence-tested in tests/test_streaming."""
+    from .streaming.sessionize import sessionize_batch
+
+    e = _read(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_minutes=30)
+
+
+_SQL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+), f AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM g
+), s AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM f
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INTEGER) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def q_order_rank(spark, sf_dir):
     """W6 row_number ranking with a total (deterministic) order."""
     from pyspark.sql.window import Window
@@ -831,6 +866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": q_event_gaps,
     "event_type_stats": q_event_type_stats,
     "event_windows": q_event_windows,
+    "event_sessions": q_event_sessions,
     "order_rank": q_order_rank,
     "top_orders": q_top_orders,
 }
@@ -864,6 +900,7 @@ ORACLES: dict[str, str] = {
     "event_gaps": _SQL_EVENT_GAPS,
     "event_type_stats": _SQL_EVENT_TYPE_STATS,
     "event_windows": _SQL_EVENT_WINDOWS,
+    "event_sessions": _SQL_EVENT_SESSIONS,
     "order_rank": _SQL_ORDER_RANK,
     "top_orders": _SQL_TOP_ORDERS,
 }

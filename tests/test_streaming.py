@@ -64,3 +64,73 @@ def test_streaming_matches_golden_and_resumes(spark, stream_dirs):
         (F.col("golden_text").isNotNull() &
          (F.col("text") != F.col("golden_text")))).count()
     assert bad == 0
+
+
+def test_sessionize_stream_equals_batch(spark, build_dir):
+    """applyInPandasWithState sessions == batch window sessions for the same
+    (completed) event stream.  The timeout path can leave the final
+    in-progress session per user unemitted, so compare on closed sessions
+    and check the remainder is exactly those tail sessions."""
+    import datetime as dt
+
+    from pdf_ocr_engine_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = base + dt.timedelta(minutes=user)
+        for session in range(3):
+            for k in range(4):
+                rows.append((user, eid, t))
+                eid += 1
+                t += dt.timedelta(minutes=5)          # intra-session gaps
+            t += dt.timedelta(minutes=31 + session)   # close the session
+    events = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+    batch = {(r.user_id, r.session_start, r.session_end, r.n_events)
+             for r in sessionize_batch(events, 30).collect()}
+
+    in_dir = os.path.join(build_dir, "sess_in")
+    ckpt = os.path.join(build_dir, "sess_ckpt")
+    out_dir = os.path.join(build_dir, "sess_out")
+    for d in (in_dir, ckpt, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    events.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (sessionize_stream(stream, 30).writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    # with ProcessingTimeTimeout state pending, availableNow may keep the
+    # query open waiting to evict state — the closed sessions are committed
+    # by the first batch, so poll for them and stop.
+    import time as _time
+
+    expected_closed = len(batch) - 6  # one open tail session per user
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        try:
+            if spark.read.parquet(out_dir).count() >= expected_closed:
+                break
+        except Exception:  # noqa: BLE001 - sink dir not committed yet
+            pass
+    q.stop()
+    streamed = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    # every streamed session must be a real batch session...
+    assert streamed <= batch
+    # ...and only the per-user tail session may still sit in state
+    missing = batch - streamed
+    assert len(missing) <= 6
+    last_per_user = {u: max(s for (uu, s, _e, _n) in batch if uu == u)
+                     for u in range(6)}
+    for (u, s, _e, _n) in missing:
+        assert s == last_per_user[u]
