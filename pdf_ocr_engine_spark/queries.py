@@ -765,6 +765,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-subquery as a left-semi join (the plan Spark
+    and DuckDB both pick), distinct-on-join-key before counting."""
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) &
+        (F.col("o_orderdate") < F.lit("1996-07-01")))
+    # the synthetic lineitem has no commit/receipt dates; "problem lines"
+    # here are heavily-discounted high-tax items — the semi-join shape is
+    # what the query exercises
+    late = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_discount") > 0.08) & (F.col("l_tax") > 0.05))
+    return (o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+_SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_discount > 0.08 AND l_tax > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity), batch tier — the
     temporal twin of the layout kernel's W5 clustering; streaming twin in
@@ -863,6 +891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue": q_nation_revenue,
     "customer_order_counts": q_customer_order_counts,
     "customers_without_orders": q_customers_without_orders,
+    "order_priority_check": q_order_priority_check,
     "event_gaps": q_event_gaps,
     "event_type_stats": q_event_type_stats,
     "event_windows": q_event_windows,
@@ -897,6 +926,7 @@ ORACLES: dict[str, str] = {
     "nation_revenue": _SQL_NATION_REVENUE,
     "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
     "customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
     "event_gaps": _SQL_EVENT_GAPS,
     "event_type_stats": _SQL_EVENT_TYPE_STATS,
     "event_windows": _SQL_EVENT_WINDOWS,
