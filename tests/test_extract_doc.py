@@ -309,3 +309,35 @@ class TestFastSegmenterEquivalence:
             self._both(html)
 
         check()
+
+
+class TestCodecFuzz:
+    def test_wbox2_roundtrip_fuzz(self):
+        """encode_pdf -> decode_pdf is lossless for arbitrary word content:
+        unicode text, NaN/inf coords, empty pages, has_text flags."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        coord = st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.sampled_from([math.nan, math.inf, -math.inf]))
+        word = st.tuples(st.text(max_size=12), coord, coord, coord, coord)
+        pg = st.builds(
+            lambda no, ht, ws: {"page_no": no, "has_text": ht, "words": ws},
+            st.integers(1, 99), st.booleans(), st.lists(word, max_size=8))
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(pg, max_size=4))
+        def check(pages):
+            doc = decode_pdf(encode_pdf(pages))
+            assert doc["page_count"] == len(pages)
+            for orig, got in zip(pages, doc["pages"]):
+                assert got["page_no"] == orig["page_no"]
+                assert got["has_text"] == orig["has_text"]
+                assert len(got["words"]) == len(orig["words"])
+                for ow, gw in zip(orig["words"], got["words"]):
+                    assert gw[0] == ow[0]
+                    for a, b in zip(ow[1:5], gw[1:5]):
+                        assert (a == b) or (math.isnan(a) and math.isnan(b))
+
+        check()

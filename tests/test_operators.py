@@ -225,3 +225,27 @@ class TestCheckpointResume:
         oneshot = {r.url: r.text for r in
                    extract_pages(pages).select("url", "text").collect()}
         assert resumed == oneshot
+
+
+class TestAnnQuality:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def test_lsh_recall_vs_bruteforce(self, spark, emb):
+        """The approximate tier must actually find most true neighbours:
+        recall@10 vs exact cosine top-10, averaged over 5 query vectors."""
+        from pdf_ocr_engine_spark.operators.ann import cosine_topk, lsh_bucket_ann
+
+        vecs = {r.vec_id: list(r.embedding)
+                for r in emb.where("vec_id < 5").collect()}
+        recalls = []
+        for qid, qv in vecs.items():
+            exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+            approx = {r.vec_id
+                      for r in lsh_bucket_ann(emb, qv, k=10, n_bits=6).collect()}
+            recalls.append(len(exact & approx) / 10)
+        # the synthetic embeddings are near-random (no cluster structure), so
+        # the ceiling for any bucketing scheme is low; the gate is "well above
+        # chance": ~4 of 64 buckets probed => random recall ~= 0.06
+        assert sum(recalls) / len(recalls) >= 0.15, recalls
