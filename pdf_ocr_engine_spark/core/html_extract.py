@@ -323,12 +323,15 @@ def extract_main_text(
             content.append((i, b))
         elif b.is_heading and b.words >= 1:
             content.append((i, b))
-    # forward pass: drop headings not followed by non-heading content
-    kept: list[HtmlBlock] = []
-    for pos, (i, b) in enumerate(content):
-        if b.is_heading:
-            if any(not later.is_heading for _, later in content[pos + 1:]):
-                kept.append(b)
-        else:
-            kept.append(b)
+    # drop headings not followed by non-heading content — computed with a
+    # reversed suffix flag (a forward any()-rescan is O(n^2) on pages with
+    # thousands of heading-classified blocks)
+    body_follows = [False] * len(content)
+    seen_body = False
+    for pos in range(len(content) - 1, -1, -1):
+        body_follows[pos] = seen_body
+        if not content[pos][1].is_heading:
+            seen_body = True
+    kept = [b for pos, (_i, b) in enumerate(content)
+            if not b.is_heading or body_follows[pos]]
     return "\n\n".join(b.text for b in kept)

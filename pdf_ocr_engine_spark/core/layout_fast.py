@@ -62,7 +62,7 @@ def page_layout_fast(
     positive = (c[:, 2] > c[:, 0]) & (c[:, 3] > c[:, 1])
     mask = finite & positive
     for i in range(n):
-        if mask[i] and not texts[i].strip(_JS_WS):
+        if mask[i] and (texts[i] is None or not texts[i].strip(_JS_WS)):
             mask[i] = False
     if not mask.any():
         return "", 0, [] if want_spans else None

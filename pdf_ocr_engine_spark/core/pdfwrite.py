@@ -39,10 +39,16 @@ def _fmt(v: float) -> str:
 
 
 def _escape_text(raw: str) -> str:
-    """PDF literal-string escaping; non-Latin-1 chars become UTF-8 octal
-    escapes (searchable in a Latin-1 sense only — see module docstring)."""
+    """PDF literal-string escaping; non-Latin-1 text falls back to UTF-8
+    octal escapes (searchable in a Latin-1 sense only — see module
+    docstring).  The fallback must be strict-or-utf8: ``errors='ignore'``
+    would silently drop the non-Latin-1 chars from MIXED text."""
+    try:
+        encoded = raw.encode("latin-1")
+    except UnicodeEncodeError:
+        encoded = raw.encode("utf-8")
     out = []
-    for b in raw.encode("latin-1", errors="ignore") or raw.encode("utf-8"):
+    for b in encoded:
         if b in (0x28, 0x29, 0x5C):  # ( ) backslash
             out.append("\\" + chr(b))
         elif 32 <= b < 127:

@@ -85,8 +85,11 @@ def lsh_bucket_ann(df: DataFrame, query_vec: list[float], k: int = 10,
                    n_bits: int = 16, seed: int = 42,
                    multiprobe_bits: int = 1) -> DataFrame:
     """Approximate top-k: restrict the exact re-rank to vectors whose
-    signature matches the query's, or differs in ≤ ``multiprobe_bits`` bit
-    (multiprobe = query bucket + its Hamming-1 neighbours)."""
+    signature is within Hamming distance ``multiprobe_bits`` of the query's
+    (multiprobe: the query bucket plus every ≤-k-bit-flip neighbour —
+    2^n_bits buckets total, so keep n_bits*multiprobe combinatorics sane)."""
+    import itertools
+
     import numpy as np
 
     dim = len(query_vec)
@@ -98,11 +101,12 @@ def lsh_bucket_ann(df: DataFrame, query_vec: list[float], k: int = 10,
         if proj[b] > 0:
             qsig |= 1 << b
     probes = {qsig}
-    if multiprobe_bits >= 1:
-        # probe nearest planes first: flip bits in ascending |projection|
-        order = np.argsort(np.abs(proj))
-        for b in order[: max(n_bits // 2, 1)]:
-            probes.add(qsig ^ (1 << int(b)))
+    for n_flips in range(1, multiprobe_bits + 1):
+        for flips in itertools.combinations(range(n_bits), n_flips):
+            mask = 0
+            for b in flips:
+                mask |= 1 << b
+            probes.add(qsig ^ mask)
 
     sig_udf = rp_signature_udf(dim, n_bits, seed)
     signed = df.withColumn("sig", sig_udf(F.col(vec_col)))

@@ -66,11 +66,19 @@ _HASH_B_SEED = 0xC2B2AE3D27D4EB4F
 
 def _minhash_udf(n_hashes: int, shingle_k: int):
     import numpy as np
-    import pandas as pd
+    import pandas as pd  # noqa: F401 - executor-side dependency
 
+    # Per-row xor-multiply-shift mixers over the 64-bit shingle hash — the
+    # standard practical MinHash family (each row an independent 64-bit
+    # mixing permutation).  All arithmetic stays in uint64 with wraparound;
+    # a naive "(a*x + b) mod 2^61-1" in numpy silently promotes
+    # uint64+int64 → float64 and quantizes the hash space (measured), so the
+    # modular family is NOT expressible vectorized without 128-bit support.
     rng = np.random.RandomState(42)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    a = rng.randint(1, 1 << 62, size=n_hashes).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64)
+    _C = np.uint64(0x9E3779B97F4A7C15)
+    _S = np.uint64(33)
 
     def sig_of(text: str) -> list[int]:
         toks = (text or "").lower().split()
@@ -81,10 +89,10 @@ def _minhash_udf(n_hashes: int, shingle_k: int):
                         for i in range(len(toks) - shingle_k + 1)}
         h = np.fromiter((hash_shingle(s) for s in shingles),
                         dtype=np.uint64, count=len(shingles))
-        # (a*x + b) mod p, vectorized over (n_hashes, n_shingles)
-        vals = (a[:, None].astype(np.uint64) * (h[None, :] % _MERSENNE)
-                + b[:, None].astype(np.uint64)) % _MERSENNE
-        return vals.min(axis=1).astype(np.int64).tolist()
+        v = (a[:, None] ^ h[None, :]) * _C + b[:, None]   # uint64 wraparound
+        v ^= v >> _S
+        # >>1 keeps the min in int64 range (Spark LongType, non-negative)
+        return (v.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
 
     def fn(texts):
         return texts.map(sig_of)
@@ -111,16 +119,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16) -> DataFrame:
+                        bands: int = 16, n_hashes: int = 64) -> DataFrame:
     """Banded LSH: explode signatures into (band, band_hash) buckets, self-join
     buckets, emit distinct candidate pairs (a < b).
+
+    ``n_hashes`` is the signature length (callers know it — inferring it
+    with a ``.first()`` would cost an eager extra Spark job through the
+    signature UDF, and crash on empty input).
 
     Scale shape: the shuffle key is (band, band_hash) — cardinality ≈
     bands × corpus, uniformly hashed; no skew unless the corpus contains
     mega-clusters of near-identical docs (then salt the verify stage).
     """
-    n = sigs.select(F.size("sig")).first()[0]
-    rows_per_band = n // bands
+    rows_per_band = n_hashes // bands
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -148,9 +159,15 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         bands: int = 16, shingle_k: int = 3,
                         min_jaccard: float = 0.8) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact-verify
-    with estimated Jaccard from signature agreement (integer-exact)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    with estimated Jaccard from signature agreement (integer-exact).
+
+    ``sigs`` is persisted for the pipeline's duration — its lineage is
+    otherwise re-evaluated for the banded self-join AND both verify-join
+    sides, recomputing the signature UDF (the stage's hot spot) up to 4x.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k) \
+        .persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, n_hashes)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -197,11 +214,6 @@ def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col),
                      _simhash_udf()(F.col(text_col)).alias("simhash"))
-
-
-def _popcount64(c: Column) -> Column:
-    """bit_count exists in Spark 3.5+/4.x as a SQL function."""
-    return F.expr(f"bit_count({c._jc.toString() if hasattr(c, '_jc') else c})")
 
 
 def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",

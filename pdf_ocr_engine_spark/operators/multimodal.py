@@ -66,15 +66,20 @@ def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None
     """
     if not data:
         return ("empty", None, None, None)
-    if data[:8] == IMG_MAGIC:
-        w, h = struct.unpack("<HH", data[8:12])
-        return ("image", w, h, None)
-    if data[:8] == AUD_MAGIC:
-        (ms,) = struct.unpack("<I", data[8:12])
-        return ("audio", None, None, ms)
-    if data[:8] == VID_MAGIC:
-        (ms,) = struct.unpack("<I", data[8:12])
-        return ("video", None, None, ms)
+    try:
+        if data[:8] == IMG_MAGIC:
+            w, h = struct.unpack("<HH", data[8:12])
+            return ("image", w, h, None)
+        if data[:8] == AUD_MAGIC:
+            (ms,) = struct.unpack("<I", data[8:12])
+            return ("audio", None, None, ms)
+        if data[:8] == VID_MAGIC:
+            (ms,) = struct.unpack("<I", data[8:12])
+            return ("video", None, None, ms)
+    except struct.error:
+        # magic present but header truncated: a corrupt row is DATA, never a
+        # task failure (same errors-as-values contract as extraction)
+        return ("corrupt", None, None, None)
     return ("unknown", None, None, None)
 
 

@@ -125,7 +125,7 @@ def _html_doc(rng: random.Random) -> tuple[bytes, str]:
     return html.encode("utf-8"), golden
 
 
-def _pdf_doc(rng: random.Random) -> tuple[bytes, str | None]:
+def _pdf_doc(rng: random.Random) -> tuple[bytes, str, str]:
     """Multi-page word-box PDF (grid layout) + golden text; some pages
     carry has_text=True and contribute empty segments."""
     n_pages = rng.randint(1, 3)

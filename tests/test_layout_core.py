@@ -163,6 +163,7 @@ class TestFastKernelEquivalence:
 
     def test_invalid_words_match(self):
         self._both([
+            (None, 10.0, 10.0, 60.0, 22.0, 90.0),  # null text dropped, F5
             w("", 10, 10, 60, 22), w("good", 10, 10, 60, 22),
             w("zero", 10, 10, 10, 22), w("nan", math.nan, 10, 60, 22),
             w("﻿", 70, 10, 90, 22),

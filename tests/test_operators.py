@@ -103,6 +103,20 @@ class TestAnn:
         sims = [r.cosine for r in top]
         assert sims == sorted(sims, reverse=True)
 
+    def test_multiprobe_bits_respected(self, emb):
+        from pdf_ocr_engine_spark.operators.ann import lsh_bucket_ann
+
+        qv = [float(x) for x in
+              emb.where("vec_id = 0").select("embedding").first()[0]]
+        # k > corpus so the result IS the candidate set (top-k of a superset
+        # could otherwise displace members)
+        r1 = {r.vec_id for r in
+              lsh_bucket_ann(emb, qv, k=10**6, n_bits=6, multiprobe_bits=1).collect()}
+        r2 = {r.vec_id for r in
+              lsh_bucket_ann(emb, qv, k=10**6, n_bits=6, multiprobe_bits=2).collect()}
+        assert r1 <= r2          # more probes never shrink the candidate set
+        assert len(r2) > len(r1)
+
     def test_lsh_recalls_self_bucket(self, emb):
         from pdf_ocr_engine_spark.operators.ann import cosine_topk, lsh_bucket_ann
 
@@ -138,6 +152,15 @@ class TestMultimodal:
         assert (rows[2].media_type, rows[2].duration_ms) == ("audio", 2500)
         assert rows[3].media_type == "unknown"
         assert rows[4].media_type == "empty"
+
+    def test_truncated_header_is_data_not_failure(self, spark):
+        from pdf_ocr_engine_spark.operators.multimodal import media_metadata
+
+        df = spark.createDataFrame(
+            [(1, b"FAKEIMG1\x01"), (2, b"FAKEVID1"), (3, b"FAKEAUD1\x00\x00")],
+            ["doc_id", "media"])
+        rows = {r.doc_id: r.media_type for r in media_metadata(df).collect()}
+        assert rows == {1: "corrupt", 2: "corrupt", 3: "corrupt"}
 
     def test_pixel_decode_is_stubbed(self):
         from pdf_ocr_engine_spark.operators.multimodal import decode_image_pixels

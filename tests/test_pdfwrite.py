@@ -52,6 +52,13 @@ class TestWriter:
             ("a(b)c\\d", 10, 10, 80, 22)]}])
         assert extract_pdf_text(pdf) == [["a(b)c\\d"]]
 
+    def test_mixed_nonlatin_text_not_dropped(self):
+        # mixed ASCII+CJK must fall back to UTF-8 escapes, never truncate
+        pdf = build_searchable_pdf([{"width": 612, "height": 792, "spans": [
+            ("abc\u65e5\u672c", 10, 10, 80, 22)]}])
+        (words,) = extract_pdf_text(pdf)
+        assert words[0].encode("latin-1").decode("utf-8") == "abc\u65e5\u672c"
+
     def test_image_scale_transform(self):
         # image at 2x page resolution: span at image (100,40)-(200,64)
         # -> pdf x=50, word_h=12, y = 792 - 32 + 2.4
