@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin per query.  Omitted keys
-    (dedup_minhash, dedup_simhash, ann_lsh) are signature-algebra operators
-    with no SQL equivalent → driver records the weaker rows-only check."""
+    (dedup_minhash, dedup_simhash, dedup_embedding_lsh, ann_lsh) are
+    signature-algebra operators with no SQL equivalent → driver records the
+    weaker rows-only check."""
     return dict(ORACLES)

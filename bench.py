@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def materialize_pages(spark, sf_dir: str, cache_path: str) -> None:
     from pdf_ocr_engine_spark.sources.testdata import pages_from_documents
 
-    if os.path.exists(cache_path):
+    # _SUCCESS marker, not bare existence: an interrupted materialization
+    # must be regenerated, not silently benchmarked
+    if os.path.exists(os.path.join(cache_path, "_SUCCESS")):
         return
     pages_from_documents(spark, sf_dir).write.mode("overwrite") \
         .parquet(cache_path)
@@ -38,7 +40,7 @@ def materialize_pages(spark, sf_dir: str, cache_path: str) -> None:
 
 def materialize_html_pages(spark, sf_dir: str, cache_path: str) -> None:
     """documents wrapped as boilerplate-heavy HTML pages (stage-3a bench)."""
-    if os.path.exists(cache_path):
+    if os.path.exists(os.path.join(cache_path, "_SUCCESS")):
         return
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType
@@ -141,8 +143,13 @@ def main() -> int:
     ]
     for name in bench_queries:
         fn = QUERIES[name]
-        timed(name, lambda f=fn: f(spark, sf_dir)
-              .agg(F.count("*")).collect())
+        # xxhash64 over every output column forces FULL evaluation JVM-side
+        # (a bare count(*) would let Catalyst prune the projections, timing
+        # nothing but the scan) without shipping rows to the driver;
+        # bit_xor-reduced because an ANSI-mode sum of hashes overflows long.
+        timed(name, lambda f=fn: (lambda df: df.select(
+            F.xxhash64(*df.columns).alias("h"))
+            .agg(F.expr("bit_xor(h)")).collect())(f(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -154,8 +154,10 @@ def main() -> int:
 
     sys.path.insert(0, REPO)
     build_dir = os.path.join(REPO, "_build")
+    sf_tag = os.path.basename(args.sf_dir.rstrip("/"))
     corpus = os.path.join(
-        build_dir, f"scaling_corpus_v2_r{args.replicas}_p{args.pages}.parquet")
+        build_dir,
+        f"scaling_corpus_v2_{sf_tag}_r{args.replicas}_p{args.pages}.parquet")
     zpath = build_zip()
     materialize_corpus(corpus, args.sf_dir, args.replicas, args.pages)
 

@@ -12,9 +12,10 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -26,6 +27,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.10g}"
@@ -36,10 +39,12 @@ def norm_cell(v):
     return str(v)
 
 
-def table_hash(rows: list[dict]) -> tuple[int, str, list[str]]:
+def table_hash(rows: list[dict], cols: list[str]) -> tuple[int, str, list[str]]:
+    """``cols`` comes from the result SCHEMA, never from rows[0] — an
+    empty-vs-empty comparison must still fail on diverging column sets."""
+    cols = sorted(cols)
     if not rows:
-        return 0, "EMPTY", []
-    cols = sorted(rows[0].keys())
+        return 0, "EMPTY", cols
     lines = sorted("\x1f".join(norm_cell(r[c]) for c in cols) for r in rows)
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
     return len(rows), h, cols
@@ -64,6 +69,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
@@ -71,7 +80,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             srows = [r.asDict() for r in sdf.collect()]
-            sn, sh, scols = table_hash(srows)
+            sn, sh, scols = table_hash(srows, sdf.columns)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
@@ -80,8 +89,8 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {sn} rows, cols={scols}")
             continue
         try:
-            orows = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
-            on, oh, ocols = table_hash(orows)
+            otab = con.execute(oracles[name]).fetch_arrow_table()
+            on, oh, ocols = table_hash(otab.to_pylist(), otab.column_names)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1

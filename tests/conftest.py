@@ -1,5 +1,4 @@
 import os
-import shutil
 
 import pytest
 
@@ -25,18 +24,9 @@ def build_dir():
 
 @pytest.fixture(scope="session")
 def fixture_pages_path(build_dir):
-    """Deterministic fixture corpus parquet (generated once per test run)."""
+    """Deterministic fixture corpus parquet (write_pages_parquet overwrites
+    unconditionally, so no staleness handling is needed)."""
     from pdf_ocr_engine_spark.sources.fixtures import write_pages_parquet
 
-    path = os.path.join(build_dir, "pages_test.parquet")
-    if os.path.exists(path):
-        os.remove(path)
-        g = path.replace(".parquet", "_golden.parquet")
-        if os.path.exists(g):
-            os.remove(g)
-    return write_pages_parquet(path, n_docs=120)
-
-
-def pytest_sessionfinish(session, exitstatus):
-    # keep _build for debugging unless explicitly cleaned
-    _ = shutil
+    return write_pages_parquet(
+        os.path.join(build_dir, "pages_test.parquet"), n_docs=120)
