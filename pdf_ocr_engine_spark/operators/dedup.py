@@ -333,3 +333,62 @@ def embedding_neardup_lsh(df: DataFrame, threshold: float = 0.25,
     return (a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round(cos, 6).alias("cosine_r6"))
             .where(F.col("cosine_r6") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(node, component) — component = min node id reachable via the edge
+    set.  Pair lists alone don't dedupe: A~B and B~C must collapse to one
+    keeper even when A~C was never emitted, so cluster assignment is the
+    step between candidate pairs and `keep min(id) per component`.
+
+    Iterative min-label propagation in pure DataFrame ops: each round every
+    node takes the min of its own label and its neighbours' labels; stops
+    when a round changes nothing.  Rounds needed = graph diameter ≤
+    ``max_iter`` (near-dup graphs are shallow; the classic large-star/
+    small-star variant cuts long chains in O(log n) rounds if ever needed).
+    Each iteration is persisted and the previous one released — the driver
+    loop holds only (labels, count) between rounds.
+    """
+    both = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(edges.select(F.col(id_b).alias("src"),
+                                F.col(id_a).alias("dst"))))
+    nodes = both.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component")).persist()
+    labels.count()
+
+    for _ in range(max_iter):
+        nbr_min = (both.join(labels, both.dst == labels.node)
+                   .groupBy("src").agg(F.min("component").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nbr_comp", "component"))
+                               .alias("component"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keepers(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Corpus minus near-duplicates: every clustered document except each
+    component's min-id keeper is dropped; unclustered documents pass
+    through.  One anti-join against the (tiny relative to corpus) set of
+    non-keeper cluster members."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.where(F.col("node") != F.col("component")) \
+                  .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -298,6 +298,44 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: bigram-Jaccard pairs → connected components
+    (iterative min-label propagation) → (node, component).  The step between
+    pair lists and 'keep min(id) per cluster'; oracle = recursive-CTE
+    reachability in DuckDB."""
+    from .operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), max_id=120) \
+        .where(F.col("jaccard_pm") >= 60)
+    return connected_components(pairs)
+
+
+_SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)),
+                                      i -> t[i] || '_' || t[i+1])) AS grams
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                            ' ') AS t
+        FROM documents WHERE doc_id < 120)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE (len(list_intersect(a.grams, b.grams)) * 1000)
+        // len(list_distinct(list_concat(a.grams, b.grams))) >= 60
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidates — signature agreement is not
     SQL-expressible; driver records the rows-only check."""
@@ -876,6 +914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -912,6 +951,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": _SQL_FINGERPRINT,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh:
     # signature algebra is not SQL-expressible -> rows-only checks
     # (driver records the weaker check)

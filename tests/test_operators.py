@@ -272,3 +272,30 @@ class TestAnnQuality:
         # the ceiling for any bucketing scheme is low; the gate is "well above
         # chance": ~4 of 64 buckets probed => random recall ~= 0.06
         assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+class TestConnectedComponents:
+    def test_chain_cycle_and_singletons(self, spark):
+        """A~B~C chain collapses to one component even though A~C was never
+        emitted; disjoint pairs stay separate; cycles converge."""
+        from pdf_ocr_engine_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3),            # chain
+             (10, 11),                  # disjoint pair
+             (20, 21), (21, 22), (22, 20)],  # cycle
+            ["id_a", "id_b"])
+        comps = {r.node: r.component
+                 for r in connected_components(pairs).collect()}
+        assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                         20: 20, 21: 20, 22: 20}
+
+    def test_dedup_keepers_end_to_end(self, spark):
+        from pdf_ocr_engine_spark.operators.dedup import dedup_keepers
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(6)], ["doc_id", "text"])
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+        kept = sorted(r.doc_id for r in dedup_keepers(docs, pairs).collect())
+        # cluster {0,3,5} keeps 0; 1,2,4 untouched
+        assert kept == [0, 1, 2, 4]
