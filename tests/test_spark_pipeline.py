@@ -124,3 +124,39 @@ def test_write_extraction_observed_metrics(spark, fixture_pages_path, tmp_path):
     assert obs["docs_in"] == written.count() == 120
     assert obs["docs_ok"] == written.where("status = 'ok'").count()
     assert obs["words"] == written.agg(F.sum("n_words")).first()[0]
+
+
+def test_large_document_stress(spark):
+    """A single outsized document (150 pages x 400 words, ~5 MB payload)
+    flows through the Arrow batch path without memory faults and extracts
+    byte-identically to the pure-Python kernel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_engine_spark.core.extract_doc import extract_document
+    from pdf_ocr_engine_spark.core.pdfbin import encode_pdf
+    from pdf_ocr_engine_spark.operators.extract import extract_pages
+    from pdf_ocr_engine_spark.sources.fixtures import layout_words
+
+    toks = [f"w{i}" for i in range(400)]
+    payload = encode_pdf([
+        {"page_no": p + 1, "width": 612.0, "height": 792.0,
+         "has_text": False, "words": layout_words(toks)}
+        for p in range(150)
+    ])
+    assert len(payload) > 2_500_000
+    expected = extract_document(payload, "eng")
+
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "_build",
+                        "big_doc.parquet")
+    pq.write_table(pa.table({
+        "url": ["https://big.example/doc"],
+        "html": pa.array([payload], type=pa.binary()),
+        "lang": ["eng"],
+    }), path)
+    row = extract_pages(spark.read.parquet(path)).first()
+    assert row.status == "ok"
+    assert row.n_pages == 150
+    assert row.n_words == expected["n_words"] == 150 * 400
+    assert row.text == expected["text"]
