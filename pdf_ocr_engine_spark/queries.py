@@ -93,6 +93,48 @@ SELECT t.doc_id,
 FROM toks t JOIN agg a USING (doc_id)
 """
 
+def q_pipeline_train(spark, sf_dir):
+    """The composed training-data pipeline: wrap → EXTRACT (full decode +
+    layout) → quality filter on the EXTRACTED text → exact-dedup keepers →
+    per-doc token stats.  Oracle works because extraction is invertible on
+    the wrapped corpus (extracted text ≡ re-wrapped source tokens) and the
+    quality/dedup stages are whitespace-normalization-invariant."""
+    from .operators.dedup import drop_exact_dups
+
+    ext = q_extract_documents(spark, sf_dir).where(F.col("status") == "ok")
+    feats = T.quality_features(F.col("text"))
+    qual = ext.where(feats["is_quality"])
+    kept = drop_exact_dups(qual, text_col="text", id_col="doc_id")
+    return kept.select("doc_id",
+                       T.token_count(F.col("text")).alias("n_tokens"),
+                       T.stopword_hits(F.col("text")).alias("stop_hits"))
+
+
+_SQL_PIPELINE_TRAIN = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tx,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, tx,
+         CAST(CASE WHEN tx = '' THEN 0 ELSE len(toks) END AS BIGINT)
+           AS n_tokens,
+         CAST(len(list_filter(toks,
+              x -> x IN ('the','and','of','to','a','in','is','it')))
+              AS BIGINT) AS stop_hits
+  FROM t
+), q AS (
+  SELECT * FROM f
+  WHERE stop_hits * 10 >= n_tokens AND n_tokens >= 5 AND tx <> ''
+), keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM q GROUP BY md5(regexp_replace(lower(tx), '\s+', ' ', 'g'))
+)
+SELECT q.doc_id, q.n_tokens, q.stop_hits
+FROM q JOIN keep USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # filters / guards / scalar functions (F1-F4, L1-L3, C5-C6)
 # ---------------------------------------------------------------------------
@@ -904,6 +946,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents": q_extract_documents,
+    "pipeline_train": q_pipeline_train,
     "sniff_prefix": q_sniff_prefix,
     "guard_size": q_guard_size,
     "lang_validate": q_lang_validate,
@@ -941,6 +984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "extract_documents": _SQL_EXTRACT_DOCUMENTS,
+    "pipeline_train": _SQL_PIPELINE_TRAIN,
     "sniff_prefix": _SQL_SNIFF_PREFIX,
     "guard_size": _SQL_GUARD_SIZE,
     "lang_validate": _SQL_LANG_VALIDATE,
