@@ -91,6 +91,13 @@ def sniff_document(html: bytes | None, lang: str | None,
     work).  Returns ``{"kind", "status", "error", "n_bytes"}`` where
     ``status='ok'`` means "eligible for extraction".
     """
+    if html is not None and not isinstance(html, (bytes, bytearray, memoryview)):
+        # a mis-typed upstream column (e.g. StringType html) is DATA —
+        # errors-as-values must hold before any byte operation runs
+        return {"kind": "other", "status": "unsupported",
+                "error": f"payload is not binary ({type(html).__name__})",
+                "n_bytes": 0}
+    html = bytes(html) if html is not None else None
     n_bytes = len(html) if html else 0
     kind = sniff_kind(html)
     if html is None or n_bytes == 0:
@@ -208,6 +215,9 @@ def extract_document(html: bytes | None, lang: str | None,
            "n_pages": 0, "n_words": 0, "text": None}
     if sniff["status"] != "ok":
         return out
+    # bytearray/memoryview payloads normalize to bytes once, here — the
+    # decoders assume bytes methods (startswith, slicing semantics)
+    html = bytes(html)
     try:
         body = _extract_pdf(html, options) if sniff["kind"] == "pdf" \
             else _extract_html(html, options)

@@ -131,6 +131,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     bands × corpus, uniformly hashed; no skew unless the corpus contains
     mega-clusters of near-identical docs (then salt the verify stage).
     """
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes}: a remainder "
+            f"silently drops signature rows, and bands>n_hashes would hash "
+            f"empty bands (every doc colliding with every doc)")
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -164,6 +169,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     ``sigs`` is persisted for the pipeline's duration — its lineage is
     otherwise re-evaluated for the banded self-join AND both verify-join
     sides, recomputing the signature UDF (the stage's hot spot) up to 4x.
+    The cache is NOT auto-released (the returned plan still references it);
+    long-running applications should ``spark.catalog.clearCache()`` or wrap
+    per-batch calls, as they would for any persisted intermediate.
     """
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k) \
         .persist()
@@ -188,19 +196,19 @@ def _simhash_udf():
     import numpy as np
     import pandas as pd
 
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+
     def sim_of(text: str) -> int:
         toks = (text or "").lower().split()
         if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = hash_shingle(t)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
+        # one vectorized pass: (n_tokens, 64) bit matrix -> +/-1 vote sums
+        h = np.fromiter(map(hash_shingle, toks), dtype=np.uint64,
+                        count=len(toks))
+        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out = int((weights * (acc > 0)).sum(dtype=np.uint64))
         # map to signed int64 for Spark LongType
         return out - (1 << 64) if out >= (1 << 63) else out
 
@@ -357,11 +365,15 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     """
     both = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .union(edges.select(F.col(id_b).alias("src"),
-                                F.col(id_a).alias("dst"))))
+                                F.col(id_a).alias("dst")))).persist()
+    # persist the edge set: each iteration joins it, and its upstream
+    # lineage (LSH candidate generation / pairwise verification) is the
+    # single most expensive stage — never recompute it per round.
     nodes = both.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("component")).persist()
     labels.count()
 
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (both.join(labels, both.dst == labels.node)
                    .groupBy("src").agg(F.min("component").alias("nbr_comp")))
@@ -379,6 +391,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    both.unpersist()
+    if changed != 0:
+        # silent partial propagation would split true clusters undetectably
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the graph diameter exceeds "
+            f"max_iter; raise it, or switch to large-star/small-star "
+            f"(O(log n) rounds) for long-chain graphs")
     return labels
 
 

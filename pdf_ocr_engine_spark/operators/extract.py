@@ -164,8 +164,9 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
                                       "spans")}
             for payload, lang in zip(payloads, langs):
                 t0 = time.perf_counter_ns()
-                r = extract_document(
-                    bytes(payload) if payload is not None else None, lang, opts)
+                # no bytes() here: extract_document type-guards the payload
+                # itself (errors-as-values even for mis-typed columns)
+                r = extract_document(payload, lang, opts)
                 wall = (time.perf_counter_ns() - t0) // 1000
                 cols["kind"].append(r["kind"])
                 cols["status"].append(r["status"])

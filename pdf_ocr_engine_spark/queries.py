@@ -71,7 +71,9 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EXTRACT_DOCUMENTS = f"""
 WITH toks AS (
-  SELECT doc_id, source, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+  SELECT doc_id, source, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
   FROM documents
 ), flat AS (
   SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord FROM toks
@@ -86,11 +88,11 @@ WITH toks AS (
 SELECT t.doc_id,
        'https://' || t.source || '.example/doc/' || t.doc_id AS url,
        {_LANG_SQL} AS lang,
-       'ok' AS status,
+       CASE WHEN len(t.t) = 0 THEN 'empty' ELSE 'ok' END AS status,
        CAST(1 AS BIGINT) AS n_pages,
        CAST(len(t.t) AS BIGINT) AS n_words,
-       a.text AS text
-FROM toks t JOIN agg a USING (doc_id)
+       coalesce(a.text, '') AS text
+FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 def q_pipeline_train(spark, sf_dir):
@@ -333,9 +335,9 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
          AS n_union,
-       CAST((len(list_intersect(a.grams, b.grams)) * 1000)
-            // len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
-         AS jaccard_pm
+       CAST(coalesce((len(list_intersect(a.grams, b.grams)) * 1000)
+            // nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0),
+            0) AS BIGINT) AS jaccard_pm
 FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
@@ -885,19 +887,21 @@ def q_event_sessions(spark, sf_dir):
 
 _SQL_EVENT_SESSIONS = """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          date_diff('microsecond',
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                    ts) AS gap_us
   FROM events
 ), f AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN gap_us IS NULL OR gap_us >= 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS is_start
   FROM g
 ), s AS (
+  -- event_id tiebreak keeps the ROWS frame total-ordered when timestamps
+  -- tie, matching the Spark window exactly
   SELECT user_id, ts,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_idx
   FROM f

@@ -45,9 +45,16 @@ SESSION_SCHEMA = StructType([
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
                      ts_col: str = "ts", user_col: str = "user_id",
-                     ) -> DataFrame:
-    """(user_id, session_start, session_end, n_events) — one row per session."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+                     tiebreak_col: str | None = "event_id") -> DataFrame:
+    """(user_id, session_start, session_end, n_events) — one row per session.
+
+    ``tiebreak_col`` makes the window order total when timestamps tie; it is
+    used only if present in the input (inputs without it — e.g. the stream
+    twin's shape — still sessionize, with ts-only ordering).
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col
+                        and tiebreak_col in events.columns else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = gap_minutes * 60 * 1_000_000
     gap_col = F.expr(f"timestampdiff(MICROSECOND, prev_ts, {ts_col})")
     with_sid = (

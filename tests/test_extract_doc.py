@@ -341,3 +341,17 @@ class TestCodecFuzz:
                         assert (a == b) or (math.isnan(a) and math.isnan(b))
 
         check()
+
+
+class TestPayloadTypeGuard:
+    def test_non_binary_payload_is_value(self):
+        r = extract_document("a string, not bytes", "eng")
+        assert r["status"] == "unsupported"
+        assert "not binary" in r["error"]
+        r = extract_document(12345, "eng")
+        assert r["status"] == "unsupported"
+
+    def test_bytearray_and_memoryview_accepted(self):
+        data = encode_pdf([page(1, HELLO)])
+        assert extract_document(bytearray(data), "eng")["status"] == "ok"
+        assert extract_document(memoryview(data), "eng")["status"] == "ok"

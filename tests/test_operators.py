@@ -299,3 +299,18 @@ class TestConnectedComponents:
         kept = sorted(r.doc_id for r in dedup_keepers(docs, pairs).collect())
         # cluster {0,3,5} keeps 0; 1,2,4 untouched
         assert kept == [0, 1, 2, 4]
+
+
+class TestLshGuards:
+    def test_bands_must_divide_hashes(self, spark):
+        from pdf_ocr_engine_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        sigs = minhash_signatures(docs, n_hashes=64)
+        with pytest.raises(ValueError, match="must divide"):
+            lsh_candidate_pairs(sigs, bands=7, n_hashes=64)
+        with pytest.raises(ValueError, match="must divide"):
+            lsh_candidate_pairs(sigs, bands=128, n_hashes=64)

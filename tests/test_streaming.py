@@ -134,3 +134,19 @@ def test_sessionize_stream_equals_batch(spark, build_dir):
                      for u in range(6)}
     for (u, s, _e, _n) in missing:
         assert s == last_per_user[u]
+
+
+def test_sessionize_batch_without_tiebreak_column(spark):
+    """Inputs lacking event_id (e.g. the streaming twin's shape) must still
+    sessionize with ts-only ordering."""
+    import datetime as dt
+
+    from pdf_ocr_engine_spark.streaming.sessionize import sessionize_batch
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [(1, base), (1, base + dt.timedelta(minutes=5)),
+            (1, base + dt.timedelta(minutes=50))]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sorted((r.n_events for r in
+                  sessionize_batch(events, 30).collect()))
+    assert out == [1, 2]
