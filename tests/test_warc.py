@@ -1,0 +1,82 @@
+"""WARC source: record parsing, HTTP envelope stripping, gzip handling,
+malformed-record resync, and the Spark reader feeding the extraction DAG."""
+
+import os
+
+import pytest
+
+from pdf_ocr_engine_spark.sources.warc import (
+    http_body,
+    parse_warc,
+    warc_pages,
+    write_warc,
+)
+
+RECS = [
+    {"url": "https://a.example/x", "date": "2025-05-01T10:00:00Z",
+     "body": b"<html><body><p>alpha beta gamma delta epsilon words</p>"
+             b"</body></html>"},
+    {"url": "https://b.example/y", "date": "2025-05-01T11:30:00Z",
+     "body": b"%PDF-not really"},
+]
+
+
+class TestParser:
+    def test_roundtrip_plain_and_gzip(self):
+        for compress in (False, True):
+            recs = [r for r in parse_warc(write_warc(RECS, compress))
+                    if r["type"] == "response"]
+            assert [r["url"] for r in recs] == [r["url"] for r in RECS]
+            assert [http_body(r["payload"]) for r in recs] == \
+                   [r["body"] for r in RECS]
+
+    def test_http_envelope_stripped_only_when_present(self):
+        assert http_body(b"HTTP/1.1 200 OK\r\nA: b\r\n\r\nBODY") == b"BODY"
+        assert http_body(b"raw bytes no envelope") == b"raw bytes no envelope"
+
+    def test_malformed_record_resyncs(self):
+        good = write_warc(RECS[:1])
+        blob = b"WARC/1.0\r\nContent-Length: nope\r\n\r\n" + good
+        recs = list(parse_warc(blob))
+        assert recs[0]["type"] == "_bad"
+        assert [r["url"] for r in recs if r["type"] == "response"] == \
+               [RECS[0]["url"]]
+
+    def test_non_response_records_typed(self):
+        blob = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n"
+                b"\r\nhi\r\n\r\n") + write_warc(RECS[:1])
+        types = [r["type"] for r in parse_warc(blob)]
+        assert types == ["warcinfo", "response"]
+
+
+@pytest.mark.spark
+class TestSparkReader:
+    def test_warc_to_extraction(self, spark, build_dir):
+        from pyspark.sql import functions as F
+
+        from pdf_ocr_engine_spark.operators.extract import extract_pages
+
+        wdir = os.path.join(build_dir, "warc_in")
+        os.makedirs(wdir, exist_ok=True)
+        with open(os.path.join(wdir, "seg1.warc"), "wb") as f:
+            f.write(write_warc(RECS))
+        with open(os.path.join(wdir, "seg2.warc.gz"), "wb") as f:
+            f.write(write_warc(
+                [{"url": "https://c.example/z", "date": "2025-05-02T00:00:00Z",
+                  "body": b"<html><body><p>six plain words kept here too"
+                          b"</p></body></html>"}], compress=True))
+
+        pages = warc_pages(spark, wdir)
+        assert pages.count() == 3
+        out = {r.url: r for r in extract_pages(pages).collect()}
+        assert out["https://a.example/x"].status == "ok"
+        assert out["https://a.example/x"].kind == "html"
+        assert "alpha beta gamma" in out["https://a.example/x"].text
+        assert out["https://c.example/z"].status == "ok"
+        # the pseudo-PDF payload routes to the PDF path and errors as a value
+        assert out["https://b.example/y"].kind == "pdf"
+        assert out["https://b.example/y"].status == "decode_error"
+        ts = out["https://a.example/x"].warc_ts
+        assert (ts.year, ts.month, ts.hour) == (2025, 5, 10)
+        # timestamps survive as real timestamps for partition pruning
+        assert pages.where(F.col("warc_ts") >= "2025-05-02").count() == 1
