@@ -27,26 +27,12 @@ temporal semantics either).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    BinaryType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
 from ..core.extract_doc import ExtractOptions
 from ..operators.extract import extract_pages
+from ..sources.schemas import PAGES_SCHEMA
 
-#: input_hint schema — streaming file sources require an explicit schema
-#: (never inferred; SURVEY.md §1.3).
-PAGES_SCHEMA = StructType([
-    StructField("url", StringType(), False),
-    StructField("warc_ts", TimestampType(), True),
-    StructField("html", BinaryType(), True),
-    StructField("text", StringType(), True),
-    StructField("lang", StringType(), True),
-])
+__all__ = ["PAGES_SCHEMA", "read_pages_stream", "extract_stream"]
 
 
 def read_pages_stream(spark: SparkSession, input_dir: str,

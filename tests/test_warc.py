@@ -80,3 +80,60 @@ class TestSparkReader:
         assert (ts.year, ts.month, ts.hour) == (2025, 5, 10)
         # timestamps survive as real timestamps for partition pruning
         assert pages.where(F.col("warc_ts") >= "2025-05-02").count() == 1
+
+
+class TestHardening:
+    def test_negative_content_length_no_infinite_loop(self):
+        blob = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -33"
+                b"\r\n\r\nx") + write_warc(RECS[:1])
+        recs = list(parse_warc(blob))  # must terminate
+        assert recs[0]["type"] == "_bad"
+        assert [r["url"] for r in recs if r["type"] == "response"] == \
+               [RECS[0]["url"]]
+
+    def test_truncated_record_is_bad_not_short_page(self):
+        full = write_warc(RECS[:1])
+        recs = list(parse_warc(full[:-20]))  # cut mid-payload
+        assert all(r["type"] != "response" for r in recs)
+        assert any(r["type"] == "_bad" for r in recs)
+
+    def test_fractional_second_dates(self):
+        from pdf_ocr_engine_spark.sources.warc import _parse_warc_date
+
+        assert _parse_warc_date("2025-05-01T10:00:00.123Z").microsecond \
+            == 123000
+        assert _parse_warc_date("2025-05-01T10:00:00Z").second == 0
+        assert _parse_warc_date("garbage") is None
+        assert _parse_warc_date(None) is None
+
+    def test_chunked_and_gzip_bodies_decoded(self):
+        import gzip as _gz
+
+        chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                   b"5\r\n<html\r\n4\r\n> ok\r\n0\r\n\r\n")
+        assert http_body(chunked) == b"<html> ok"
+        gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+              + _gz.compress(b"<html>gzbody</html>"))
+        assert http_body(gz) == b"<html>gzbody</html>"
+        # broken encodings pass through raw, never raise
+        bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+        assert http_body(bad) == b"not-gzip"
+
+    def test_lf_only_headers_tolerated(self):
+        assert http_body(b"HTTP/1.1 200 OK\nA: b\n\nBODY") == b"BODY"
+
+
+@pytest.mark.spark
+def test_scan_report(spark, build_dir):
+    from pdf_ocr_engine_spark.sources.warc import warc_scan_report
+
+    wdir = os.path.join(build_dir, "warc_report")
+    os.makedirs(wdir, exist_ok=True)
+    with open(os.path.join(wdir, "good.warc"), "wb") as f:
+        f.write(write_warc(RECS))
+    with open(os.path.join(wdir, "bad.warc"), "wb") as f:
+        f.write(b"WARC/1.0\r\nContent-Length: -1\r\n\r\n" + write_warc(RECS[:1]))
+    rep = {os.path.basename(r.file): r for r in
+           warc_scan_report(spark, wdir).collect()}
+    assert rep["good.warc"].n_response == 2 and rep["good.warc"].n_bad == 0
+    assert rep["bad.warc"].n_bad == 1 and rep["bad.warc"].n_response == 1
