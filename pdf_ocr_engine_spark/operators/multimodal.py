@@ -166,3 +166,26 @@ def decode_frame_pixels(data: bytes, ts_ms: int):  # pragma: no cover - stub
     Spark plumbing work without it."""
     raise NotImplementedError(
         "frame pixel decode requires a video codec — plug pyav in here")
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  media_col: str = "media"):  # pragma: no cover - stub
+    """STUB: image resize — the plan shape is identical to
+    :func:`media_metadata` (narrow mapInPandas, binary in → binary out with
+    updated header dims); the pixel resample inside needs PIL, which this
+    environment doesn't ship.  Plug ``Image.open(...).resize(...)`` into the
+    batch loop; everything else (schema, batching, partitioning) is the
+    tested path."""
+    raise NotImplementedError("image resize requires PIL — plug it in here")
+
+
+def embed_media(df: DataFrame, dim: int = 64,
+                media_col: str = "media"):  # pragma: no cover - stub
+    """STUB: media feature extraction (image/audio embeddings) — iterator-
+    form mapInPandas with per-task model init (exactly the extract
+    operator's shape, ``operators/extract.py``), emitting
+    ``array<float>[dim]`` for the ANN/dedup operators downstream.  Needs a
+    model runtime this environment doesn't ship."""
+    raise NotImplementedError(
+        "media embedding requires a model runtime — plug it into the "
+        "iterator-form mapInPandas init point")

@@ -42,7 +42,12 @@ def write_output(df: DataFrame, target: str, *, mode: str = "overwrite") -> None
 
 
 def read_pages(spark, source: str) -> DataFrame:
-    """Read the pages table from ``iceberg:db.table`` or a parquet path."""
+    """Read the pages table: ``iceberg:db.table``, ``warc:<dir>`` (raw
+    Common-Crawl archives via :mod:`.warc`), or a parquet path."""
     if source.startswith(ICEBERG_PREFIX):
         return spark.read.format("iceberg").load(source[len(ICEBERG_PREFIX):])
+    if source.startswith("warc:"):
+        from .warc import warc_pages
+
+        return warc_pages(spark, source[len("warc:"):])
     return spark.read.parquet(source)
