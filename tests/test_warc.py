@@ -137,3 +137,21 @@ def test_scan_report(spark, build_dir):
            warc_scan_report(spark, wdir).collect()}
     assert rep["good.warc"].n_response == 2 and rep["good.warc"].n_bad == 0
     assert rep["bad.warc"].n_bad == 1 and rep["bad.warc"].n_response == 1
+
+
+@pytest.mark.spark
+def test_batched_emission_over_chunk_boundary(spark, build_dir):
+    """More response records than _BATCH_RECORDS must arrive complete
+    (the chunked Arrow emission flushes mid-file)."""
+    from pdf_ocr_engine_spark.sources.warc import _BATCH_RECORDS
+
+    n = _BATCH_RECORDS + 80
+    recs = [{"url": f"https://m{i}.example/p", "date": "2025-06-01T00:00:00Z",
+             "body": b"<p>tiny</p>"} for i in range(n)]
+    wdir = os.path.join(build_dir, "warc_chunks")
+    os.makedirs(wdir, exist_ok=True)
+    with open(os.path.join(wdir, "many.warc"), "wb") as f:
+        f.write(write_warc(recs))
+    pages = warc_pages(spark, wdir)
+    assert pages.count() == n
+    assert pages.select("url").distinct().count() == n
