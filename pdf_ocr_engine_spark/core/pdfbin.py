@@ -186,6 +186,13 @@ def decode_pdf_arrays(data: bytes) -> dict[str, Any]:
             if len(blob) != blob_len:
                 raise ValueError("truncated text blob")
             off = offsets.tolist()
+            # Validate offsets against the blob: Python slice clamping would
+            # otherwise turn a corrupt offsets array into silently truncated
+            # or empty words with status='ok' — errors must stay values.
+            if off[0] != 0 or off[-1] != blob_len \
+                    or any(a > b for a, b in zip(off, off[1:])):
+                raise ValueError(
+                    "corrupt word-box record: text offsets out of range")
             texts = [blob[off[i]:off[i + 1]].decode("utf-8") for i in range(n)]
             pages.append({"page_no": page_no, "width": width, "height": height,
                           "has_text": bool(has_text), "texts": texts,

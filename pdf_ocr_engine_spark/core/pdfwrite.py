@@ -11,21 +11,25 @@ Per-word placement mirrors ``builder.ts:155-193`` exactly:
 
 * C1 scales ``sx = page_w/img_w``, ``sy = page_h/img_h``;
 * C2 y-flip + 20% baseline offset ``y = page_h - y1*sy + 0.2*word_h``;
-* C3 font fit ``clamp(min(word_w/width_at_12 * 12, 0.9*word_h), >=4)``,
-  draw only if ``>1`` and text non-blank (F9).
+* C3 font fit ``fitted = min(word_w/width_at_12 * 12, 0.9*word_h)``; draw
+  only if the *unclamped* ``fitted > 1`` and text non-blank (F9,
+  builder.ts:189), and then render at ``max(fitted, 4)`` (builder.ts:193)
+  — gate first, clamp after, the reference's order.
 
 Font is base-14 Helvetica (no embedding — same choice as the reference's
 ``StandardFonts.Helvetica``), with the same consequence: only Latin-1
 renderable text participates; other bytes are octal-escaped through.  The
-width metric is a deterministic 0.6-em average advance
-(``functions/geometry.approx_text_width_at_12`` is the column-expr twin);
-swap in real AFM widths for typographic fidelity.
+width metric is the real Helvetica AFM advance table
+(``functions/afm.py``; ``functions/geometry.helvetica_width_at_12`` is the
+column-expr twin), matching ``font.widthOfTextAtSize`` (builder.ts:171).
 
 Output bytes are fully deterministic for identical input (fixed object
 order, fixed float formatting, hand-built xref with exact offsets).
 """
 
 from __future__ import annotations
+
+from ..functions.afm import text_width_at
 
 __all__ = ["build_searchable_pdf", "extract_pdf_text", "DEFAULT_PAGE"]
 
@@ -71,7 +75,7 @@ def _page_content(spans, page_w: float, page_h: float,
     for raw, x0, y0, x1, y1 in spans:
         word_w = (x1 - x0) * sx
         word_h = (y1 - y0) * sy
-        width_at_12 = len(raw) * (0.6 * 12.0)
+        width_at_12 = text_width_at(raw, 12.0)     # builder.ts:171 (AFM)
         # F9 draw-eligibility (builder.ts:173-181)
         if width_at_12 <= 0 or word_w <= 0 or word_h <= 0:
             continue
@@ -79,10 +83,10 @@ def _page_content(spans, page_w: float, page_h: float,
         y = page_h - (y1 * sy) + word_h * 0.2      # builder.ts:165-168 (C2)
         if not (x == x and y == y):                # NaN guard
             continue
-        font_size = min((word_w / width_at_12) * 12.0, word_h * 0.9)
-        font_size = max(font_size, 4.0)            # builder.ts:171-188 (C3)
-        if font_size <= 1 or not raw.strip():      # builder.ts:189
+        fitted = min((word_w / width_at_12) * 12.0, word_h * 0.9)
+        if fitted <= 1 or not raw.strip():         # builder.ts:189 (unclamped)
             continue
+        font_size = max(fitted, 4.0)               # builder.ts:193 render floor
         ops.append(f"/F1 {_fmt(font_size)} Tf")
         ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(y)} Tm")
         ops.append(f"({_escape_text(raw)}) Tj")

@@ -107,9 +107,11 @@ def run_resumable(
 
         # commit point: manifests AFTER the data write succeeded.  Counts
         # come from a read-back of the written files (partition pruning keeps
-        # the scan to this chunk) — never recompute the extract stage.
+        # the scan to this chunk) — never recompute the extract stage.  The
+        # explicit schema keeps the read alive when a chunk wrote zero rows
+        # for every bucket (only _SUCCESS on disk → inference would fail).
         counts = {r[BUCKET_COL]: r["n"] for r in
-                  spark.read.parquet(data_dir)
+                  spark.read.schema(out.schema).parquet(data_dir)
                        .where(F.col(BUCKET_COL).isin(chunk))
                        .groupBy(BUCKET_COL).agg(F.count("*").alias("n"))
                        .collect()}

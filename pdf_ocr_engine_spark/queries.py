@@ -502,15 +502,19 @@ FROM documents
 
 def q_extract_spans(spark, sf_dir):
     """Positioned-spans pipeline (C1-C3, W8): full extraction with
-    ``emit_spans``, spans exploded to rows, y-flip + baseline offset and
-    font-size fit applied as pure column arithmetic.  Grid coordinates are
-    exact small integers → integer-exact x/y boxes; transforms rounded to
-    6 decimals on both sides."""
+    ``emit_spans``, spans exploded to rows, y-flip + baseline offset, real
+    AFM-metric font fit (``functions/afm.py``) and the reference's
+    gate-then-clamp chain (unclamped fitted > 1 gates drawing,
+    ``max(fitted, 4)`` renders — builder.ts:189,193) applied as pure column
+    arithmetic.  Grid coordinates are exact small integers → integer-exact
+    x/y boxes; transforms rounded to 6 decimals on both sides."""
     from .core.extract_doc import ExtractOptions
     from .functions.geometry import (
-        approx_text_width_at_12,
+        drawable,
         font_size_fit,
+        helvetica_width_at_12,
         pdf_y,
+        render_font_size,
     )
     from .operators.extract import extract_pages
 
@@ -532,12 +536,27 @@ def q_extract_spans(spark, sf_dir):
                  F.col("s.x1").alias("fx1"), F.col("s.y1").alias("fy1")))
     one = F.lit(1.0)
     fs = font_size_fit(F.col("fx0"), F.col("fx1"), F.col("fy0"), F.col("fy1"),
-                       one, one, approx_text_width_at_12(F.col("raw")))
+                       one, one, helvetica_width_at_12(F.col("raw")))
+    draw = drawable(fs, F.col("raw"))
     return s.select(
         "doc_id", "idx", "raw", "x0", "y0", "x1", "y1",
         F.round(pdf_y(F.col("fy0"), F.col("fy1"), one, F.lit(792.0)), 6)
          .alias("pdf_y_r6"),
-        F.round(fs, 6).alias("font_r6"))
+        F.round(fs, 6).alias("font_r6"),
+        draw.alias("draw"),
+        F.round(F.when(draw, render_font_size(fs)), 6).alias("render_r6"))
+
+
+def _sql_afm_units(tok_expr: str) -> str:
+    """DuckDB expression for the Helvetica AFM advance of ``tok_expr`` in
+    integer units — the oracle twin of ``functions/afm.text_width_units``
+    (same table, same >=256 fallback)."""
+    from .functions.afm import FALLBACK_UNITS, HELVETICA_WIDTHS
+    widths = ",".join(str(w) for w in HELVETICA_WIDTHS)
+    return (f"list_sum(list_transform(string_split({tok_expr}, ''), c -> "
+            f"CASE WHEN unicode(c) >= 0 AND unicode(c) < 256 "
+            f"THEN ([{widths}])[unicode(c) + 1] "
+            f"ELSE {FALLBACK_UNITS} END))")
 
 
 _SQL_EXTRACT_SPANS = r"""
@@ -554,25 +573,38 @@ WITH t AS (
          10 + coalesce(sum(length(tok) * 6 + 4) OVER (
               PARTITION BY doc_id, line_no ORDER BY ord
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x0,
-         10 + line_no * 20 AS y0
+         10 + line_no * 20 AS y0,
+         __AFM_UNITS__ AS units
   FROM g
+), m AS (
+  -- fitted size, reference op order: width_at_12 = (units*12)/1000;
+  -- fitted = (word_w / width_at_12) * 12, capped at 0.9*word_h.
+  -- ::DOUBLE casts: DuckDB float literals default to DECIMAL, which
+  -- formats (772.40) and rounds differently from Spark's doubles.
+  SELECT *,
+         CASE WHEN units > 0 THEN
+           least(((length(tok) * 6)::DOUBLE * 1.0::DOUBLE)
+                 / ((units * 12.0::DOUBLE) / 1000.0::DOUBLE)
+                 * 12.0::DOUBLE,
+                 (12.0::DOUBLE * 1.0::DOUBLE) * 0.9::DOUBLE)
+         END AS fitted
+  FROM x
 )
 SELECT doc_id, CAST(ord AS BIGINT) AS idx, tok AS raw,
        CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
        CAST(x0 + length(tok) * 6 AS BIGINT) AS x1,
        CAST(y0 + 12 AS BIGINT) AS y1,
-       -- ::DOUBLE casts: DuckDB float literals default to DECIMAL, which
-       -- formats (772.40) and rounds differently from Spark's doubles
        round(792.0::DOUBLE - (y0 + 12.0::DOUBLE)
              + 12.0::DOUBLE * 0.2::DOUBLE, 6) AS pdf_y_r6,
-       round(greatest(least((length(tok) * 6.0::DOUBLE)
-                            / (length(tok) * (0.6::DOUBLE * 12.0::DOUBLE))
-                            * 12.0::DOUBLE,
-                            12.0::DOUBLE * 0.9::DOUBLE),
-                      4.0::DOUBLE), 6) AS font_r6
-FROM x
+       round(fitted, 6) AS font_r6,
+       coalesce(fitted > 1.0::DOUBLE, FALSE) AND trim(tok) <> '' AS draw,
+       CASE WHEN coalesce(fitted > 1.0::DOUBLE, FALSE) AND trim(tok) <> ''
+            THEN round(greatest(fitted, 4.0::DOUBLE), 6) END AS render_r6
+FROM m
 WHERE length(tok) > 0  -- F5: the layout kernel drops empty words
 """
+_SQL_EXTRACT_SPANS = _SQL_EXTRACT_SPANS.replace(
+    "__AFM_UNITS__", _sql_afm_units("tok"))
 
 
 def q_assemble_pdf(spark, sf_dir):

@@ -16,9 +16,12 @@ SQL-expressible, so the driver value-checks it against DuckDB.
 
 Streaming tier (``sessionize_stream``): ``applyInPandasWithState`` keyed by
 user, state = (current session start, last ts, event count); a session is
-EMITTED when the gap closes it (or the state times out).  Watermark bounds
-state: events later than ``watermark`` past max-event-time are dropped by
-Spark before they reach the operator.
+EMITTED when the gap closes it (or the state times out).  Timeouts are
+**event-time**: each update arms ``last_ts + gap``, so the same watermark
+that drops late events also evicts state and closes idle sessions
+deterministically — on backfill/replay the final session of every user is
+flushed as soon as the watermark passes its gap, independent of wall-clock
+processing time.
 """
 
 from __future__ import annotations
@@ -117,7 +120,16 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                 out_rows.append(cur)
                 cur = (t, t, 1)
         state.update(cur)
-        state.setTimeoutDuration(int(gap.total_seconds() * 1000))
+        # Event-time timeout at last_ts + gap: the watermark both bounds
+        # state and closes idle sessions (processing-time timeouts would
+        # withhold each user's final session until wall-clock idleness).
+        # pd.Timestamp treats naive stamps as UTC — same basis as the
+        # watermark.  Spark requires the armed timestamp to be beyond the
+        # current watermark; clamp for sessions already older than it.
+        timeout_ms = int(pd.Timestamp(cur[1]).timestamp() * 1000
+                         + gap.total_seconds() * 1000)
+        state.setTimeoutTimestamp(max(timeout_ms,
+                                      state.getCurrentWatermarkMs() + 1))
         if out_rows:
             yield pd.DataFrame({
                 "user_id": [user_id] * len(out_rows),
@@ -129,4 +141,4 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     return (events.withWatermark(ts_col, watermark)
             .groupBy(user_col)
             .applyInPandasWithState(fn, SESSION_SCHEMA, state_schema,
-                                    "append", GroupStateTimeout.ProcessingTimeTimeout))
+                                    "append", GroupStateTimeout.EventTimeTimeout))
