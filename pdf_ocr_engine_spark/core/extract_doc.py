@@ -151,13 +151,19 @@ def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
     page_texts: list[str] = []
     n_words = 0
     spans: list[tuple] | None = [] if options.emit_spans else None
+    # WBOX containers model OCR input: a has_text page means "existing text
+    # layer wins, skip OCR" (index.ts:94-97).  Real PDFs are the text layer
+    # itself: has_text pages are exactly the ones we extract (the
+    # deterministic getTextContent analog), textless pages would need the
+    # absent rasterize+OCR tier and fall through to an empty segment.
+    skip_has_text = doc.get("flavor", "wbox") != "real"
     for page in pages:
         if deadline is not None and time.perf_counter() > deadline:
             return {"status": "timeout",
                     "error": f"document exceeded {options.max_doc_ms} ms "
                              f"budget after {len(page_texts)} page(s)",
                     "n_pages": page_count, "n_words": 0, "text": None}
-        if page.get("has_text"):
+        if page.get("has_text") and skip_has_text:
             # OCR-skip predicate (index.ts:94-97): existing text layer wins,
             # page contributes no extracted text.
             page_texts.append("")

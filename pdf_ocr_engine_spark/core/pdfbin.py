@@ -161,7 +161,20 @@ def decode_pdf_arrays(data: bytes) -> dict[str, Any]:
     if data.startswith(_HEADER):
         return _arrays_from_json(data)
     if not data.startswith(_HEADER2):
-        raise ValueError("unsupported PDF flavor (no WBOX word-box record)")
+        # Genuine PDF (content streams, not a WBOX container): parse the
+        # real text layer (core/pdfreal.py).  Same return shape, plus
+        # flavor='real' so extraction reads existing text instead of
+        # treating has_text pages as OCR-skips.
+        from .pdfreal import is_real_pdf, parse_real_pdf
+        if not is_real_pdf(data):
+            raise ValueError(
+                "unsupported PDF flavor (neither WBOX nor indirect objects)")
+        try:
+            return parse_real_pdf(data)
+        except ValueError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - becomes decode_error status
+            raise ValueError(f"corrupt PDF: {exc}") from exc
     body = memoryview(data)[len(_HEADER2):]
     if len(body) >= len(_FOOTER) and bytes(body[-len(_FOOTER):]) == _FOOTER:
         body = body[:-len(_FOOTER)]

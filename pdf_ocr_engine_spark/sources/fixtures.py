@@ -77,6 +77,21 @@ def text_to_pdf_payload(text: str, words_per_line: int = WORDS_PER_LINE) -> byte
     }])
 
 
+def text_to_real_pdf_payload(text: str,
+                             words_per_line: int = WORDS_PER_LINE) -> bytes:
+    """One-page *genuine* PDF 1.4 (``core/pdfwrite``) whose text layer sits
+    on the same grid — re-extraction via the real content-stream parser
+    (``core/pdfreal``) must reproduce the token stream (writer and parser
+    oracle each other)."""
+    from ..core.pdfwrite import build_searchable_pdf
+
+    tokens = text.split()
+    return build_searchable_pdf([{
+        "width": 612.0, "height": 792.0,
+        "spans": layout_words(tokens, words_per_line),
+    }])
+
+
 # --------------------------------------------------------------------------
 # Self-contained fixture corpus (FIXTURES.md §1)
 # --------------------------------------------------------------------------

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from .fixtures import WORDS_PER_LINE, text_to_pdf_payload
+from .fixtures import (
+    WORDS_PER_LINE,
+    text_to_pdf_payload,
+    text_to_real_pdf_payload,
+)
 
 #: testdata `documents.lang` uses 2-letter codes; the pipeline's language
 #: guard (reference route.ts:14-16) wants ISO-639-2-style 3-letter codes.
@@ -36,6 +40,13 @@ def _text_to_payload(text):
     return text.map(lambda t: text_to_pdf_payload(t or "", WORDS_PER_LINE))
 
 
+@F.pandas_udf(BinaryType())
+def _text_to_real_payload(text):
+    """Vectorized text → genuine PDF 1.4 payload (real content streams)."""
+    return text.map(
+        lambda t: text_to_real_pdf_payload(t or "", WORDS_PER_LINE))
+
+
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -48,6 +59,21 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
         _text_to_payload(F.col("text")).alias("html"),
+        F.lit("").alias("text"),
+        lang3_col().alias("lang"),
+        F.col("doc_id"),
+    )
+
+
+def real_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like :func:`pages_from_documents` but the payloads are *genuine*
+    PDF 1.4 bytes (content streams, xref, Helvetica text layer) instead of
+    WBOX containers — the input for the real-parser round-trip query."""
+    return documents(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        _text_to_real_payload(F.col("text")).alias("html"),
         F.lit("").alias("text"),
         lang3_col().alias("lang"),
         F.col("doc_id"),

@@ -1,0 +1,350 @@
+"""Real-PDF text-layer parser (core/pdfreal.py).
+
+Two oracle directions:
+
+* **Round-trip**: the repo's own deterministic writer (core/pdfwrite.py)
+  produces genuine PDF 1.4 → the parser must read back the exact token
+  stream (writer and parser oracle each other; VERDICT round-1 item 1).
+* **Foreign structure**: a second, deliberately different mini-writer here
+  (Flate-compressed streams, TJ kerning arrays, Td/TD/T* positioning, hex
+  strings, ToUnicode CMap, object streams) exercises paths the repo writer
+  never emits — proving the parser reads real-world PDFs, not just its own
+  dialect.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from pdf_ocr_engine_spark.core.extract_doc import extract_document
+from pdf_ocr_engine_spark.core.layout_fast import page_layout_fast
+from pdf_ocr_engine_spark.core.pdfbin import decode_pdf_arrays
+from pdf_ocr_engine_spark.core.pdfreal import is_real_pdf, parse_real_pdf
+from pdf_ocr_engine_spark.core.pdfwrite import build_searchable_pdf
+from pdf_ocr_engine_spark.sources.fixtures import expected_text, layout_words
+
+
+# --------------------------------------------------------------------------
+# foreign mini-writer: classic xref, Flate streams, indirect Length
+# --------------------------------------------------------------------------
+
+def _assemble(objects: list[bytes]) -> bytes:
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF").encode()
+    return bytes(buf)
+
+
+def _foreign_pdf(content_per_page: list[bytes], compress: bool = True,
+                 font_extra: bytes = b"") -> bytes:
+    """Multi-page PDF with structure unlike pdfwrite.py: compressed streams,
+    indirect /Length objects, per-page content, inheritable resources."""
+    n = len(content_per_page)
+    objs: list[bytes] = []
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")                    # 1
+    objs.append((f"<< /Type /Pages /Kids [{kids}] /Count {n} "
+                 f"/MediaBox [0 0 612 792] /Resources << /Font "
+                 f"<< /F1 3 0 R >> >> >>").encode())                     # 2
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                + font_extra + b" >>")                                   # 3
+    length_obj_base = 4 + 2 * n
+    for i, content in enumerate(content_per_page):
+        data = zlib.compress(content) if compress else content
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append((f"<< /Type /Page /Parent 2 0 R /Contents "
+                     f"{5 + 2 * i} 0 R >>").encode())                    # page
+        objs.append(b"<< " + filt
+                    + f"/Length {length_obj_base + i} 0 R >>\nstream\n".encode()
+                    + data + b"\nendstream")                             # content
+    for i, content in enumerate(content_per_page):
+        data = zlib.compress(content) if compress else content
+        objs.append(str(len(data)).encode())                             # Length
+    return _assemble(objs)
+
+
+def _tokens(pdf: bytes) -> list[str]:
+    doc = parse_real_pdf(pdf)
+    out = []
+    for p in doc["pages"]:
+        t, _, _ = page_layout_fast(p["texts"], p["coords"])
+        out.extend(t.split())
+    return out
+
+
+# --------------------------------------------------------------------------
+# round-trip vs the repo writer
+# --------------------------------------------------------------------------
+
+class TestRoundTrip:
+    def test_grid_tokens_identical(self):
+        text = ("the quick brown fox jumps over the lazy dog lorem ipsum "
+                "dolor sit amet consectetur adipiscing elit sed do eiusmod")
+        tokens = text.split()
+        pdf = build_searchable_pdf(
+            [{"width": 612.0, "height": 792.0,
+              "spans": layout_words(tokens)}])
+        doc = parse_real_pdf(pdf)
+        assert doc["flavor"] == "real"
+        assert doc["page_count"] == 1
+        page = doc["pages"][0]
+        assert page["has_text"] is True
+        assert (page["width"], page["height"]) == (612.0, 792.0)
+        t, nw, _ = page_layout_fast(page["texts"], page["coords"])
+        assert t.split() == tokens
+        assert nw == len(tokens)
+
+    def test_multi_page(self):
+        toks1 = "alpha beta gamma delta".split()
+        toks2 = "epsilon zeta eta".split()
+        pdf = build_searchable_pdf([
+            {"width": 612.0, "height": 792.0, "spans": layout_words(toks1)},
+            {"width": 500.0, "height": 700.0, "spans": layout_words(toks2)},
+        ])
+        doc = parse_real_pdf(pdf)
+        assert doc["page_count"] == 2
+        assert doc["pages"][1]["width"] == 500.0
+        assert doc["pages"][0]["texts"] == toks1
+        assert doc["pages"][1]["texts"] == toks2
+
+    def test_end_to_end_extract_document(self):
+        tokens = "one two three four five six seven eight nine ten".split()
+        pdf = build_searchable_pdf(
+            [{"width": 612.0, "height": 792.0, "spans": layout_words(tokens)}])
+        r = extract_document(pdf, "eng")
+        assert r["status"] == "ok"
+        assert r["kind"] == "pdf"
+        assert r["n_pages"] == 1
+        assert r["text"].split() == tokens
+        assert r["n_words"] == len(tokens)
+
+    def test_empty_text_layer_is_empty_status(self):
+        pdf = build_searchable_pdf([{"width": 612.0, "height": 792.0,
+                                     "spans": []}])
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["has_text"] is False
+        r = extract_document(pdf, "eng")
+        assert r["status"] == "empty"
+        assert r["text"] == ""
+
+    def test_exact_grid_text(self):
+        # narrow glyphs distort recovered widths but not the token stream;
+        # this average-width vocabulary survives byte-identically.
+        tokens = ("spark table merge filter group window stream batch "
+                  "column parquet schema shuffle").split() * 3
+        pdf = build_searchable_pdf(
+            [{"width": 612.0, "height": 792.0, "spans": layout_words(tokens)}])
+        doc = parse_real_pdf(pdf)
+        t, _, _ = page_layout_fast(doc["pages"][0]["texts"],
+                                   doc["pages"][0]["coords"])
+        assert t == expected_text(tokens)
+
+
+# --------------------------------------------------------------------------
+# foreign structures
+# --------------------------------------------------------------------------
+
+class TestForeignPdf:
+    def test_flate_indirect_length_td(self):
+        content = (b"BT /F1 12 Tf 72 720 Td (Hello) Tj 40 0 Td (world) Tj "
+                   b"ET")
+        pdf = _foreign_pdf([content])
+        assert is_real_pdf(pdf)
+        assert _tokens(pdf) == ["Hello", "world"]
+
+    def test_tj_kerning_array_joins_word(self):
+        # kerned chunks without spaces stay ONE word; spaces split
+        content = (b"BT /F1 10 Tf 72 700 Td "
+                   b"[(Ker) -20 (ned) -250 ( ) (next)] TJ ET")
+        pdf = _foreign_pdf([content])
+        assert _tokens(pdf) == ["Kerned", "next"]
+
+    def test_td_tstar_tl_lines(self):
+        content = (b"BT /F1 12 Tf 14 TL 72 720 Td (line) Tj ( one) Tj "
+                   b"T* (line) Tj ( two) Tj "
+                   b"0 -14 TD (line) Tj ( three) Tj ET")
+        pdf = _foreign_pdf([content])
+        doc = parse_real_pdf(pdf)
+        t, _, _ = page_layout_fast(doc["pages"][0]["texts"],
+                                   doc["pages"][0]["coords"])
+        assert t.split("\n") == ["line one", "line two", "line three"]
+
+    def test_hex_strings_and_escapes(self):
+        content = (b"BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj "
+                   b"60 0 Td (par\\(en\\)s) Tj 80 0 Td (oct\\141l) Tj ET")
+        pdf = _foreign_pdf([content])
+        assert _tokens(pdf) == ["Hello", "par(en)s", "octal"]
+
+    def test_uncompressed_and_comments(self):
+        content = (b"% a comment\nBT\n/F1 9 Tf\n100 500 Td\n(plain) Tj\nET\n")
+        pdf = _foreign_pdf([content], compress=False)
+        assert _tokens(pdf) == ["plain"]
+
+    def test_multi_page_foreign(self):
+        pdf = _foreign_pdf([
+            b"BT /F1 12 Tf 72 720 Td (page) Tj 30 0 Td (one) Tj ET",
+            b"BT /F1 12 Tf 72 720 Td (page) Tj 30 0 Td (two) Tj ET",
+        ])
+        doc = parse_real_pdf(pdf)
+        assert doc["page_count"] == 2
+        assert doc["pages"][0]["texts"] == ["page", "one"]
+        assert doc["pages"][1]["texts"] == ["page", "two"]
+
+    def test_graphics_ops_ignored_ctm_applied(self):
+        # text under a translated CTM still lands at device coords
+        content = (b"0.5 w 1 0 0 RG 10 10 m 100 100 l S "
+                   b"q 1 0 0 1 50 -20 cm "
+                   b"BT /F1 12 Tf 72 720 Td (moved) Tj ET Q")
+        pdf = _foreign_pdf([content])
+        doc = parse_real_pdf(pdf)
+        (txt, x0, y0, x1, y1) = doc["pages"][0]["texts"][0], \
+            *doc["pages"][0]["coords"][0][:4]
+        assert txt == "moved"
+        assert x0 == pytest.approx(122.0)          # 72 + 50
+        assert y1 == pytest.approx(792 - 700 + 0.2 * 12)  # baseline 720-20
+
+    def test_word_spacing_splits(self):
+        # Tw applies to byte-32 in simple fonts; split happens on the space
+        content = (b"BT /F1 12 Tf 5 Tw 72 720 Td (two words) Tj ET")
+        pdf = _foreign_pdf([content])
+        assert _tokens(pdf) == ["two", "words"]
+
+    def test_quote_operators(self):
+        content = (b"BT /F1 12 Tf 14 TL 72 720 Td (first) Tj "
+                   b"(second) ' 1 0 (third) \" ET")
+        pdf = _foreign_pdf([content])
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["first", "second", "third"]
+        ys = doc["pages"][0]["coords"][:, 1]
+        assert ys[0] < ys[1] < ys[2]  # each quote op starts a new line
+
+    def test_inline_image_skipped(self):
+        content = (b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\x01\x02\x03 EI\n"
+                   b"BT /F1 12 Tf 72 720 Td (after) Tj ET")
+        pdf = _foreign_pdf([content])
+        assert _tokens(pdf) == ["after"]
+
+
+class TestToUnicode:
+    def test_bfchar_mapping(self):
+        # map byte 0x41 ('A') to U+03B1 (alpha) via ToUnicode
+        cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+                b"endcodespacerange\n2 beginbfchar\n"
+                b"<41> <03B1>\n<42> <03B2>\nendbfchar\nendcmap\nend")
+        n_extra = len(cmap)
+        # object 4 onwards shift: build manually — catalog/pages/font(+TU)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode 6 0 R >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length 40 >>\nstream\n"
+            b"BT /F1 12 Tf 72 720 Td (AB) Tj ET\n\n\n\n\nendstream",
+            f"<< /Length {n_extra} >>\nstream\n".encode() + cmap
+            + b"\nendstream",
+        ]
+        pdf = _assemble(objs)
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["αβ"]
+
+
+class TestObjectStreams:
+    def test_pages_inside_objstm(self):
+        """Catalog/page dicts living inside a compressed /ObjStm."""
+        inner_objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        ]
+        header = []
+        body = b""
+        for num, data in inner_objs:
+            header.append(f"{num} {len(body)}".encode())
+            body += data + b" "
+        head = b" ".join(header) + b" "
+        stm = zlib.compress(head + body)
+        content = b"BT /F1 12 Tf 72 720 Td (packed) Tj ET"
+        objs6 = (f"<< /Type /ObjStm /N {len(inner_objs)} /First {len(head)} "
+                 f"/Filter /FlateDecode /Length {len(stm)} >>\nstream\n"
+                 ).encode() + stm + b"\nendstream"
+        objs4 = (f"<< /Length {len(content)} >>\nstream\n".encode()
+                 + content + b"\nendstream")
+        # only objects 4 (content) and 6 (objstm) exist as top-level objs
+        buf = bytearray(b"%PDF-1.5\n")
+        for num, bodyb in ((4, objs4), (6, objs6)):
+            buf += f"{num} 0 obj\n".encode() + bodyb + b"\nendobj\n"
+        buf += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF"
+        doc = parse_real_pdf(bytes(buf))
+        assert doc["page_count"] == 1
+        assert doc["pages"][0]["texts"] == ["packed"]
+
+
+class TestRobustness:
+    def test_truncated_is_decode_error(self):
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (x) Tj ET"])
+        r = extract_document(pdf[:len(pdf) // 3], "eng")
+        assert r["status"] in ("decode_error", "no_pages", "empty")
+
+    def test_junk_after_magic_unsupported(self):
+        r = extract_document(b"%PDF-1.4\nnothing here\n%%EOF", "eng")
+        # no indirect objects → not parseable as real PDF
+        assert r["status"] in ("decode_error", "unsupported")
+
+    def test_textless_page_has_text_false(self):
+        pdf = _foreign_pdf([b"0.5 w 10 10 m 100 100 l S"])
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["has_text"] is False
+        r = extract_document(pdf, "eng")
+        assert r["status"] == "empty"
+
+    def test_space_only_text_is_not_has_text(self):
+        # reference detector: str.trim().length > 0 (extractor.ts:80-91)
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (   ) Tj ET"])
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["has_text"] is False
+
+    def test_broken_xref_still_parses(self):
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (robust) Tj ET"])
+        # corrupt the xref offsets wholesale; object scan must recover
+        bad = pdf.replace(b"xref\n", b"xref\n% garbage\n", 1)
+        idx = bad.rfind(b"startxref")
+        bad = bad[:idx] + b"startxref\n999999\n%%EOF"
+        assert _tokens(bad) == ["robust"]
+
+    def test_bad_stream_length_recovers(self):
+        content = b"BT /F1 12 Tf 72 720 Td (len) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length 99999 >>\nstream\n" + content + b"\nendstream",
+        ]
+        pdf = _assemble(objs)
+        assert _tokens(pdf) == ["len"]
+
+    def test_decode_pdf_arrays_routes_real(self):
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (routed) Tj ET"])
+        doc = decode_pdf_arrays(pdf)
+        assert doc.get("flavor") == "real"
+        assert doc["pages"][0]["texts"] == ["routed"]
