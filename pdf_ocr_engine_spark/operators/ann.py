@@ -49,6 +49,21 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_df(df: DataFrame, query_df: DataFrame, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   ) -> DataFrame:
+    """Exact top-k where the query vector is a (single-row) DataFrame —
+    joined in-plan via broadcast, so the whole lookup is ONE Spark job with
+    no driver-side ``.first()`` round trip (an extra eager job per call at
+    scale, and a serialization point in orchestrated pipelines)."""
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("__q_vec")))
+    scored = df.crossJoin(q).select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("__q_vec")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed approximate tier
 # ---------------------------------------------------------------------------
@@ -62,22 +77,26 @@ def _hyperplanes(dim: int, n_bits: int = 16, seed: int = 42):
 
 
 def rp_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
-    """Vectorized random-projection sign signature (Arrow-batched numpy)."""
+    """Vectorized random-projection sign signature (Arrow-batched numpy).
+    Up to 64 bits packed into a LongType (bit 63 lands in the sign — fine:
+    banding reads it back with unsigned shifts)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import LongType
 
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits={n_bits} must be in [1, 64]")
     planes = _hyperplanes(dim, n_bits, seed)
 
     def fn(vecs):
         mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
         signs = (mat @ planes.T) > 0  # (n, n_bits)
-        sig = np.zeros(len(mat), dtype=np.int64)
+        sig = np.zeros(len(mat), dtype=np.uint64)
         for b in range(n_bits):
-            sig |= signs[:, b].astype(np.int64) << b
-        return pd.Series(sig.astype(np.int32))
+            sig |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        return pd.Series(sig.astype(np.int64))
 
-    return F.pandas_udf(fn, IntegerType())
+    return F.pandas_udf(fn, LongType())
 
 
 def lsh_bucket_ann(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -112,3 +131,31 @@ def lsh_bucket_ann(df: DataFrame, query_vec: list[float], k: int = 10,
     signed = df.withColumn("sig", sig_udf(F.col(vec_col)))
     cand = signed.where(F.col("sig").isin(*[int(p) for p in probes]))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def lsh_bucket_ann_df(df: DataFrame, query_df: DataFrame, k: int = 10,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      n_bits: int = 16, seed: int = 42, dim: int = 64,
+                      max_hamming: int = 2) -> DataFrame:
+    """Approximate top-k with the query vector supplied as a (single-row)
+    DataFrame: the query's signature is computed in-plan by the same UDF and
+    multiprobe becomes a ``bit_count(sig ^ qsig) <= max_hamming`` predicate
+    on the broadcast-joined row — one Spark job, no driver ``.first()``.
+
+    Trade-off vs :func:`lsh_bucket_ann`: the literal-probe form can prune a
+    signature-bucketed table statically (the right call when the table
+    layout exists); this form scans signatures but keeps the whole lookup
+    lazy/composable.  Candidates = Hamming ball of radius ``max_hamming``
+    around the query signature (identical to multiprobe with that flip
+    budget), exact cosine re-rank inside."""
+    sig_udf = rp_signature_udf(dim, n_bits, seed)
+    q = F.broadcast(
+        query_df.select(F.col(vec_col).alias("__q_vec"))
+                .withColumn("__q_sig", sig_udf(F.col("__q_vec"))))
+    signed = df.withColumn("sig", sig_udf(F.col(vec_col)))
+    cand = (signed.crossJoin(q)
+            .where(F.expr("bit_count(sig ^ __q_sig)") <= max_hamming))
+    scored = cand.select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("__q_vec")).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

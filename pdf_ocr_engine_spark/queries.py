@@ -22,7 +22,8 @@ from .operators.dedup import (
     embedding_neardup_lsh,
     embedding_neardup_pairs,
     exact_dedup,
-    minhash_dedup_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
 )
@@ -380,15 +381,46 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 """
 
 
+#: all-pairs exact bigram-Jaccard at a per-mille threshold — the oracle twin
+#: of ``verify_pairs_jaccard`` output (DuckDB recomputes every qualifying
+#: pair from scratch; the Spark side may only look inside LSH candidate
+#: buckets, so a hash match PROVES the candidate set contained every
+#: above-threshold pair — the LSH recall guarantee, value-checked).
+def _sql_jaccard_pairs_ge(min_pm: int) -> str:
+    return r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)),
+                                      i -> t[i] || '_' || t[i+1])) AS grams
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                            ' ') AS t
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
+         AS n_union,
+       CAST(coalesce((len(list_intersect(a.grams, b.grams)) * 1000)
+            // nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0),
+            0) AS BIGINT) AS jaccard_pm
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE coalesce((len(list_intersect(a.grams, b.grams)) * 1000)
+      // nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0), 0)
+      >= """ + str(min_pm) + "\n"
+
+
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clustering: bigram-Jaccard pairs → connected components
-    (iterative min-label propagation) → (node, component).  The step between
-    pair lists and 'keep min(id) per cluster'; oracle = recursive-CTE
-    reachability in DuckDB."""
+    """Near-dup clustering fed by the LSH candidate path (the 100 TB plan —
+    no crossJoin anywhere): MinHash+LSH candidates → exact bigram-Jaccard
+    verify ≥ 500‰ → connected components (iterative min-label propagation)
+    → (node, component).  Oracle = recursive-CTE reachability over the
+    all-pairs ≥ 500‰ edge set — a hash match proves the LSH-fed edges were
+    exactly the above-threshold edges AND the clustering collapsed them
+    identically."""
     from .operators.dedup import connected_components
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), max_id=120) \
-        .where(F.col("jaccard_pm") >= 60)
+    pairs = q_dedup_minhash(spark, sf_dir)
     return connected_components(pairs)
 
 
@@ -400,12 +432,12 @@ WITH RECURSIVE g AS (
   FROM (SELECT doc_id,
                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
                             ' ') AS t
-        FROM documents WHERE doc_id < 120)
+        FROM documents)
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM g a JOIN g b ON a.doc_id < b.doc_id
   WHERE (len(list_intersect(a.grams, b.grams)) * 1000)
-        // len(list_distinct(list_concat(a.grams, b.grams))) >= 60
+        // len(list_distinct(list_concat(a.grams, b.grams))) >= 500
 ), und AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
@@ -419,14 +451,44 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup candidates — signature agreement is not
-    SQL-expressible; driver records the rows-only check."""
-    return minhash_dedup_pairs(_docs(spark, sf_dir), min_jaccard=0.5)
+    """MinHash+LSH near-dup pipeline, oracle-checked via the containment
+    property (VERDICT round-1 item 2): signatures → banded LSH candidates →
+    exact bigram-Jaccard verify inside candidate buckets → keep ≥ 500‰.
+    The DuckDB oracle recomputes ALL pairs ≥ 500‰ from scratch, so a hash
+    match proves the LSH candidate set (16 bands × 4 rows; miss probability
+    < 1e-7 at sig-similarity 0.9) contained every above-threshold pair on
+    this corpus — the recall guarantee as a value check, not a trust-me
+    row.  The signature agreement numbers themselves stay covered by
+    pytest (not SQL-expressible)."""
+    from .operators.dedup import verify_pairs_jaccard
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    return (verify_pairs_jaccard(cands, docs)
+            .where(F.col("jaccard_pm") >= 500))
+
+
+_SQL_DEDUP_MINHASH = _sql_jaccard_pairs_ge(500)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash signatures — rows-only check (deterministic across runs)."""
-    return simhash64(_docs(spark, sf_dir))
+    """SimHash near-dup pipeline, oracle-checked via containment: 64-bit
+    signatures → 8×8-bit band collision (pigeonhole guarantees every pair
+    within Hamming ≤ 7) → exact bigram-Jaccard verify ≥ 950‰.  On this
+    corpus every ≥ 950‰ pair sits within Hamming ≤ 5 (measured; margin 2),
+    so the oracle's all-pairs ≥ 950‰ recomputation hash-matching proves the
+    banded candidate set lost nothing."""
+    from .operators.dedup import simhash_candidate_pairs, verify_pairs_jaccard
+
+    docs = _docs(spark, sf_dir)
+    sh = simhash64(docs)
+    cands = simhash_candidate_pairs(sh, max_hamming=7, n_bands=8)
+    return (verify_pairs_jaccard(cands, docs)
+            .where(F.col("jaccard_pm") >= 950))
+
+
+_SQL_DEDUP_SIMHASH = _sql_jaccard_pairs_ge(950)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -451,11 +513,65 @@ SELECT id_a, id_b, cosine_r6 FROM p WHERE cosine_r6 >= 0.25
 """
 
 
+def _emb_with_twins(spark, sf_dir, max_id: int = 250):
+    """embeddings (doubles) ∪ deterministic near-duplicate twins: twin i+1e5
+    = vector i plus a small integer-derived perturbation (exact in float64
+    on both engines — no transcendental functions).  The twins are the
+    planted ground truth that makes the LSH recall property NON-vacuous:
+    the corpus's natural pairs top out at cosine ≈ 0.55, so every ≥ 0.9
+    pair is a planted twin the LSH tier must find."""
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < max_id)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    # two-step select: the perturbation lambda must see the ORIGINAL
+    # vec_id, not the +100000 alias from the same projection (Spark
+    # resolves lambda-captured columns against the projected output)
+    twins = (emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.lit(0.005) * ((F.col("vec_id") * 31 + i) % 7 - 3)
+        ).alias("embedding"))
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return base.unionByName(twins)
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (scale tier) — signature algebra is not
-    SQL-expressible; rows-only check (deterministic: fixed seed)."""
-    return embedding_neardup_lsh(_read(spark, sf_dir, "embeddings"),
-                                 threshold=0.25)
+    """Banded random-hyperplane LSH near-dup (scale tier), oracle-checked
+    via containment over planted twins: candidates come ONLY from (band,
+    value) bucket collisions (8 bands × 8 bits), exact cosine ≥ 0.9 runs
+    inside buckets.  The oracle recomputes ALL ≥ 0.9 pairs over the same
+    constructed corpus, so a hash match proves banded-LSH recall was 100%
+    on the planted near-duplicates (per-pair miss probability < 1e-5 at
+    cosine 0.999)."""
+    return embedding_neardup_lsh(_emb_with_twins(spark, sf_dir),
+                                 threshold=0.9)
+
+
+_SQL_DEDUP_EMBEDDING_LSH = """
+WITH u AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 250
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE)
+                  + 0.005::DOUBLE * ((vec_id * 31 + (i - 1)) % 7 - 3)) AS v
+  FROM embeddings WHERE vec_id < 250
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM u
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine_r6
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_r6 FROM p WHERE cosine_r6 >= 0.9
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -464,10 +580,13 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force top-k.  The query vector joins in-plan (broadcast
+    single-row lookup) — ONE Spark job, no driver-side ``.first()`` round
+    trip (VERDICT round-1 item 7)."""
+    from .operators.ann import cosine_topk_df
+
     emb = _read(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    top = cosine_topk(emb, qvec, k=10)
+    top = cosine_topk_df(emb, emb.where(F.col("vec_id") == 0), k=10)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
 
@@ -489,16 +608,60 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate ANN — bucketing is numpy-random-plane based;
-    rows-only check (deterministic: fixed seed)."""
+    """LSH-bucketed approximate ANN, oracle-checked via planted neighbours
+    (VERDICT round-1 item 2): 10 deterministic near-twins of the query
+    vector (cosine ≥ 0.999, far above the corpus's natural ≈ 0.55 ceiling)
+    are unioned in; the true top-10 is therefore the query plus its 9
+    nearest twins, which the DuckDB oracle computes by brute force.  The
+    LSH lookup (16-bit signature, Hamming-≤3 multiprobe, exact re-rank)
+    must return exactly that list — a 100%-recall-on-planted-neighbours
+    value check.  The query vector and its signature join in-plan
+    (broadcast), no driver ``.first()``."""
+    from .operators.ann import lsh_bucket_ann_df
+
     emb = _read(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    # n_bits sizes the bucket count to the corpus: 2^6 buckets over ~5k
-    # vectors ≈ 78/bucket; multiprobe widens recall (at 10^9 vectors use
-    # n_bits≈20 + bucketed table layout)
-    return lsh_bucket_ann(emb, qvec, k=10, n_bits=6).select(
-        "vec_id", F.round("cosine", 6).alias("cosine_r6"))
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    qdf = base.where(F.col("vec_id") == 0)
+    js = spark.range(10).select(F.col("id").cast("int").alias("j"))
+    twins = qdf.crossJoin(F.broadcast(js)).select(
+        (F.lit(200000) + F.col("j")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(0.002) * (F.col("j") + 1)
+            * ((i + F.col("j")) % 7 - 3)
+        ).alias("embedding"))
+    u = base.unionByName(twins)
+    top = lsh_bucket_ann_df(u, qdf, k=10, n_bits=16, max_hamming=3)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+_SQL_ANN_LSH = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT v AS qv FROM b WHERE vec_id = 0),
+tw AS (
+  SELECT 200000 + j AS vec_id,
+         list_transform(range(1, len(qv) + 1),
+             i -> qv[i] + 0.002::DOUBLE * (j + 1) * (((i - 1) + j) % 7 - 3))
+           AS v
+  FROM q, range(10) t(j)
+), u AS (
+  SELECT vec_id, v FROM b UNION ALL SELECT vec_id, v FROM tw
+), s AS (
+  SELECT u.vec_id,
+         list_sum(list_transform(range(1, len(u.v) + 1),
+                  i -> u.v[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(u.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+  FROM u, q
+)
+SELECT vec_id, round(cosine, 6) AS cosine_r6
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1072,11 +1235,17 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
-    # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh:
-    # signature algebra is not SQL-expressible -> rows-only checks
-    # (driver records the weaker check)
+    # The LSH-tier oracles check the CONTAINMENT/RECALL property: DuckDB
+    # recomputes every above-threshold pair (or the true top-k) from
+    # scratch; the Spark side only looks inside LSH candidate buckets, so
+    # a hash match proves the candidate set lost nothing on this corpus.
+    # The raw signature algebra stays pytest-covered (not SQL-expressible).
+    "dedup_minhash": _SQL_DEDUP_MINHASH,
+    "dedup_simhash": _SQL_DEDUP_SIMHASH,
     "dedup_embedding": _SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": _SQL_DEDUP_EMBEDDING_LSH,
     "ann_cosine_topk": _SQL_ANN_COSINE_TOPK,
+    "ann_lsh": _SQL_ANN_LSH,
     "media_meta": _SQL_MEDIA_META,
     "frame_sample": _SQL_FRAME_SAMPLE,
     "word_boxes": _SQL_WORD_BOXES,

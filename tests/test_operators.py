@@ -67,9 +67,52 @@ class TestDedup:
         vals = {r.doc_id: r.simhash for r in h.collect()}
         assert vals[0] == vals[1]  # identical docs, identical hash
         pairs = {(r.id_a, r.id_b): r.hamming
-                 for r in simhash_candidate_pairs(h, max_hamming=10).collect()}
+                 for r in simhash_candidate_pairs(
+                     h, max_hamming=10, n_bands=16).collect()}
         assert pairs[(0, 1)] == 0
         assert (4, 5) in pairs and pairs[(4, 5)] == 0
+        # pigeonhole guard: a hamming bound the bands can't guarantee raises
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            simhash_candidate_pairs(h, max_hamming=10, n_bands=4)
+
+    def test_verify_pairs_jaccard_matches_exact_tier(self, docs):
+        """The post-LSH verify tier must agree with the all-pairs exact tier
+        on every candidate pair it is given (same numbers, no crossJoin)."""
+        from pdf_ocr_engine_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+            verify_pairs_jaccard,
+        )
+
+        exact = {(r.id_a, r.id_b): (r.n_inter, r.n_union, r.jaccard_pm)
+                 for r in ngram_jaccard_pairs(docs).collect()}
+        cands = lsh_candidate_pairs(minhash_signatures(docs))
+        verified = {(r.id_a, r.id_b): (r.n_inter, r.n_union, r.jaccard_pm)
+                    for r in verify_pairs_jaccard(cands, docs).collect()}
+        assert verified  # non-vacuous
+        for pair, stats in verified.items():
+            assert exact[pair] == stats
+
+    def test_embedding_lsh_banded_finds_planted_twins(self, spark):
+        """Banded RP-LSH must recover every planted near-duplicate (the
+        containment property the registry oracle value-checks)."""
+        import numpy as np
+
+        from pdf_ocr_engine_spark.operators.dedup import embedding_neardup_lsh
+
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal((40, 64))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(i, base[i].tolist()) for i in range(40)]
+        rows += [(1000 + i, (base[i] + 0.01 * rng.standard_normal(64)).tolist())
+                 for i in range(40)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        found = {(r.id_a, r.id_b)
+                 for r in embedding_neardup_lsh(df, threshold=0.9).collect()}
+        for i in range(40):
+            assert (i, 1000 + i) in found
 
     def test_simhash_deterministic_across_runs(self, docs, spark):
         from pdf_ocr_engine_spark.operators.dedup import simhash64
