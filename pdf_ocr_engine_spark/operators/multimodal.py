@@ -6,13 +6,21 @@ feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages with the same shape as the extraction operator (iterator init →
 per-batch numpy work → struct columns out).
 
-The actual codecs (PIL/ffmpeg) are NOT available in this environment, so the
-decode step is **stubbed behind a deterministic fake codec**: payloads
-beginning with the fake magic ``FAKEIMG1``/``FAKEAUD1`` carry a tiny header
-``(width:uint16, height:uint16)`` / ``(duration_ms:uint32)`` that the "decoder"
-parses; anything else raises ``NotImplementedError`` (clearly marked).  The
-Spark-side plumbing — schema, batch shape, partitioning, UDF signatures — is
-real and tested, so swapping the fake parser for PIL is a one-function change.
+Two codec tiers:
+
+* **Real header probing** (stdlib byte parsing, no codec library): PNG
+  (IHDR), JPEG (SOF scan), GIF and WAV dimensions/duration — the analog of
+  the reference's ``sharp().metadata()`` probe
+  (``/root/reference/src/lib/ocr/ocr.ts:67-71``).  Metadata for real
+  formats needs no pixel decode, so :func:`media_metadata` is genuinely
+  useful on real corpora.
+* **Deterministic fake codec** for pixel-level operations: payloads with
+  magic ``FAKEIMG1``/``FAKEAUD1``/``FAKEVID1`` carry a tiny header and a
+  well-defined pixel model (payload bytes row-major, formula-filled past
+  the payload), so decode / resize / frame-grab / embed run END TO END —
+  real plans, real numpy math, oracle-checkable outputs.  Real-format
+  *pixel* decode (PIL/pyav) still raises ``NotImplementedError`` at one
+  clearly-marked point per function; swapping it in changes nothing else.
 """
 
 from __future__ import annotations
@@ -58,12 +66,59 @@ def encode_fake_video(duration_ms: int, payload: bytes = b"") -> bytes:
     return VID_MAGIC + struct.pack("<I", duration_ms) + payload
 
 
-def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None, int | None]:
-    """(media_type, width, height, duration_ms) from the fake-codec header.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+     0xCD, 0xCE, 0xCF])
 
-    A real deployment replaces this with PIL/pyav probing — the UDF batch
-    shape around it is unchanged.
-    """
+
+def _probe_jpeg(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOFn marker, or None if absent."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return None  # desynced — corrupt stream
+        code = data[pos + 1]
+        if code == 0xFF:       # fill byte
+            pos += 1
+            continue
+        if 0xD0 <= code <= 0xD9 or code == 0x01:  # standalone markers
+            pos += 2
+            continue
+        if code in _JPEG_SOF:
+            if pos + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+            return (w, h)
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        pos += 2 + seg_len
+    return None
+
+
+def _probe_wav(data: bytes) -> int | None:
+    """Duration in ms from RIFF/WAVE chunks (fmt byte rate + data size)."""
+    byte_rate = None
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if cid == b"fmt " and pos + 16 + 4 <= n:
+            (byte_rate,) = struct.unpack("<I", data[pos + 16:pos + 20])
+        elif cid == b"data" and byte_rate:
+            return int(clen * 1000 // byte_rate)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    return None
+
+
+def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None, int | None]:
+    """(media_type, width, height, duration_ms) — header-only probe, no
+    pixel decode.  Real formats are parsed from their fixed header layouts
+    in stdlib byte code (PNG IHDR, JPEG SOF scan, GIF logical screen, WAV
+    fmt/data chunks) — the analog of the reference's ``sharp().metadata()``
+    (``ocr.ts:67-71``); the fake codec carries its dims in a fixed 12-byte
+    header."""
     if not data:
         return ("empty", None, None, None)
     try:
@@ -76,6 +131,22 @@ def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None
         if data[:8] == VID_MAGIC:
             (ms,) = struct.unpack("<I", data[8:12])
             return ("video", None, None, ms)
+        if data[:8] == _PNG_MAGIC:
+            if len(data) < 24 or data[12:16] != b"IHDR":
+                return ("corrupt", None, None, None)
+            w, h = struct.unpack(">II", data[16:24])
+            return ("image", w, h, None)
+        if data[:2] == b"\xFF\xD8":
+            wh = _probe_jpeg(data)
+            return ("image", wh[0], wh[1], None) if wh \
+                else ("corrupt", None, None, None)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return ("image", w, h, None)
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            ms = _probe_wav(data)
+            return ("audio", None, None, ms) if ms is not None \
+                else ("corrupt", None, None, None)
     except struct.error:
         # magic present but header truncated: a corrupt row is DATA, never a
         # task failure (same errors-as-values contract as extraction)
@@ -83,13 +154,31 @@ def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None
     return ("unknown", None, None, None)
 
 
-def decode_image_pixels(data: bytes):  # pragma: no cover - stub
-    """STUB: real pixel decode needs an image library not present in this
-    environment.  The metadata path (:func:`decode_media_header`) and all
-    Spark plumbing work without it."""
-    raise NotImplementedError(
-        "pixel decode requires an image codec (PIL/pyspark-ml image); "
-        "this environment ships none — plug one in here")
+def decode_image_pixels(data: bytes):
+    """Fake-codec pixel decode → ``uint8 ndarray (h, w)``.
+
+    Pixel model (deterministic, shared with the DuckDB oracles): row-major
+    payload bytes fill the image; cells past the payload take the formula
+    ``(flat_index*31 + w*7 + h*13) % 256``.  Real image formats (PNG/JPEG
+    detected by :func:`decode_media_header`) still need a codec library —
+    that, and only that, raises ``NotImplementedError`` here; plug
+    ``PIL.Image.open`` in at this point and every downstream operator
+    (resize / embed) works unchanged."""
+    import numpy as np
+
+    if not data or data[:8] != IMG_MAGIC:
+        raise NotImplementedError(
+            "real-format pixel decode requires an image codec (PIL); this "
+            "environment ships none — plug it in here (header probing and "
+            "the fake-codec path work without it)")
+    w, h = struct.unpack("<HH", data[8:12])
+    n = w * h
+    idx = np.arange(n, dtype=np.int64)
+    arr = (idx * 31 + w * 7 + h * 13) % 256
+    payload = data[12:12 + n]
+    if payload:
+        arr[:len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    return arr.reshape(h, w).astype(np.uint8)
 
 
 def media_metadata(df: DataFrame, media_col: str = "media",
@@ -160,32 +249,119 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
 
 
-def decode_frame_pixels(data: bytes, ts_ms: int):  # pragma: no cover - stub
-    """STUB: real frame decode needs a video codec (pyav/ffmpeg) not present
-    in this environment.  The sampling plan (:func:`frame_sample`) and all
-    Spark plumbing work without it."""
-    raise NotImplementedError(
-        "frame pixel decode requires a video codec — plug pyav in here")
+def decode_frame_pixels(data: bytes, ts_ms: int, size: int = 16):
+    """Fake-codec frame grab at ``ts_ms`` → ``uint8 ndarray (size, size)``.
+
+    Frame model (deterministic): ``pixel(x, y) = (x*7 + y*13 + ts_ms) %
+    256``.  Sampling beyond the clip raises ``ValueError`` (a corrupt
+    request is data upstream).  Real containers (mp4/webm) need pyav —
+    that single decode line is the plug-in point; the sampling plan
+    (:func:`frame_sample`) and batching around it are unchanged."""
+    import numpy as np
+
+    if not data or data[:8] != VID_MAGIC:
+        raise NotImplementedError(
+            "real-format frame decode requires a video codec (pyav); plug "
+            "it in here — the sampling plan works without it")
+    (duration,) = struct.unpack("<I", data[8:12])
+    if ts_ms < 0 or ts_ms >= duration:
+        raise ValueError(f"ts {ts_ms} outside clip duration {duration}")
+    x = np.arange(size, dtype=np.int64)[None, :]
+    y = np.arange(size, dtype=np.int64)[:, None]
+    return ((x * 7 + y * 13 + int(ts_ms)) % 256).astype(np.uint8)
 
 
 def resize_images(df: DataFrame, width: int, height: int,
-                  media_col: str = "media"):  # pragma: no cover - stub
-    """STUB: image resize — the plan shape is identical to
-    :func:`media_metadata` (narrow mapInPandas, binary in → binary out with
-    updated header dims); the pixel resample inside needs PIL, which this
-    environment doesn't ship.  Plug ``Image.open(...).resize(...)`` into the
-    batch loop; everything else (schema, batching, partitioning) is the
-    tested path."""
-    raise NotImplementedError("image resize requires PIL — plug it in here")
+                  media_col: str = "media",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Nearest-neighbour image resize — binary in → binary out with updated
+    header dims, the same narrow ``mapInPandas`` shape as
+    :func:`media_metadata` (no shuffle; pixel work is vectorized numpy
+    fancy-indexing per image).  Source index math (``src = (dst*src_dim) //
+    dst_dim``) is integer-exact, shared with the DuckDB oracle.  Rows whose
+    payload the codec tier can't decode come back with ``media = NULL``
+    (errors as values).  Swapping real decoding in changes only
+    :func:`decode_image_pixels`."""
+    from pyspark.sql.types import BinaryType
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("media", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            out: list[bytes | None] = []
+            for blob in batch[media_col]:
+                try:
+                    px = decode_image_pixels(
+                        bytes(blob) if blob is not None else b"")
+                except Exception:  # noqa: BLE001 - undecodable row is DATA
+                    out.append(None)
+                    continue
+                h0, w0 = px.shape
+                ys = (np.arange(height, dtype=np.int64) * h0) // height
+                xs = (np.arange(width, dtype=np.int64) * w0) // width
+                res = px[ys][:, xs]
+                out.append(encode_fake_image(width, height, res.tobytes()))
+            yield pd.DataFrame({
+                id_col: batch[id_col].astype("int64"),
+                "media": out,
+                "width": pd.array(
+                    [width if b is not None else None for b in out],
+                    dtype="Int32"),
+                "height": pd.array(
+                    [height if b is not None else None for b in out],
+                    dtype="Int32"),
+            })
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)
 
 
-def embed_media(df: DataFrame, dim: int = 64,
-                media_col: str = "media"):  # pragma: no cover - stub
-    """STUB: media feature extraction (image/audio embeddings) — iterator-
-    form mapInPandas with per-task model init (exactly the extract
-    operator's shape, ``operators/extract.py``), emitting
-    ``array<float>[dim]`` for the ANN/dedup operators downstream.  Needs a
-    model runtime this environment doesn't ship."""
-    raise NotImplementedError(
-        "media embedding requires a model runtime — plug it into the "
-        "iterator-form mapInPandas init point")
+def embed_media(df: DataFrame, dim: int = 64, media_col: str = "media",
+                id_col: str = "doc_id") -> DataFrame:
+    """Media → ``array<double>[dim]`` embeddings for the ANN/dedup operators
+    downstream: byte-histogram of the decoded content (payload past the
+    12-byte fake-codec header; raw bytes otherwise), pooled into ``dim``
+    equal bins and L2-normalized.  Deterministic and closed-form, so the
+    whole feature pipeline is oracle-checkable — and the operator shape is
+    exactly the extract operator's iterator-form ``mapInPandas`` with a
+    per-task init point (``operators/extract.py``): a real model (CLIP et
+    al.) loads once per task where the pooling table is built, and only
+    the per-blob line changes."""
+    if dim < 1 or 256 % dim:
+        raise ValueError(f"dim={dim} must divide 256")
+    from pyspark.sql.types import ArrayType, DoubleType
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("embedding", ArrayType(DoubleType()), False),
+    ])
+    pool = 256 // dim
+    magics = (IMG_MAGIC, AUD_MAGIC, VID_MAGIC)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        # per-task init point: a real model runtime loads HERE, once
+        for batch in batches:
+            embs = []
+            for blob in batch[media_col]:
+                b = bytes(blob) if blob is not None else b""
+                content = b[12:] if b[:8] in magics else b
+                hist = np.bincount(
+                    np.frombuffer(content, dtype=np.uint8),
+                    minlength=256).reshape(dim, pool).sum(axis=1)
+                hist = hist.astype(np.float64)
+                nrm = float(np.sqrt((hist * hist).sum()))
+                embs.append((hist / nrm if nrm > 0 else hist).tolist())
+            yield pd.DataFrame({
+                id_col: batch[id_col].astype("int64"),
+                "embedding": embs,
+            })
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)

@@ -205,11 +205,115 @@ class TestMultimodal:
         rows = {r.doc_id: r.media_type for r in media_metadata(df).collect()}
         assert rows == {1: "corrupt", 2: "corrupt", 3: "corrupt"}
 
-    def test_pixel_decode_is_stubbed(self):
-        from pdf_ocr_engine_spark.operators.multimodal import decode_image_pixels
+    def test_real_format_headers(self, spark):
+        """PNG IHDR / JPEG SOF / GIF / WAV parsed from real header layouts
+        (reference ocr.ts:67-71 sharp().metadata() analog)."""
+        import struct as st
 
+        from pdf_ocr_engine_spark.operators.multimodal import media_metadata
+
+        png = (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+               + st.pack(">II", 320, 200) + b"\x08\x02\x00\x00\x00" + b"x" * 8)
+        jpeg = (b"\xFF\xD8"
+                + b"\xFF\xE0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+                + b"\xFF\xDB" + st.pack(">H", 4) + b"\x00\x00"
+                + b"\xFF\xC0" + st.pack(">H", 11) + b"\x08"
+                + st.pack(">HH", 240, 360) + b"\x03\x01\x00\x00"
+                + b"\xFF\xD9")
+        gif = b"GIF89a" + st.pack("<HH", 64, 48) + b"\x00" * 6
+        wav = (b"RIFF" + st.pack("<I", 100) + b"WAVE"
+               + b"fmt " + st.pack("<I", 16)
+               + st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+               + b"data" + st.pack("<I", 32000) + b"\x00" * 4)
+        df = spark.createDataFrame(
+            [(1, png), (2, jpeg), (3, gif), (4, wav)], ["doc_id", "media"])
+        rows = {r.doc_id: (r.media_type, r.width, r.height, r.duration_ms)
+                for r in media_metadata(df).collect()}
+        assert rows[1] == ("image", 320, 200, None)
+        assert rows[2] == ("image", 360, 240, None)   # SOF stores h, w
+        assert rows[3] == ("image", 64, 48, None)
+        assert rows[4] == ("audio", None, None, 2000)  # 32000 B / 16000 B/s
+
+    def test_fake_pixel_decode_model(self):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.operators.multimodal import (
+            decode_image_pixels,
+            encode_fake_image,
+        )
+
+        # payload bytes fill first; formula fills the rest
+        img = encode_fake_image(3, 2, b"\x05\x06")
+        px = decode_image_pixels(img)
+        assert px.shape == (2, 3)
+        assert px[0, 0] == 5 and px[0, 1] == 6
+        assert px[0, 2] == (2 * 31 + 3 * 7 + 2 * 13) % 256
+        # real formats still need a codec — only that path raises
         with pytest.raises(NotImplementedError):
-            decode_image_pixels(b"FAKEIMG1\x01\x00\x01\x00")
+            decode_image_pixels(b"\x89PNG\r\n\x1a\nrest")
+        assert px.dtype == np.uint8
+
+    def test_resize_nearest_neighbour(self, spark):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.operators.multimodal import (
+            decode_image_pixels,
+            encode_fake_image,
+            resize_images,
+        )
+
+        src = bytes(range(16))  # 4x4 image, pixels 0..15
+        df = spark.createDataFrame(
+            [(1, encode_fake_image(4, 4, src)), (2, b"\x89PNG junk"),
+             (3, None)],
+            ["doc_id", "media"])
+        out = {r.doc_id: r for r in resize_images(df, 2, 2).collect()}
+        assert out[2].media is None and out[3].media is None  # errors=values
+        px = decode_image_pixels(bytes(out[1].media))
+        ref = np.frombuffer(src, dtype=np.uint8).reshape(4, 4)[::2, ::2]
+        assert (px == ref).all()
+        assert (out[1].width, out[1].height) == (2, 2)
+
+    def test_frame_pixels_deterministic(self):
+        from pdf_ocr_engine_spark.operators.multimodal import (
+            decode_frame_pixels,
+            encode_fake_video,
+        )
+
+        vid = encode_fake_video(3000)
+        f0 = decode_frame_pixels(vid, 0)
+        f1 = decode_frame_pixels(vid, 500)
+        assert f0.shape == (16, 16)
+        assert f0[0, 0] == 0 and f1[0, 0] == 500 % 256
+        assert f0[2, 3] == (3 * 7 + 2 * 13) % 256
+        with pytest.raises(ValueError):
+            decode_frame_pixels(vid, 3000)  # past end of clip
+        with pytest.raises(NotImplementedError):
+            decode_frame_pixels(b"\x00\x00\x01\xba mpeg-ps", 0)
+
+    def test_embed_media_histogram(self, spark):
+        import math
+
+        from pdf_ocr_engine_spark.operators.multimodal import (
+            embed_media,
+            encode_fake_image,
+        )
+
+        df = spark.createDataFrame(
+            [(1, encode_fake_image(2, 2, b"aaab")),  # 'a'=97 bin 24, 'b'=98
+             (2, encode_fake_image(2, 2, b"")),      # empty -> zero vector
+             (3, None)],
+            ["doc_id", "media"])
+        out = {r.doc_id: r.embedding for r in embed_media(df, dim=64).collect()}
+        # 'a'=97 and 'b'=98 pool into the same bin (96..99)//4 == 24:
+        # hist[24] = 4, L2 norm = 4 -> unit spike
+        assert out[1][24] == pytest.approx(1.0)
+        assert sum(out[1]) == pytest.approx(1.0)
+        assert math.sqrt(sum(c * c for c in out[1])) == pytest.approx(1.0)
+        assert out[2] == [0.0] * 64
+        assert out[3] == [0.0] * 64
+        with pytest.raises(ValueError):
+            embed_media(df, dim=60)
 
 
     def test_frame_sample_explodes_rows(self, spark):
@@ -235,11 +339,6 @@ class TestMultimodal:
         assert by_doc[3] == [(0, 0)]
         assert 4 not in by_doc and 5 not in by_doc
 
-    def test_frame_pixel_decode_is_stubbed(self):
-        from pdf_ocr_engine_spark.operators.multimodal import decode_frame_pixels
-
-        with pytest.raises(NotImplementedError):
-            decode_frame_pixels(b"FAKEVID1\x10\x00\x00\x00", 0)
 
 
 class TestCheckpointResume:
