@@ -56,7 +56,8 @@ class ExtractOptions:
     object pickles cheaply into UDF closures."""
 
     __slots__ = ("max_bytes", "max_pages", "validate_lang", "fix_hyphenation",
-                 "min_words", "max_link_density", "emit_spans", "max_doc_ms")
+                 "min_words", "max_link_density", "emit_spans", "max_doc_ms",
+                 "hyphen_asset")
 
     def __init__(
         self,
@@ -68,6 +69,7 @@ class ExtractOptions:
         max_link_density: float = 1.0 / 3.0,
         emit_spans: bool = False,            # positioned spans (C1-C3 path)
         max_doc_ms: int | None = None,       # L3 wall-clock budget per doc
+        hyphen_asset: str | None = None,     # S6 executor asset (--files name)
     ) -> None:
         self.max_bytes = max_bytes
         self.max_pages = max_pages
@@ -77,6 +79,7 @@ class ExtractOptions:
         self.max_link_density = max_link_density
         self.emit_spans = emit_spans
         self.max_doc_ms = max_doc_ms
+        self.hyphen_asset = hyphen_asset
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -116,7 +119,9 @@ def sniff_document(html: bytes | None, lang: str | None,
     return {"kind": kind, "status": "ok", "error": None, "n_bytes": n_bytes}
 
 
-def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
+def _extract_pdf(html: bytes, options: ExtractOptions,
+                 hyphen_exceptions: frozenset[str] | None = None,
+                 ) -> dict[str, Any]:
     try:
         doc = decode_pdf_arrays(html)
     except ValueError as exc:
@@ -174,7 +179,7 @@ def _extract_pdf(html: bytes, options: ExtractOptions) -> dict[str, Any]:
             page["texts"], page["coords"], want_spans=options.emit_spans)
         n_words += n_page_words
         if options.fix_hyphenation:
-            text = repair_hyphenation(text)
+            text = repair_hyphenation(text, hyphen_exceptions)
         page_texts.append(text)
         if options.emit_spans:
             pno = int(page["page_no"])
@@ -208,12 +213,19 @@ def _extract_html(html: bytes, options: ExtractOptions) -> dict[str, Any]:
 
 
 def extract_document(html: bytes | None, lang: str | None,
-                     options: ExtractOptions = DEFAULT_OPTIONS) -> dict[str, Any]:
+                     options: ExtractOptions = DEFAULT_OPTIONS,
+                     hyphen_exceptions: frozenset[str] | None = None,
+                     ) -> dict[str, Any]:
     """Full per-document pipeline: sniff → guards → route → extract.
 
     Returns ``{"kind", "status", "error", "n_bytes", "n_pages", "n_words",
     "text"}``.  Never raises: any unexpected exception is folded into
     ``status='decode_error'`` (error-as-value, ``index.ts:158-164``).
+
+    ``hyphen_exceptions`` is the loaded S6 executor asset (hard-hyphenated
+    compounds) — callers load it ONCE at the UDF init point
+    (``sources/assets.load_asset_words``) and pass the set per document, so
+    the file read never sits in the batch loop.
     """
     sniff = sniff_document(html, lang, options)
     out = {"kind": sniff["kind"], "status": sniff["status"],
@@ -225,8 +237,8 @@ def extract_document(html: bytes | None, lang: str | None,
     # decoders assume bytes methods (startswith, slicing semantics)
     html = bytes(html)
     try:
-        body = _extract_pdf(html, options) if sniff["kind"] == "pdf" \
-            else _extract_html(html, options)
+        body = _extract_pdf(html, options, hyphen_exceptions) \
+            if sniff["kind"] == "pdf" else _extract_html(html, options)
     except Exception as exc:  # noqa: BLE001 - error isolation per document
         body = {"status": "decode_error", "error": f"{type(exc).__name__}: {exc}",
                 "n_pages": 0, "n_words": 0, "text": None}

@@ -20,14 +20,31 @@ from __future__ import annotations
 import re
 
 # "frag-\ncontinuation" where frag ends with a letter and continuation starts
-# lowercase.  \n is the line separator emitted by layout W6.
-_HYPHEN_BREAK = re.compile(r"(?<=[A-Za-z])-\n(?=[a-z])")
+# lowercase.  \n is the line separator emitted by layout W6.  The groups
+# capture the fragments so exception handling can test the fused candidate.
+_HYPHEN_BREAK = re.compile(r"([A-Za-z]+)-\n([a-z]+)")
 
 
-def repair_hyphenation(text: str) -> str:
+def repair_hyphenation(text: str,
+                       exceptions: frozenset[str] | None = None) -> str:
     """Fuse soft line-break hyphens: ``"exam-\\nple" -> "example"``.
 
     Hard hyphens (continuation starts with uppercase/digit, e.g.
     ``"Jean-\\nPaul"``) are preserved with the line break intact.
+
+    ``exceptions``: lowercase hyphenated compounds (e.g. from the
+    ``hyphen_exceptions.txt`` executor asset, ``sources/assets.py``) that
+    are legitimately hyphenated — ``"self-\\ncontained"`` joins to
+    ``"self-contained"`` (line break removed, hyphen KEPT) instead of
+    fusing to ``"selfcontained"``.
     """
-    return _HYPHEN_BREAK.sub("", text)
+    if not exceptions:
+        return _HYPHEN_BREAK.sub(r"\1\2", text)
+
+    def repl(m: re.Match) -> str:
+        joined = f"{m.group(1)}-{m.group(2)}"
+        if joined.lower() in exceptions:
+            return joined
+        return m.group(1) + m.group(2)
+
+    return _HYPHEN_BREAK.sub(repl, text)

@@ -23,6 +23,7 @@ Scale notes (100 TB / 1000-executor design):
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
@@ -78,6 +79,18 @@ EXTRACTED_SCHEMA_SPANS = StructType(
     list(EXTRACTED_SCHEMA) + [StructField("spans", ArrayType(SPAN_SCHEMA), True)])
 
 
+def _load_hyphen_asset(opts: ExtractOptions, audit_path: str | None = None):
+    """Executor-side S6 asset load — called exactly once per task at the
+    UDF init point (and cached per worker process by ``assets``); returns
+    None unless the options opted in.  ``audit_path`` is the driver-side
+    ``SPARK_GRAFT_ASSET_AUDIT`` value captured into the UDF closure (the
+    disk-read observability hook)."""
+    if not (opts.fix_hyphenation and getattr(opts, "hyphen_asset", None)):
+        return None
+    from ..sources.assets import load_asset_words
+    return load_asset_words(opts.hyphen_asset, audit_path)
+
+
 def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataFrame:
     """Sniff → guard → route → extract, one Arrow-batched pass, no shuffle.
 
@@ -95,12 +108,17 @@ def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataF
 
 
 def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
+    # captured driver-side: pre-forked python workers don't see driver env
+    audit = os.environ.get("SPARK_GRAFT_ASSET_AUDIT")
+
     def run(batches):
         import pyarrow as pa
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        # per-task init point (mirrors the reference's singleton worker)
+        # per-task init point (mirrors the reference's singleton worker):
+        # executor assets (S6) load here, once, never in the batch loop
+        hyphen_ex = _load_hyphen_asset(opts, audit)
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -114,7 +132,7 @@ def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
             walls: list[int] = []
             for payload, lang in zip(payloads, langs):
                 t0 = time.perf_counter_ns()
-                r = extract_document(payload, lang, opts)
+                r = extract_document(payload, lang, opts, hyphen_ex)
                 walls.append((time.perf_counter_ns() - t0) // 1000)
                 for k in cols:
                     cols[k].append(r[k])
@@ -140,6 +158,7 @@ def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
 
 def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
                           emit_spans: bool) -> DataFrame:
+    audit = os.environ.get("SPARK_GRAFT_ASSET_AUDIT")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # executor-side import
@@ -147,7 +166,9 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         # per-task init point (mirrors the reference's singleton worker);
-        # our decoder is stateless, but model-backed decoders initialize here.
+        # executor assets (S6) load here, and model-backed decoders
+        # initialize here.
+        hyphen_ex = _load_hyphen_asset(opts, audit)
         for batch in batches:
             n = len(batch)
             if n == 0:
@@ -166,7 +187,7 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
                 t0 = time.perf_counter_ns()
                 # no bytes() here: extract_document type-guards the payload
                 # itself (errors-as-values even for mis-typed columns)
-                r = extract_document(payload, lang, opts)
+                r = extract_document(payload, lang, opts, hyphen_ex)
                 wall = (time.perf_counter_ns() - t0) // 1000
                 cols["kind"].append(r["kind"])
                 cols["status"].append(r["status"])

@@ -31,6 +31,12 @@ def main(argv: list[str]) -> int:
                    help="manifest-checkpointed, resumable execution")
     p.add_argument("--max-bytes", type=int, default=50 * 1024 * 1024)
     p.add_argument("--max-pages", type=int, default=200)
+    p.add_argument("--fix-hyphenation", action="store_true",
+                   help="repair soft line-break hyphens in extracted text")
+    p.add_argument("--hyphen-asset", default=None, metavar="PATH",
+                   help="hyphen-exception wordlist to ship to executors "
+                        "(S6; equivalent to listing it in --files). "
+                        "Implies --fix-hyphenation.")
     args = p.parse_args(argv)
 
     from pdf_ocr_engine_spark.core.extract_doc import ExtractOptions
@@ -44,7 +50,17 @@ def main(argv: list[str]) -> int:
     from pdf_ocr_engine_spark.sources.sinks import read_pages
 
     spark = build_session("pdf-ocr-engine-spark")
-    opts = ExtractOptions(max_bytes=args.max_bytes, max_pages=args.max_pages)
+    asset_name = None
+    if args.hyphen_asset:
+        import os
+
+        from pdf_ocr_engine_spark.sources.assets import ship_asset
+        ship_asset(spark, args.hyphen_asset)
+        asset_name = os.path.basename(args.hyphen_asset)
+    opts = ExtractOptions(max_bytes=args.max_bytes, max_pages=args.max_pages,
+                          fix_hyphenation=(args.fix_hyphenation
+                                           or asset_name is not None),
+                          hyphen_asset=asset_name)
     pages = read_pages(spark, args.input)  # parquet path or iceberg:db.table
 
     if args.resume:
