@@ -25,11 +25,17 @@ Format essentials handled:
   health is observable via :func:`warc_scan_report` (file, n_response,
   n_bad, parse_error).
 
-Scale note: ``binaryFile`` materializes one whole archive per row (CC
-segments are ~1 GB — fine at executor sizing of this pipeline); parallelism
-is the file count, which for Common Crawl is ~64k files per crawl.  The
-extraction DAG's salted repartition downstream redistributes by host, so
-per-file ordering never matters.
+Scale note (round 2 — the ranged-read form): archives are parsed from a
+**bounded streaming read** (:func:`parse_warc_stream` over a pyarrow
+filesystem input stream), never materialized whole.  Peak memory per task
+is ``max_record_bytes`` (default 64 MB — records past it are skipped as
+``_bad`` with bounded discard), independent of archive size; a 1 GB (or
+5 GB decompressed) Common-Crawl segment streams through a few-MB rolling
+buffer.  Parallelism is the file count (~64k files per crawl), one file
+per task; the extraction DAG's salted repartition downstream redistributes
+by host, so per-file ordering never matters.  ``pyarrow.fs`` resolves the
+path scheme, so the same reader serves ``file://``, ``s3://`` and
+``hdfs://``.
 """
 
 from __future__ import annotations
@@ -37,14 +43,14 @@ from __future__ import annotations
 import gzip
 import io
 from collections.abc import Iterator
-from typing import Any
+from typing import Any, BinaryIO
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import PAGES_SCHEMA
 
-__all__ = ["PAGES_SCHEMA", "parse_warc", "http_body", "warc_pages",
-           "warc_scan_report", "write_warc"]
+__all__ = ["PAGES_SCHEMA", "parse_warc", "parse_warc_stream", "http_body",
+           "warc_pages", "warc_scan_report", "write_warc"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -52,33 +58,72 @@ _CRLF2 = b"\r\n\r\n"
 #: Arrow's 2 GiB int32 offset cap for binary arrays even at 1 MB/page
 _BATCH_RECORDS = 1024
 
+#: streaming read granularity / per-record size cap (the task's memory bound)
+_CHUNK_BYTES = 1 << 20
+_MAX_RECORD_BYTES = 64 << 20
 
-def parse_warc(data: bytes) -> Iterator[dict[str, Any]]:
-    """Yield ``{"type", "url", "date", "payload"}`` per WARC record.
+_BAD = {"type": "_bad", "url": None, "date": None, "payload": None}
 
-    Malformed trailing garbage ends iteration; a malformed record header
-    yields ``{"type": "_bad"}`` and resyncs at the next ``WARC/`` marker.
+
+def parse_warc_stream(reader: BinaryIO, chunk_bytes: int = _CHUNK_BYTES,
+                      max_record_bytes: int = _MAX_RECORD_BYTES,
+                      ) -> Iterator[dict[str, Any]]:
+    """Yield ``{"type", "url", "date", "payload"}`` per WARC record from a
+    streaming reader, holding at most ``max_record_bytes`` (+ one chunk) in
+    memory — the archive itself is never materialized.
+
+    Semantics match :func:`parse_warc`: malformed trailing garbage ends
+    iteration; a malformed header / bad length / truncated payload yields
+    ``{"type": "_bad"}`` and resyncs at the next ``WARC/`` marker; a record
+    larger than ``max_record_bytes`` is skipped as ``_bad`` with its
+    payload *discarded in chunks*, never buffered.
     """
-    if data[:2] == b"\x1f\x8b":  # gzip magic — multi-member streams read fine
-        data = gzip.decompress(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos:pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
-            break
-        head_end = data.find(_CRLF2, pos)
-        if head_end < 0:
-            break
-        header_blob = data[pos:head_end]
-        if not header_blob.startswith(b"WARC/"):
-            nxt = data.find(b"WARC/", pos + 1)
-            yield {"type": "_bad", "url": None, "date": None, "payload": None}
-            if nxt < 0:
+    buf = bytearray()
+    eof = False
+
+    def fill(target: int) -> None:
+        nonlocal eof
+        while len(buf) < target and not eof:
+            chunk = reader.read(chunk_bytes)
+            if not chunk:
+                eof = True
                 break
-            pos = nxt
+            buf.extend(chunk)
+
+    def resync(start: int) -> bool:
+        """Drop bytes until the next ``WARC/`` marker at/after ``start``;
+        False when the stream ends first.  The rolling 4-byte tail keeps a
+        marker split across chunk boundaries findable."""
+        del buf[:start]
+        while True:
+            nxt = buf.find(b"WARC/")
+            if nxt >= 0:
+                del buf[:nxt]
+                return True
+            if eof:
+                return False
+            if len(buf) > 4:
+                del buf[:len(buf) - 4]
+            fill(len(buf) + chunk_bytes)
+
+    while True:
+        fill(2)
+        while buf[:2] == b"\r\n":
+            del buf[:2]
+            fill(2)
+        if not buf:
+            return
+        head_end = buf.find(_CRLF2)
+        while head_end < 0 and not eof and len(buf) < max_record_bytes:
+            fill(len(buf) + chunk_bytes)
+            head_end = buf.find(_CRLF2)
+        if head_end < 0:
+            return  # truncated / headerless trailing garbage
+        header_blob = bytes(buf[:head_end])
+        if not header_blob.startswith(b"WARC/"):
+            yield dict(_BAD)
+            if not resync(1):
+                return
             continue
         headers: dict[str, str] = {}
         for line in header_blob.split(b"\r\n")[1:]:
@@ -90,24 +135,50 @@ def parse_warc(data: bytes) -> Iterator[dict[str, Any]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             length = -1
-        # negative length would walk pos BACKWARDS (infinite loop on a
-        # crafted record); over-long length means a truncated archive whose
-        # chopped payload must not enter the table as a healthy page
-        if length < 0 or head_end + 4 + length > n:
-            yield {"type": "_bad", "url": None, "date": None, "payload": None}
-            nxt = data.find(b"WARC/", head_end)
-            if nxt < 0:
-                break
-            pos = nxt
+        if length < 0:
+            yield dict(_BAD)
+            if not resync(head_end):
+                return
             continue
-        body = data[head_end + 4:head_end + 4 + length]
-        pos = head_end + 4 + length
+        if head_end + 4 + length > max_record_bytes:
+            # oversized record: skip its payload in bounded chunks
+            yield dict(_BAD)
+            remaining = head_end + 4 + length - len(buf)
+            buf.clear()
+            while remaining > 0 and not eof:
+                chunk = reader.read(min(chunk_bytes, remaining))
+                if not chunk:
+                    eof = True
+                    break
+                remaining -= len(chunk)
+            if not resync(0):
+                return
+            continue
+        fill(head_end + 4 + length)
+        if len(buf) < head_end + 4 + length:
+            # bogus length or truncated archive: the chopped payload must
+            # not enter the table as a healthy page; later records behind a
+            # lying Content-Length are still recovered by the resync
+            yield dict(_BAD)
+            if not resync(head_end):
+                return
+            continue
+        body = bytes(buf[head_end + 4:head_end + 4 + length])
+        del buf[:head_end + 4 + length]
         yield {
             "type": headers.get("warc-type", ""),
             "url": headers.get("warc-target-uri"),
             "date": headers.get("warc-date"),
             "payload": body,
         }
+
+
+def parse_warc(data: bytes) -> Iterator[dict[str, Any]]:
+    """In-memory convenience wrapper over :func:`parse_warc_stream` (same
+    record semantics) — tests and small fixtures; the Spark readers stream."""
+    if data[:2] == b"\x1f\x8b":  # gzip magic — multi-member streams read fine
+        return parse_warc_stream(gzip.GzipFile(fileobj=io.BytesIO(data)))
+    return parse_warc_stream(io.BytesIO(data))
 
 
 def http_body(block: bytes) -> bytes:
@@ -180,10 +251,99 @@ def _parse_warc_date(s: str | None):
         return None
 
 
+def _list_warc_uris(path: str) -> list[str]:
+    """Driver-side listing: directory (recursive), single file, or a
+    ``dir/*.warc.gz``-style glob → full URIs (``file://`` for local paths;
+    the original scheme otherwise).  pyarrow.fs handles every scheme the
+    executors will re-open."""
+    import fnmatch
+    import os
+
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        fsys, p = pafs.FileSystem.from_uri(path)
+    else:
+        scheme = "file"
+        fsys, p = pafs.LocalFileSystem(), os.path.abspath(path)
+
+    def uri(fp: str) -> str:
+        return f"{scheme}://{fp}" if not fp.startswith(f"{scheme}://") else fp
+
+    info = fsys.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(p, recursive=True)
+        return sorted(
+            uri(i.path) for i in fsys.get_file_info(sel)
+            if i.type == pafs.FileType.File
+            and i.path.endswith((".warc", ".warc.gz")))
+    if info.type == pafs.FileType.File:
+        return [uri(p)]
+    base, pat = os.path.split(p)
+    sel = pafs.FileSelector(base, recursive=False)
+    return sorted(
+        uri(i.path) for i in fsys.get_file_info(sel)
+        if i.type == pafs.FileType.File
+        and fnmatch.fnmatch(os.path.basename(i.path), pat))
+
+
+def _open_warc_stream(file_uri: str):
+    """Executor-side: streaming reader for one archive URI.  ``.gz`` names
+    decompress in-stream (pyarrow's extension detection); bare names are
+    sniffed by magic with the two probe bytes stitched back (CC publishes
+    both namings)."""
+    from pyarrow import fs as pafs
+
+    fsys, p = pafs.FileSystem.from_uri(file_uri)
+    raw = fsys.open_input_stream(p)  # compression='detect': .gz streams
+    if file_uri.endswith(".gz"):     # arrive already decompressed
+        return raw
+    probe = raw.read(2)
+    stitched = _PrefixReader(probe, raw)
+    if probe == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=stitched)
+    return stitched
+
+
+class _PrefixReader:
+    """Minimal reader that replays ``prefix`` before delegating — the
+    pushback needed after magic sniffing on a non-seekable stream."""
+
+    def __init__(self, prefix: bytes, stream) -> None:
+        self._prefix = prefix
+        self._stream = stream
+
+    def read(self, n: int = -1) -> bytes:
+        if self._prefix:
+            if n is None or n < 0:
+                out = self._prefix + self._stream.read(-1)
+                self._prefix = b""
+                return out
+            out, self._prefix = self._prefix[:n], self._prefix[n:]
+            if len(out) < n:
+                out += self._stream.read(n - len(out))
+            return out
+        return self._stream.read(n)
+
+
+def _file_tasks(spark: SparkSession, path: str) -> DataFrame:
+    uris = _list_warc_uris(path)
+    df = spark.createDataFrame([(u,) for u in uris] or [(None,)],
+                               "path string")
+    if not uris:
+        return df.where("path IS NOT NULL")  # empty, schema intact
+    return df.repartition(len(uris))  # one archive per task
+
+
 def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     """Read ``*.warc`` / ``*.warc.gz`` files under ``path`` into the
     input_hint pages shape.  One row per HTTP response record; ``lang``
-    starts null (language-ID is a downstream operator)."""
+    starts null (language-ID is a downstream operator).
+
+    Ranged/streamed form: each task opens its archive as a pyarrow input
+    stream and parses incrementally (:func:`parse_warc_stream`) — peak
+    task memory is the record-size cap, never the archive size."""
 
     def run(batches):
         import pyarrow as pa
@@ -198,15 +358,18 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
             ], names=["url", "warc_ts", "html", "text", "lang"])
 
         for b in batches:
-            # chunked emission: never hold a whole decompressed archive's
-            # payloads in one Arrow batch (int32 offset cap ≈ 2 GiB; CC
-            # segments decompress to 3-5 GB)
+            # chunked emission: never hold a whole archive's payloads in
+            # one Arrow batch (int32 offset cap ≈ 2 GiB)
             urls: list[str | None] = []
             tss: list = []
             payloads: list[bytes | None] = []
-            for blob in b.column("content"):
+            for uri in b.column("path").to_pylist():
                 try:
-                    for rec in parse_warc(blob.as_py()):
+                    reader = _open_warc_stream(uri)
+                except Exception:  # noqa: BLE001 - unreadable file: health
+                    continue       # lives in warc_scan_report
+                try:
+                    for rec in parse_warc_stream(reader):
                         if rec["type"] != "response":
                             continue
                         urls.append(rec["url"])
@@ -216,19 +379,24 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
                             yield flush(urls, tss, payloads)
                             urls, tss, payloads = [], [], []
                 except Exception:  # noqa: BLE001 - corrupt archive: rows
-                    # already flushed stand; health is in warc_scan_report
-                    continue
+                    continue       # already flushed stand
+                finally:
+                    try:
+                        reader.close()
+                    except Exception:  # noqa: BLE001
+                        pass
             if urls:
                 yield flush(urls, tss, payloads)
 
-    files = spark.read.format("binaryFile").load(path).select("content")
-    return files.mapInArrow(run, PAGES_SCHEMA)
+    return _file_tasks(spark, path).mapInArrow(run, PAGES_SCHEMA)
 
 
 def warc_scan_report(spark: SparkSession, path: str) -> DataFrame:
     """Per-file parse health: ``(file, n_response, n_other, n_bad,
     parse_error)`` — the observability row for corrupt archives that
-    :func:`warc_pages` (deliberately) skips past."""
+    :func:`warc_pages` (deliberately) skips past.  Streams like
+    :func:`warc_pages`; an unopenable file reports its error instead of
+    vanishing."""
     from pyspark.sql.types import (
         IntegerType,
         StringType,
@@ -250,11 +418,13 @@ def warc_scan_report(spark: SparkSession, path: str) -> DataFrame:
         for b in batches:
             rows = {"file": [], "n_response": [], "n_other": [],
                     "n_bad": [], "parse_error": []}
-            for fname, blob in zip(b.column("path"), b.column("content")):
+            for uri in b.column("path").to_pylist():
                 n_resp = n_other = n_bad = 0
                 err = None
+                reader = None
                 try:
-                    for rec in parse_warc(blob.as_py()):
+                    reader = _open_warc_stream(uri)
+                    for rec in parse_warc_stream(reader):
                         if rec["type"] == "response":
                             n_resp += 1
                         elif rec["type"] == "_bad":
@@ -263,7 +433,13 @@ def warc_scan_report(spark: SparkSession, path: str) -> DataFrame:
                             n_other += 1
                 except Exception as exc:  # noqa: BLE001
                     err = f"{type(exc).__name__}: {exc}"
-                rows["file"].append(fname.as_py())
+                finally:
+                    if reader is not None:
+                        try:
+                            reader.close()
+                        except Exception:  # noqa: BLE001
+                            pass
+                rows["file"].append(uri)
                 rows["n_response"].append(n_resp)
                 rows["n_other"].append(n_other)
                 rows["n_bad"].append(n_bad)
@@ -276,9 +452,7 @@ def warc_scan_report(spark: SparkSession, path: str) -> DataFrame:
                  pa.array(rows["parse_error"], pa.string())],
                 names=list(rows))
 
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
-    return files.mapInArrow(run, schema)
+    return _file_tasks(spark, path).mapInArrow(run, schema)
 
 
 def write_warc(records: list[dict[str, Any]], compress: bool = False) -> bytes:

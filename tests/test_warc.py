@@ -1,6 +1,7 @@
 """WARC source: record parsing, HTTP envelope stripping, gzip handling,
 malformed-record resync, and the Spark reader feeding the extraction DAG."""
 
+import io
 import os
 
 import pytest
@@ -155,3 +156,70 @@ def test_batched_emission_over_chunk_boundary(spark, build_dir):
     pages = warc_pages(spark, wdir)
     assert pages.count() == n
     assert pages.select("url").distinct().count() == n
+
+
+class TestStreamedBoundedMemory:
+    """Round-2 ranged-read guarantee: the archive is parsed from a stream
+    with peak memory bounded by the record cap, never archive size."""
+
+    class CountingReader:
+        def __init__(self, data: bytes):
+            self._bio = io.BytesIO(data)
+            self.max_read_request = 0
+            self.n_reads = 0
+
+        def read(self, n: int = -1) -> bytes:
+            self.n_reads += 1
+            self.max_read_request = max(self.max_read_request, n)
+            return self._bio.read(n)
+
+    def test_multi_chunk_archive_never_materialized(self):
+        from pdf_ocr_engine_spark.sources.warc import parse_warc_stream
+
+        n = 300
+        recs = [{"url": f"https://s{i}.example/p",
+                 "date": "2025-06-01T00:00:00Z",
+                 "body": b"x" * 2048} for i in range(n)]
+        data = write_warc(recs)
+        assert len(data) > 600_000  # the whole archive is >> the bounds
+        reader = self.CountingReader(data)
+        out = [r for r in parse_warc_stream(reader, chunk_bytes=4096,
+                                            max_record_bytes=16384)
+               if r["type"] == "response"]
+        assert len(out) == n
+        # no single read ever asked for more than one chunk — the parser
+        # cannot have materialized the archive
+        assert reader.max_read_request == 4096
+        assert reader.n_reads >= len(data) // 4096
+
+    def test_oversized_record_skipped_with_bounded_discard(self):
+        from pdf_ocr_engine_spark.sources.warc import parse_warc_stream
+
+        recs = [
+            {"url": "https://small1.example/", "date": "2025-06-01T00:00:00Z",
+             "body": b"ok-1"},
+            {"url": "https://huge.example/", "date": "2025-06-01T00:00:00Z",
+             "body": b"z" * 200_000},  # beyond the 16 KB cap below
+            {"url": "https://small2.example/", "date": "2025-06-01T00:00:00Z",
+             "body": b"ok-2"},
+        ]
+        reader = self.CountingReader(write_warc(recs))
+        out = list(parse_warc_stream(reader, chunk_bytes=4096,
+                                     max_record_bytes=16384))
+        types = [r["type"] for r in out]
+        assert types.count("response") == 2  # both small records survive
+        assert "_bad" in types               # the oversized one is data
+        urls = {r["url"] for r in out if r["type"] == "response"}
+        assert urls == {"https://small1.example/", "https://small2.example/"}
+        assert reader.max_read_request == 4096  # discard was chunked too
+
+    def test_stream_equals_in_memory_parse(self):
+        from pdf_ocr_engine_spark.sources.warc import (
+            parse_warc,
+            parse_warc_stream,
+        )
+
+        data = write_warc(RECS)
+        a = list(parse_warc(data))
+        b = list(parse_warc_stream(io.BytesIO(data), chunk_bytes=7))
+        assert a == b
