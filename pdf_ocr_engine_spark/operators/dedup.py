@@ -281,14 +281,28 @@ def verify_pairs_jaccard(pairs: DataFrame, df: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Exact bigram-Jaccard verification of CANDIDATE pairs — the post-LSH
-    verify tier, which is the only shape that scales: the two joins key on
-    document id against the (narrow) grams projection, so cost is
-    O(candidates), never O(n²).  Output matches
-    :func:`ngram_jaccard_pairs` (n_inter/n_union/jaccard per-mille,
-    integer-exact) so the two tiers share an oracle expression.
+    verify tier, which is the only shape that scales: the corpus is first
+    row-pruned to documents that appear in a candidate pair (broadcast
+    semi-join — the candidate id set is tiny relative to the corpus), THEN
+    bigrams are computed, then the two id-keyed joins attach them — so
+    both the gram shredding and the join are O(candidates), never O(n²).
+    Output matches :func:`ngram_jaccard_pairs` (n_inter/n_union/jaccard
+    per-mille, integer-exact) so the two tiers share an oracle expression.
     """
-    base = df.select(F.col(id_col),
-                     word_bigrams(F.col(text_col)).alias("grams"))
+    # persist: the candidate lineage (LSH signature UDF + banded self-join)
+    # is read twice — once to build the pruning id set, once as the join
+    # spine — and recomputing it doubles the stage's hot spot
+    pairs = pairs.persist()
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .union(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    # no broadcast hint: AQE turns this semi-join into a broadcast when the
+    # candidate set is small, and keeps a shuffled semi-join when it isn't
+    # (at 10^12 docs the id set can exceed driver memory — forcing
+    # broadcast here would be the unscalable choice)
+    pruned = df.join(ids, id_col, "left_semi")
+    base = pruned.select(F.col(id_col),
+                         word_bigrams(F.col(text_col)).alias("grams"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))

@@ -463,7 +463,9 @@ def q_dedup_minhash(spark, sf_dir):
     from .operators.dedup import verify_pairs_jaccard
 
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs)
+    # persist: the banded self-join evaluates both sides of the signature
+    # UDF (the stage's hot spot) — same discipline as minhash_dedup_pairs
+    sigs = minhash_signatures(docs).persist()
     cands = lsh_candidate_pairs(sigs)
     return (verify_pairs_jaccard(cands, docs)
             .where(F.col("jaccard_pm") >= 500))
@@ -482,7 +484,7 @@ def q_dedup_simhash(spark, sf_dir):
     from .operators.dedup import simhash_candidate_pairs, verify_pairs_jaccard
 
     docs = _docs(spark, sf_dir)
-    sh = simhash64(docs)
+    sh = simhash64(docs).persist()  # both band-join sides read the UDF
     cands = simhash_candidate_pairs(sh, max_hamming=7, n_bands=8)
     return (verify_pairs_jaccard(cands, docs)
             .where(F.col("jaccard_pm") >= 950))
