@@ -19,15 +19,19 @@ from __future__ import annotations
 
 import re
 
-# "frag-\ncontinuation" where frag ends with a letter and continuation starts
-# lowercase.  \n is the line separator emitted by layout W6.  The groups
-# capture the fragments so exception handling can test the fused candidate.
-_HYPHEN_BREAK = re.compile(r"([A-Za-z]+)-\n([a-z]+)")
+# A maximal CHAIN of soft breaks: "frag-\ncont-\ncont…" where each fragment
+# ends with a letter and each continuation starts lowercase.  Matching the
+# whole chain (not one break at a time) repairs words split across three or
+# more lines in one pass — a break-at-a-time consuming regex only fixes
+# every other break — and lets exception handling see the full compound.
+# \n is the line separator emitted by layout W6.
+_HYPHEN_CHAIN = re.compile(r"[A-Za-z]+(?:-\n[a-z]+)+")
 
 
 def repair_hyphenation(text: str,
                        exceptions: frozenset[str] | None = None) -> str:
-    """Fuse soft line-break hyphens: ``"exam-\\nple" -> "example"``.
+    """Fuse soft line-break hyphens: ``"exam-\\nple" -> "example"`` — also
+    across chains: ``"super-\\ncali-\\nfragilistic" -> "supercalifragilistic"``.
 
     Hard hyphens (continuation starts with uppercase/digit, e.g.
     ``"Jean-\\nPaul"``) are preserved with the line break intact.
@@ -36,15 +40,26 @@ def repair_hyphenation(text: str,
     ``hyphen_exceptions.txt`` executor asset, ``sources/assets.py``) that
     are legitimately hyphenated — ``"self-\\ncontained"`` joins to
     ``"self-contained"`` (line break removed, hyphen KEPT) instead of
-    fusing to ``"selfcontained"``.
+    fusing to ``"selfcontained"``.  Multi-part compounds work too: if the
+    chain's full hyphen-join (``"mother-in-law"``) is an exception it is
+    kept whole; otherwise each adjacent pair is checked, so unknown parts
+    fuse while known compounds keep their hyphen.
     """
     if not exceptions:
-        return _HYPHEN_BREAK.sub(r"\1\2", text)
+        return _HYPHEN_CHAIN.sub(lambda m: m.group().replace("-\n", ""),
+                                 text)
 
     def repl(m: re.Match) -> str:
-        joined = f"{m.group(1)}-{m.group(2)}"
-        if joined.lower() in exceptions:
-            return joined
-        return m.group(1) + m.group(2)
+        parts = m.group().split("-\n")
+        if "-".join(parts).lower() in exceptions:
+            return "-".join(parts)
+        out = parts[0]
+        for part in parts[1:]:
+            tail = out.rsplit("-", 1)[-1]
+            if f"{tail}-{part}".lower() in exceptions:
+                out += "-" + part
+            else:
+                out += part
+        return out
 
-    return _HYPHEN_BREAK.sub(repl, text)
+    return _HYPHEN_CHAIN.sub(repl, text)

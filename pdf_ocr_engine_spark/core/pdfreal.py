@@ -120,10 +120,13 @@ def _parse_literal_string(d: bytes, p: int) -> tuple[bytes, int]:
                 out.append({"n": 10, "r": 13, "t": 9, "b": 8,
                             "f": 12}[nxt.decode()])
                 p += 2
-            elif nxt.isdigit():
+            elif nxt and nxt in b"01234567":
+                # octal digits only: "\9" is an escaped literal '9' per
+                # spec (handled by the fall-through), and "\778" is octal
+                # 77 followed by a literal '8'
                 k = p + 1
                 oct_d = b""
-                while k < n and len(oct_d) < 3 and d[k:k + 1].isdigit():
+                while k < n and len(oct_d) < 3 and d[k] in b"01234567":
                     oct_d += d[k:k + 1]
                     k += 1
                 out.append(int(oct_d, 8) & 0xFF)
@@ -183,6 +186,8 @@ def _parse_value(d: bytes, p: int) -> tuple[Any, int]:
             out: dict[str, Any] = {}
             while True:
                 p = _skip_ws(d, p)
+                if p >= len(d):
+                    raise ValueError("unterminated dictionary")
                 if d[p:p + 2] == b">>":
                     return out, p + 2
                 if d[p] != 0x2F:
@@ -196,6 +201,8 @@ def _parse_value(d: bytes, p: int) -> tuple[Any, int]:
         arr: list[Any] = []
         while True:
             p = _skip_ws(d, p)
+            if p >= len(d):
+                raise ValueError("unterminated array")
             if d[p] == 0x5D:
                 return arr, p + 1
             val, p = _parse_value(d, p)
@@ -349,7 +356,13 @@ class _Doc:
             if num in self._cache:
                 return self._cache[num]
             raise ValueError(f"missing object {num}")
-        val, p = _parse_value(self.data, pos)
+        try:
+            val, p = _parse_value(self.data, pos)
+        except (IndexError, struct.error) as exc:
+            # truncated trailing object (cut-off download / incremental
+            # update): normalize to ValueError so the per-object recovery
+            # loops skip it instead of aborting the whole document
+            raise ValueError(f"truncated object {num}: {exc}") from exc
         if isinstance(val, dict):
             p2 = _skip_ws(self.data, p)
             if self.data[p2:p2 + 6] == b"stream":
@@ -640,12 +653,16 @@ def _tokenize_content(d: bytes):
                 p += 1
                 continue
             yield ("val", val)
-        elif c == 0x5D or c == 0x3E or c == 0x7B or c == 0x7D:
-            p += 1  # stray delimiter
         else:
             start = p
             while p < n and d[p] not in _WS and d[p] not in _DELIM:
                 p += 1
+            if p == start:
+                # unhandled delimiter (stray ')', ']', '>', '{', '}' …):
+                # ALWAYS advance — an empty "operator" here would loop
+                # forever and hang the task on a malformed stream
+                p += 1
+                continue
             op = d[start:p].decode("latin-1", errors="replace")
             if op == "BI":  # inline image: skip to EI
                 e = d.find(b"EI", p)

@@ -129,7 +129,12 @@ def lsh_bucket_ann(df: DataFrame, query_vec: list[float], k: int = 10,
 
     sig_udf = rp_signature_udf(dim, n_bits, seed)
     signed = df.withColumn("sig", sig_udf(F.col(vec_col)))
-    cand = signed.where(F.col("sig").isin(*[int(p) for p in probes]))
+    # the sig column stores the UNSIGNED signature wrapped into int64
+    # (bit 63 in the sign) — probe literals must wrap the same way or
+    # bit-63 buckets silently never match
+    wrapped = [int(p) - (1 << 64) if p >= (1 << 63) else int(p)
+               for p in probes]
+    cand = signed.where(F.col("sig").isin(*wrapped))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

@@ -632,11 +632,11 @@ def q_ann_lsh(spark, sf_dir):
         (F.lit(200000) + F.col("j")).alias("vec_id"),
         F.transform(
             "embedding",
-            lambda x, i: x + F.lit(0.002) * (F.col("j") + 1)
+            lambda x, i: x + F.lit(0.001) * (F.col("j") + 1)
             * ((i + F.col("j")) % 7 - 3)
         ).alias("embedding"))
     u = base.unionByName(twins)
-    top = lsh_bucket_ann_df(u, qdf, k=10, n_bits=16, max_hamming=3)
+    top = lsh_bucket_ann_df(u, qdf, k=10, n_bits=16, max_hamming=5)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
 
@@ -648,7 +648,7 @@ WITH b AS (
 tw AS (
   SELECT 200000 + j AS vec_id,
          list_transform(range(1, len(qv) + 1),
-             i -> qv[i] + 0.002::DOUBLE * (j + 1) * (((i - 1) + j) % 7 - 3))
+             i -> qv[i] + 0.001::DOUBLE * (j + 1) * (((i - 1) + j) % 7 - 3))
            AS v
   FROM q, range(10) t(j)
 ), u AS (

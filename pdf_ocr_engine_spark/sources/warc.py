@@ -118,7 +118,15 @@ def parse_warc_stream(reader: BinaryIO, chunk_bytes: int = _CHUNK_BYTES,
             fill(len(buf) + chunk_bytes)
             head_end = buf.find(_CRLF2)
         if head_end < 0:
-            return  # truncated / headerless trailing garbage
+            if eof:
+                return  # truncated / headerless trailing garbage
+            # a > max_record_bytes stretch with no header separator:
+            # skip past it and recover the records behind it (the
+            # in-memory parser's resync semantics, memory-bounded)
+            yield dict(_BAD)
+            if not resync(1):
+                return
+            continue
         header_blob = bytes(buf[:head_end])
         if not header_blob.startswith(b"WARC/"):
             yield dict(_BAD)
@@ -141,16 +149,22 @@ def parse_warc_stream(reader: BinaryIO, chunk_bytes: int = _CHUNK_BYTES,
                 return
             continue
         if head_end + 4 + length > max_record_bytes:
-            # oversized record: skip its payload in bounded chunks
+            # oversized record: skip its payload in bounded chunks.  If the
+            # buffer already extends past the record end, the tail holds the
+            # FOLLOWING records — slice, never clear, or they vanish.
             yield dict(_BAD)
-            remaining = head_end + 4 + length - len(buf)
-            buf.clear()
-            while remaining > 0 and not eof:
-                chunk = reader.read(min(chunk_bytes, remaining))
-                if not chunk:
-                    eof = True
-                    break
-                remaining -= len(chunk)
+            record_end = head_end + 4 + length
+            if len(buf) >= record_end:
+                del buf[:record_end]
+            else:
+                remaining = record_end - len(buf)
+                buf.clear()
+                while remaining > 0 and not eof:
+                    chunk = reader.read(min(chunk_bytes, remaining))
+                    if not chunk:
+                        eof = True
+                        break
+                    remaining -= len(chunk)
             if not resync(0):
                 return
             continue

@@ -85,12 +85,22 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     semantics as :func:`sessionize_batch` for in-order data."""
     import datetime as dt
 
+    from pyspark.sql import SparkSession
     from pyspark.sql.streaming.state import (
         GroupState,
         GroupStateTimeout,
     )
 
     gap = dt.timedelta(minutes=gap_minutes)
+
+    # applyInPandasWithState hands the UDF timestamps rendered NAIVE in the
+    # session timezone, while the watermark (and setTimeoutTimestamp) are
+    # UTC epoch ms — localize with the tz captured driver-side or a non-UTC
+    # cluster arms every timeout offset by the zone difference (sessions
+    # flushed early west of UTC, held for hours east of it).
+    _sess = SparkSession.getActiveSession()
+    session_tz = ((_sess.conf.get("spark.sql.session.timeZone")
+                   if _sess else None) or "UTC")
 
     state_schema = "start timestamp, last timestamp, n int"
 
@@ -123,10 +133,16 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
         # Event-time timeout at last_ts + gap: the watermark both bounds
         # state and closes idle sessions (processing-time timeouts would
         # withhold each user's final session until wall-clock idleness).
-        # pd.Timestamp treats naive stamps as UTC — same basis as the
-        # watermark.  Spark requires the armed timestamp to be beyond the
-        # current watermark; clamp for sessions already older than it.
-        timeout_ms = int(pd.Timestamp(cur[1]).timestamp() * 1000
+        # Naive stamps localize to the session timezone before converting
+        # to the watermark's UTC epoch basis (DST fold/gap edges resolve
+        # forward — best-effort within the ambiguous hour).  Spark requires
+        # the armed timestamp to be beyond the current watermark; clamp for
+        # sessions already older than it.
+        last = pd.Timestamp(cur[1])
+        if last.tzinfo is None:
+            last = last.tz_localize(session_tz, ambiguous=True,
+                                    nonexistent="shift_forward")
+        timeout_ms = int(last.timestamp() * 1000
                          + gap.total_seconds() * 1000)
         state.setTimeoutTimestamp(max(timeout_ms,
                                       state.getCurrentWatermarkMs() + 1))

@@ -30,6 +30,20 @@ class TestRepairExceptions:
         assert repair_hyphenation("text exam-\nple more", ex) \
             == "text example more"
 
+    def test_chain_across_three_lines_fully_fused(self):
+        # a consuming break-at-a-time regex only fixes every other break
+        assert repair_hyphenation("super-\ncali-\nfragilistic") \
+            == "supercalifragilistic"
+        assert repair_hyphenation("a-\nb-\nc-\nd end") == "abcd end"
+
+    def test_multipart_exception_kept_whole(self):
+        ex = frozenset({"mother-in-law"})
+        assert repair_hyphenation("my mother-\nin-\nlaw visits", ex) \
+            == "my mother-in-law visits"
+        # unknown chain with the same set still fuses
+        assert repair_hyphenation("super-\ncali-\nfragilistic", ex) \
+            == "supercalifragilistic"
+
     def test_hard_hyphen_untouched_either_way(self):
         for ex in (None, frozenset({"self-contained"})):
             assert repair_hyphenation("Jean-\nPaul", ex) == "Jean-\nPaul"

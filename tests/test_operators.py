@@ -415,6 +415,21 @@ class TestAnnQuality:
         # chance": ~4 of 64 buckets probed => random recall ~= 0.06
         assert sum(recalls) / len(recalls) >= 0.15, recalls
 
+    def test_lsh_full_width_signature_probes_match(self, spark, emb):
+        """n_bits=64 wraps bit 63 into the int64 sign — probe literals must
+        wrap identically or bit-63 buckets silently never match.  The query
+        vector's own bucket always matches its own probe, so the query id
+        must always come back."""
+        from pdf_ocr_engine_spark.operators.ann import lsh_bucket_ann
+
+        for qid in range(5):
+            qv = [float(x) for x in emb.where(f"vec_id = {qid}")
+                  .first()["embedding"]]
+            got = {r.vec_id for r in
+                   lsh_bucket_ann(emb, qv, k=5, n_bits=64,
+                                  multiprobe_bits=0).collect()}
+            assert qid in got
+
 
 class TestConnectedComponents:
     def test_chain_cycle_and_singletons(self, spark):

@@ -343,6 +343,30 @@ class TestRobustness:
         pdf = _assemble(objs)
         assert _tokens(pdf) == ["len"]
 
+    def test_stray_paren_terminates_not_hangs(self):
+        """A stray ')' in a content stream must never hang the tokenizer
+        (an empty operator that makes no progress would loop forever —
+        and max_doc_ms can't interrupt inside the decode)."""
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (ok) Tj ) ] } > ET"])
+        assert _tokens(pdf) == ["ok"]
+
+    def test_nonoctal_escapes(self):
+        r"""'\9' is an escaped literal 9 per spec; '\778' is octal 77 then
+        a literal '8' — neither may raise or desync the scanner."""
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (he\\9llo) Tj "
+                            b"80 0 Td (x\\778y) Tj ET"])
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["he9llo", "x\x3f8y"]
+
+    def test_truncated_trailing_object_recovered(self):
+        """One cut-off trailing object (truncated download / incremental
+        update) must not turn a readable document into decode_error."""
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (alive) Tj ET"])
+        cut = pdf + b"\n99 0 obj\n<< /Type /Foo"
+        assert _tokens(cut) == ["alive"]
+        r = extract_document(cut, "eng")
+        assert r["status"] == "ok"
+
     def test_decode_pdf_arrays_routes_real(self):
         pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (routed) Tj ET"])
         doc = decode_pdf_arrays(pdf)

@@ -223,3 +223,41 @@ class TestStreamedBoundedMemory:
         a = list(parse_warc(data))
         b = list(parse_warc_stream(io.BytesIO(data), chunk_bytes=7))
         assert a == b
+
+    def test_oversized_record_with_buffered_tail_keeps_followers(self):
+        """When the read buffer already extends past an oversized record's
+        end, the tail holds the FOLLOWING records — they must survive."""
+        from pdf_ocr_engine_spark.sources.warc import parse_warc_stream
+
+        recs = [
+            {"url": "https://big.example/", "date": "2025-06-01T00:00:00Z",
+             "body": b"z" * 2000},
+            {"url": "https://after1.example/", "date": "2025-06-01T00:00:00Z",
+             "body": b"ok"},
+            {"url": "https://after2.example/", "date": "2025-06-01T00:00:00Z",
+             "body": b"ok"},
+        ]
+        data = write_warc(recs)
+        # one giant chunk buffers the whole archive before the skip decision
+        out = list(parse_warc_stream(io.BytesIO(data), chunk_bytes=1 << 20,
+                                     max_record_bytes=400))
+        urls = [r["url"] for r in out if r["type"] == "response"]
+        assert urls == ["https://after1.example/", "https://after2.example/"]
+        assert [r["type"] for r in out].count("_bad") == 1
+
+    def test_headerless_stretch_resyncs_to_later_records(self):
+        """A separator-free stretch longer than the record cap must be
+        skipped (as _bad), not end the file — records after it survive."""
+        from pdf_ocr_engine_spark.sources.warc import parse_warc_stream
+
+        garbage = b"G" * 40_000  # no CRLFCRLF anywhere, > 16 KB cap
+        tail = write_warc(
+            [{"url": "https://survivor.example/",
+              "date": "2025-06-01T00:00:00Z", "body": b"alive"}])
+        out = list(parse_warc_stream(io.BytesIO(garbage + b"\r\n\r\n"[0:0]
+                                                + tail),
+                                     chunk_bytes=4096,
+                                     max_record_bytes=16384))
+        urls = [r["url"] for r in out if r["type"] == "response"]
+        assert urls == ["https://survivor.example/"]
+        assert any(r["type"] == "_bad" for r in out)
