@@ -250,15 +250,18 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
         ])).alias("band", "val"),
     )
     l, r = bands.alias("l"), bands.alias("r")
-    pairs = (
+    # hamming filter BEFORE distinct: with narrow bands most collided pairs
+    # are chance agreements far outside the ball — filtering first keeps
+    # the dedup shuffle to the (tiny) surviving pair set
+    return (
         l.join(r, ["band", "val"])
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"),
                 F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

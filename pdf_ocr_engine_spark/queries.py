@@ -476,16 +476,20 @@ _SQL_DEDUP_MINHASH = _sql_jaccard_pairs_ge(500)
 
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pipeline, oracle-checked via containment: 64-bit
-    signatures → 8×8-bit band collision (pigeonhole guarantees every pair
-    within Hamming ≤ 7) → exact bigram-Jaccard verify ≥ 950‰.  On this
-    corpus every ≥ 950‰ pair sits within Hamming ≤ 5 (measured; margin 2),
-    so the oracle's all-pairs ≥ 950‰ recomputation hash-matching proves the
-    banded candidate set lost nothing."""
+    signatures → 16×4-bit band collision (pigeonhole guarantees every pair
+    within Hamming ≤ 15) → exact bigram-Jaccard verify ≥ 950‰.  Measured
+    across all three SFs the worst ≥ 950‰ pair sits at Hamming 10
+    (margin 5), so the oracle's all-pairs ≥ 950‰ recomputation
+    hash-matching proves the banded candidate set lost nothing.  Narrow
+    4-bit bands trade candidate noise for the wide Hamming ball — the
+    hamming filter runs before the dedup shuffle, so the noise dies
+    map-side; at petabyte scale pick the widest bands whose pigeonhole
+    bound (bands-1) still covers the corpus's near-dup Hamming spread."""
     from .operators.dedup import simhash_candidate_pairs, verify_pairs_jaccard
 
     docs = _docs(spark, sf_dir)
     sh = simhash64(docs).persist()  # both band-join sides read the UDF
-    cands = simhash_candidate_pairs(sh, max_hamming=7, n_bands=8)
+    cands = simhash_candidate_pairs(sh, max_hamming=15, n_bands=16)
     return (verify_pairs_jaccard(cands, docs)
             .where(F.col("jaccard_pm") >= 950))
 
