@@ -372,3 +372,50 @@ class TestRobustness:
         doc = decode_pdf_arrays(pdf)
         assert doc.get("flavor") == "real"
         assert doc["pages"][0]["texts"] == ["routed"]
+
+
+class TestFuzzRobustness:
+    """Mutated real-PDF bytes must always come back as a status value —
+    never an exception, never a hang (the review found a tokenizer hang on
+    a stray ')'; this locks the whole class of no-progress bugs out)."""
+
+    def test_random_mutations_never_raise(self):
+        import random
+
+        base = build_searchable_pdf(
+            [{"width": 612.0, "height": 792.0,
+              "spans": layout_words("alpha beta gamma delta eps".split())}])
+        rng = random.Random(1234)
+        statuses = set()
+        for _ in range(300):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                op = rng.random()
+                pos = rng.randrange(len(data))
+                if op < 0.4:      # flip a byte
+                    data[pos] = rng.randrange(256)
+                elif op < 0.7:    # splice junk
+                    data[pos:pos] = bytes(rng.randrange(256)
+                                          for _ in range(rng.randint(1, 24)))
+                else:             # truncate a slice
+                    end = min(len(data), pos + rng.randint(1, 64))
+                    del data[pos:end]
+            r = extract_document(bytes(data), "eng")
+            assert isinstance(r, dict) and "status" in r
+            statuses.add(r["status"])
+        # the fuzz must actually exercise multiple outcomes
+        assert len(statuses) >= 2, statuses
+
+    def test_hostile_content_stream_bytes(self):
+        # delimiters, unterminated strings, binary junk inside the stream
+        hostile = [
+            b"BT )))))) ET",
+            b"BT (unterminated",
+            b"BT /F1 12 Tf [ ( ] ) > } { TJ ET",
+            b"\x00\xff" * 64,
+            b"BT /F1 1e309 Tf 0 0 Td (inf) Tj ET",   # float overflow
+            b"BT /F1 12 Tf " + b"1 " * 2000 + b"Tm ET",  # operand flood
+        ]
+        pdf = _foreign_pdf(hostile, compress=False)
+        r = extract_document(pdf, "eng")
+        assert isinstance(r, dict) and "status" in r

@@ -79,3 +79,46 @@ def test_pricing_summary_partial_agg(spark):
     assert "partial_sum" in plan or "HashAggregate" in plan
     exchanges = plan.count("Exchange hashpartitioning")
     assert exchanges == 1, plan
+
+
+def test_real_pdf_extract_is_narrow(spark):
+    """The real-PDF round-trip query keeps the extract shape: pruned scan,
+    zero Exchange — content-stream parsing adds no shuffle."""
+    from pdf_ocr_engine_spark.queries import q_extract_real_pdf
+
+    plan = plan_str(q_extract_real_pdf(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "n_chars" not in read_schema[0]
+
+
+def test_dedup_minhash_no_cross_product(spark):
+    """The oracle-checked near-dup plan must contain no cartesian/nested-
+    loop join anywhere — candidates come only from (band, band_hash)
+    bucket equality."""
+    from pdf_ocr_engine_spark.queries import q_dedup_minhash
+
+    plan = plan_str(q_dedup_minhash(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dedup_clusters_no_cross_product(spark):
+    """Clustering is fed by the LSH candidate path (VERDICT round-1 item
+    3): no crossJoin may appear in the checked plan."""
+    from pdf_ocr_engine_spark.queries import q_dedup_clusters
+
+    plan = plan_str(q_dedup_clusters(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_topk_single_row_broadcast(spark):
+    """The in-plan query-vector join is a broadcast of ONE row (the only
+    acceptable nested-loop shape) and the top-k never global-sorts."""
+    from pdf_ocr_engine_spark.queries import q_ann_cosine_topk
+
+    plan = plan_str(q_ann_cosine_topk(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -150,3 +150,34 @@ def test_sessionize_batch_without_tiebreak_column(spark):
     out = sorted((r.n_events for r in
                   sessionize_batch(events, 30).collect()))
     assert out == [1, 2]
+
+
+def test_streaming_extracts_real_pdfs(spark, stream_dirs):
+    """Genuine PDF payloads flow through the streaming front-end unchanged:
+    the same extract operator runs per micro-batch, so the real-PDF path
+    needs no streaming-specific code."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_engine_spark.sources.fixtures import text_to_real_pdf_payload
+
+    texts = {"https://r1.example/a": "alpha beta gamma delta",
+             "https://r2.example/b": "five words in this line"}
+    table = pa.table({
+        "url": list(texts),
+        "warc_ts": pa.array([dt.datetime(2025, 1, 1)] * 2,
+                            type=pa.timestamp("us")),
+        "html": pa.array([text_to_real_pdf_payload(t)
+                          for t in texts.values()], type=pa.binary()),
+        "text": ["", ""],
+        "lang": ["eng", "eng"],
+    })
+    pq.write_table(table, os.path.join(stream_dirs["in"], "real.parquet"))
+    _drain(spark, stream_dirs)
+    out = {r.url: r for r in
+           spark.read.parquet(stream_dirs["out"]).collect()}
+    for url, text in texts.items():
+        assert out[url].status == "ok"
+        assert out[url].text.split() == text.split()
