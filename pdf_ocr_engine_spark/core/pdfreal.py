@@ -292,7 +292,56 @@ def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
         body = data.split(b"~>")[0]
         body = bytes(c for c in body if c not in _WS)
         return base64.a85decode(body, adobe=False)
+    if name in ("LZWDecode", "LZW"):
+        parms = parms or {}
+        raw = _lzw_decode(data,
+                          early=int(parms.get("EarlyChange", 1) or 0))
+        pred = int(parms.get("Predictor", 1) or 1)
+        if pred >= 10:
+            raw = _png_unpredict(raw, int(parms.get("Colors", 1)),
+                                 int(parms.get("BitsPerComponent", 8)),
+                                 int(parms.get("Columns", 1)))
+        return raw
     raise ValueError(f"unsupported stream filter {name}")
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF-flavor LZW (ISO 32000 §7.4.4): MSB-first variable-width codes
+    9→12 bits, 256 = clear-table, 257 = EOD, ``EarlyChange`` widens the
+    code size one code early (the default).  Older real-world PDFs (pre-
+    Flate toolchains) still carry it on content streams."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream (code out of range)")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------

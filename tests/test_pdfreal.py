@@ -419,3 +419,67 @@ class TestFuzzRobustness:
         pdf = _foreign_pdf(hostile, compress=False)
         r = extract_document(pdf, "eng")
         assert isinstance(r, dict) and "status" in r
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal PDF-flavor LZW encoder (test twin of core/pdfreal._lzw_decode)."""
+    bits: list[tuple[int, int]] = []
+    width = 9
+
+    def emit(code: int) -> None:
+        bits.append((code, width))
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    out = bytearray()
+    acc = n = 0
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        n += wd
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+class TestLzw:
+    def test_lzw_roundtrip(self):
+        from pdf_ocr_engine_spark.core.pdfreal import _lzw_decode
+
+        for payload in (b"", b"a", b"TOBEORNOTTOBEORTOBEORNOT" * 40,
+                        bytes(range(256)) * 8):
+            assert _lzw_decode(_lzw_encode(payload)) == payload
+
+    def test_lzw_content_stream(self):
+        content = b"BT /F1 12 Tf 72 720 Td (lzw) Tj 60 0 Td (works) Tj ET"
+        data = _lzw_encode(content)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            (f"<< /Filter /LZWDecode /Length {len(data)} >>\nstream\n"
+             ).encode() + data + b"\nendstream",
+        ]
+        pdf = _assemble(objs)
+        assert _tokens(pdf) == ["lzw", "works"]
