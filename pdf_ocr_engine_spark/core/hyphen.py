@@ -54,9 +54,11 @@ def repair_hyphenation(text: str,
         if "-".join(parts).lower() in exceptions:
             return "-".join(parts)
         out = parts[0]
-        for part in parts[1:]:
-            tail = out.rsplit("-", 1)[-1]
-            if f"{tail}-{part}".lower() in exceptions:
+        for i, part in enumerate(parts[1:], start=1):
+            # check the ORIGINAL adjacent pair, not the fused accumulator:
+            # in "un-\nself-\ncontained" the pair behind "contained" is
+            # "self-contained" even after "un"+"self" fused
+            if f"{parts[i - 1]}-{part}".lower() in exceptions:
                 out += "-" + part
             else:
                 out += part

@@ -265,6 +265,22 @@ def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
     return bytes(out)
 
 
+def _apply_predictor(raw: bytes, parms: dict | None) -> bytes:
+    """Shared DecodeParms predictor handling (Flate and LZW take the same
+    parameters): PNG predictors reversed, TIFF predictor 2 rejected loudly
+    — silently passing predicted bytes through would extract wrong text
+    with status='ok'."""
+    parms = parms or {}
+    pred = int(parms.get("Predictor", 1) or 1)
+    if pred >= 10:
+        return _png_unpredict(raw, int(parms.get("Colors", 1)),
+                              int(parms.get("BitsPerComponent", 8)),
+                              int(parms.get("Columns", 1)))
+    if pred != 1:
+        raise ValueError(f"unsupported predictor {pred}")
+    return raw
+
+
 def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
     if name in ("FlateDecode", "Fl"):
         try:
@@ -272,15 +288,7 @@ def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
         except zlib.error:
             # tolerate trailing garbage / missing adler (seen in the wild)
             raw = zlib.decompressobj().decompress(data)
-        parms = parms or {}
-        pred = int(parms.get("Predictor", 1) or 1)
-        if pred >= 10:
-            raw = _png_unpredict(raw, int(parms.get("Colors", 1)),
-                                 int(parms.get("BitsPerComponent", 8)),
-                                 int(parms.get("Columns", 1)))
-        elif pred != 1:
-            raise ValueError(f"unsupported predictor {pred}")
-        return raw
+        return _apply_predictor(raw, parms)
     if name in ("ASCIIHexDecode", "AHx"):
         body = data.split(b">")[0]
         hx = bytes(c for c in body if c not in _WS).decode("latin-1")
@@ -296,20 +304,24 @@ def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
         parms = parms or {}
         raw = _lzw_decode(data,
                           early=int(parms.get("EarlyChange", 1) or 0))
-        pred = int(parms.get("Predictor", 1) or 1)
-        if pred >= 10:
-            raw = _png_unpredict(raw, int(parms.get("Colors", 1)),
-                                 int(parms.get("BitsPerComponent", 8)),
-                                 int(parms.get("Columns", 1)))
-        return raw
+        return _apply_predictor(raw, parms)
     raise ValueError(f"unsupported stream filter {name}")
 
 
-def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+#: LZW expansion bound: table entries grow a byte per code, so k input
+#: codes can emit O(k²) output — a small hostile stream would otherwise
+#: OOM the worker where max_doc_ms can't interrupt.
+_LZW_MAX_OUT = 64 << 20
+
+
+def _lzw_decode(data: bytes, early: int = 1,
+                max_out: int = _LZW_MAX_OUT) -> bytes:
     """PDF-flavor LZW (ISO 32000 §7.4.4): MSB-first variable-width codes
     9→12 bits, 256 = clear-table, 257 = EOD, ``EarlyChange`` widens the
     code size one code early (the default).  Older real-world PDFs (pre-
-    Flate toolchains) still carry it on content streams."""
+    Flate toolchains) still carry it on content streams.  Output is capped
+    at ``max_out`` (quadratic-expansion bombs become ValueError →
+    decode_error, not executor OOM)."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -336,6 +348,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             else:
                 raise ValueError("corrupt LZW stream (code out of range)")
             out += entry
+            if len(out) > max_out:
+                raise ValueError("LZW stream expands past the output cap")
             if prev is not None:
                 table.append(prev + entry[:1])
             prev = entry

@@ -619,7 +619,8 @@ def q_ann_lsh(spark, sf_dir):
     vector (cosine ≥ 0.999, far above the corpus's natural ≈ 0.55 ceiling)
     are unioned in; the true top-10 is therefore the query plus its 9
     nearest twins, which the DuckDB oracle computes by brute force.  The
-    LSH lookup (16-bit signature, Hamming-≤3 multiprobe, exact re-rank)
+    LSH lookup (16-bit signature, Hamming-≤5 multiprobe — sized so the
+    twins' signature drift stays inside the ball at every SF, exact re-rank)
     must return exactly that list — a 100%-recall-on-planted-neighbours
     value check.  The query vector and its signature join in-plan
     (broadcast), no driver ``.first()``."""

@@ -115,8 +115,12 @@ def parse_warc_stream(reader: BinaryIO, chunk_bytes: int = _CHUNK_BYTES,
             return
         head_end = buf.find(_CRLF2)
         while head_end < 0 and not eof and len(buf) < max_record_bytes:
+            # resume the separator search where the last pass ended (minus
+            # a 3-byte overlap for a split CRLF2) — restarting from zero
+            # makes a long separator-free stretch quadratic
+            searched = max(0, len(buf) - 3)
             fill(len(buf) + chunk_bytes)
-            head_end = buf.find(_CRLF2)
+            head_end = buf.find(_CRLF2, searched)
         if head_end < 0:
             if eof:
                 return  # truncated / headerless trailing garbage

@@ -38,6 +38,30 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+def _resolve_tz(name: str):
+    """Spark accepts any java.time.ZoneId (region ids, 'GMT+8', '+08:00');
+    pandas/zoneinfo reject some of them — normalize DRIVER-side to a tzinfo
+    object the executor closure can always localize with, instead of
+    crashing every micro-batch with UnknownTimeZoneError."""
+    import datetime as dt
+    import re
+
+    try:
+        import zoneinfo
+
+        return zoneinfo.ZoneInfo(name)
+    except Exception:  # noqa: BLE001 - fall through to offset parsing
+        pass
+    m = re.fullmatch(r"(?:GMT|UTC|UT)?\s*([+-])(\d{1,2})(?::?(\d{2}))?",
+                     name.strip())
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        offset = dt.timedelta(hours=int(m.group(2)),
+                              minutes=int(m.group(3) or 0))
+        return dt.timezone(sign * offset)
+    return dt.timezone.utc  # unparseable id: documented UTC fallback
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType(), False),
     StructField("session_start", TimestampType(), False),
@@ -99,8 +123,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     # cluster arms every timeout offset by the zone difference (sessions
     # flushed early west of UTC, held for hours east of it).
     _sess = SparkSession.getActiveSession()
-    session_tz = ((_sess.conf.get("spark.sql.session.timeZone")
-                   if _sess else None) or "UTC")
+    session_tz = _resolve_tz((_sess.conf.get("spark.sql.session.timeZone")
+                              if _sess else None) or "UTC")
 
     state_schema = "start timestamp, last timestamp, n int"
 

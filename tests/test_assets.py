@@ -132,3 +132,14 @@ class TestExecutorAsset:
         assert 0 < len(lines) <= 2, lines
         pids = {ln.split("\t")[0] for ln in lines}
         assert len(pids) == len(lines)  # distinct workers, not re-reads
+
+
+class TestChainPairSemantics:
+    def test_pair_checked_against_original_fragment(self):
+        # the pair behind each continuation is the ORIGINAL previous part,
+        # even after earlier fragments fused
+        ex = frozenset({"in-law"})
+        assert repair_hyphenation("mother-\nin-\nlaw", ex) == "motherin-law"
+        ex2 = frozenset({"self-contained"})
+        assert repair_hyphenation("un-\nself-\ncontained", ex2) \
+            == "unself-contained"

@@ -483,3 +483,17 @@ class TestLzw:
         ]
         pdf = _assemble(objs)
         assert _tokens(pdf) == ["lzw", "works"]
+
+    def test_lzw_tiff_predictor_rejected(self):
+        from pdf_ocr_engine_spark.core.pdfreal import _apply_filter
+
+        data = _lzw_encode(b"abcdef")
+        with pytest.raises(ValueError, match="predictor"):
+            _apply_filter("LZWDecode", data, {"Predictor": 2, "Columns": 3})
+
+    def test_lzw_expansion_bomb_capped(self):
+        from pdf_ocr_engine_spark.core.pdfreal import _lzw_decode
+
+        payload = _lzw_encode(b"ab" * 200_000)
+        with pytest.raises(ValueError, match="cap"):
+            _lzw_decode(payload, max_out=10_000)
