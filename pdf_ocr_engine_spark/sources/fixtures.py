@@ -78,18 +78,24 @@ def text_to_pdf_payload(text: str, words_per_line: int = WORDS_PER_LINE) -> byte
 
 
 def text_to_real_pdf_payload(text: str,
-                             words_per_line: int = WORDS_PER_LINE) -> bytes:
-    """One-page *genuine* PDF 1.4 (``core/pdfwrite``) whose text layer sits
-    on the same grid — re-extraction via the real content-stream parser
+                             words_per_line: int = WORDS_PER_LINE,
+                             words_per_page: int | None = None) -> bytes:
+    """*Genuine* PDF 1.4 (``core/pdfwrite``) whose text layer sits on the
+    same grid — re-extraction via the real content-stream parser
     (``core/pdfreal``) must reproduce the token stream (writer and parser
-    oracle each other)."""
+    oracle each other).  With ``words_per_page`` the tokens paginate, so
+    the round-trip also proves page-tree traversal ORDER (a shuffled Kids
+    array would reorder the token stream)."""
     from ..core.pdfwrite import build_searchable_pdf
 
     tokens = text.split()
-    return build_searchable_pdf([{
-        "width": 612.0, "height": 792.0,
-        "spans": layout_words(tokens, words_per_line),
-    }])
+    per_page = words_per_page or max(len(tokens), 1)
+    pages = [
+        {"width": 612.0, "height": 792.0,
+         "spans": layout_words(tokens[i:i + per_page], words_per_line)}
+        for i in range(0, len(tokens), per_page)
+    ] or [{"width": 612.0, "height": 792.0, "spans": []}]
+    return build_searchable_pdf(pages)
 
 
 # --------------------------------------------------------------------------

@@ -40,11 +40,18 @@ def _text_to_payload(text):
     return text.map(lambda t: text_to_pdf_payload(t or "", WORDS_PER_LINE))
 
 
+#: tokens per page in the real-PDF round-trip corpus — multi-page payloads
+#: make the oracle sensitive to page-tree traversal order
+REAL_PDF_WORDS_PER_PAGE = 36
+
+
 @F.pandas_udf(BinaryType())
 def _text_to_real_payload(text):
-    """Vectorized text → genuine PDF 1.4 payload (real content streams)."""
+    """Vectorized text → genuine PDF 1.4 payload (real content streams,
+    paginated)."""
     return text.map(
-        lambda t: text_to_real_pdf_payload(t or "", WORDS_PER_LINE))
+        lambda t: text_to_real_pdf_payload(t or "", WORDS_PER_LINE,
+                                           REAL_PDF_WORDS_PER_PAGE))
 
 
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
