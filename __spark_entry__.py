@@ -37,8 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin per query.  Omitted keys
-    (dedup_minhash, dedup_simhash, dedup_embedding_lsh, ann_lsh) are
-    signature-algebra operators with no SQL equivalent → driver records the
-    weaker rows-only check."""
+    """DuckDB-runnable ANSI SQL twin per query — EVERY registry entry has
+    one (38/38).  The LSH tiers (dedup_minhash, dedup_simhash,
+    dedup_embedding_lsh, ann_lsh) are value-checked via their
+    containment/recall property: the oracle recomputes all above-threshold
+    pairs (or the true top-k over planted near-duplicates) from scratch,
+    so a hash match proves the bucketed candidate generation lost
+    nothing."""
     return dict(ORACLES)
