@@ -137,6 +137,56 @@ FROM t
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip (S1 on raw archives): documents → real WARC
+    archives (half gzipped) written once to ``_build`` → streamed reader
+    (``sources/warc.warc_pages``: pyarrow.fs input streams, bounded-memory
+    incremental parse, HTTP envelope strip) → per-record byte content.
+    The oracle recomputes every record's exact body bytes from the source
+    text (md5 + length), so framing, de-chunking, and payload slicing are
+    value-checked — not just row counts."""
+    import os
+
+    from .sources.warc import warc_pages, write_warc
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "_build", f"warc_oracle_{sf_tag}")
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        rows = (_docs(spark, sf_dir).select("doc_id", "text")
+                .orderBy("doc_id").collect())
+        shards: dict[int, list] = {i: [] for i in range(4)}
+        for r in rows:
+            shards[r.doc_id % 4].append({
+                "url": f"https://warc{r.doc_id % 4}.example/doc/{r.doc_id}",
+                "date": "2025-01-01T00:00:00Z",
+                "body": (r.text or "").encode("utf-8"),
+            })
+        for i, recs in shards.items():
+            gz = i % 2 == 1
+            name = f"part{i}.warc.gz" if gz else f"part{i}.warc"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(write_warc(recs, compress=gz))
+        with open(marker, "w") as f:
+            f.write("ok")
+    pages = warc_pages(spark, out_dir)
+    return pages.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+    )
+
+
+_SQL_WARC_ROUNDTRIP = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
 def q_pipeline_train(spark, sf_dir):
     """The composed training-data pipeline: wrap → EXTRACT (full decode +
     layout) → quality filter on the EXTRACTED text → exact-dedup keepers →
@@ -1302,6 +1352,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents": q_extract_documents,
     "extract_real_pdf": q_extract_real_pdf,
+    "warc_roundtrip": q_warc_roundtrip,
     "pipeline_train": q_pipeline_train,
     "sniff_prefix": q_sniff_prefix,
     "guard_size": q_guard_size,
@@ -1343,6 +1394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "extract_documents": _SQL_EXTRACT_DOCUMENTS,
     "extract_real_pdf": _SQL_EXTRACT_REAL_PDF,
+    "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
     "pipeline_train": _SQL_PIPELINE_TRAIN,
     "sniff_prefix": _SQL_SNIFF_PREFIX,
     "guard_size": _SQL_GUARD_SIZE,
