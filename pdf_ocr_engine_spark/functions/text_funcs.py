@@ -82,3 +82,34 @@ def lang_id(col: Column) -> Column:
     for lg in ("de", "es", "fr", "en"):
         expr = F.when((hits[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
     return expr
+
+
+def top_ngram_stats(df, n: int = 1, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per-document n-gram dominance — the Gopher-style repetition signal
+    (Rae et al. 2021 §A1.1: documents whose most frequent n-gram covers a
+    large fraction of the text are boilerplate/spam): ``(id, n_grams,
+    top_cnt)`` where ``top_cnt`` is the count of the most frequent n-gram.
+
+    Pure relational plan: explode → two-phase count per (doc, gram) → max/
+    sum per doc.  Both aggregations combine map-side, and the shuffle key
+    (doc, gram) is high-cardinality and unskewed — the shape survives
+    10^12 documents.  Empty documents drop out here; callers zero-fill
+    with a left join (see ``q_repetition``)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(norm_ws(F.col(text_col))), " ")
+    if n == 1:
+        grams = toks
+    else:
+        width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        parts = [F.slice(toks, i + 1, width) for i in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = F.zip_with(grams, p, lambda a, b: F.concat_ws("_", a, b))
+    g = (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+         .where(F.col("gram") != ""))
+    per = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_cnt"))

@@ -349,6 +349,82 @@ FROM f
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (training-data quality, beyond the
+    reference): per-document top-unigram and top-bigram dominance in
+    per-mille, with the repetition flag at the published ~0.18 top-2-gram
+    threshold.  Pure relational two-phase aggregations (map-side combine,
+    high-cardinality unskewed keys); empty documents zero-fill via left
+    join."""
+    from .functions.text_funcs import top_ngram_stats
+
+    docs = _docs(spark, sf_dir)
+    u = top_ngram_stats(docs, n=1)
+    b = top_ngram_stats(docs, n=2)
+    pm = lambda top, tot: F.coalesce(  # noqa: E731 - local twin of SQL expr
+        (top * 1000).cast("long") / tot, F.lit(0)).cast("long")
+    return (docs.select("doc_id")
+            .join(u.select(F.col("doc_id"),
+                           F.col("n_grams").alias("n_unigrams"),
+                           F.col("top_cnt").alias("top_uni_cnt")),
+                  "doc_id", "left")
+            .join(b.select(F.col("doc_id"),
+                           F.col("n_grams").alias("n_bigrams"),
+                           F.col("top_cnt").alias("top_bi_cnt")),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_unigrams", F.lit(0)).alias("n_unigrams"),
+                    F.coalesce("top_uni_cnt", F.lit(0)).alias("top_uni_cnt"),
+                    pm(F.col("top_uni_cnt"), F.col("n_unigrams"))
+                    .alias("top_uni_pm"),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("top_bi_cnt", F.lit(0)).alias("top_bi_cnt"),
+                    pm(F.col("top_bi_cnt"), F.col("n_bigrams"))
+                    .alias("top_bi_pm"))
+            .withColumn("is_repetitive", F.col("top_bi_pm") >= 180))
+
+
+_SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g'), ' ')
+         END AS t
+  FROM documents
+), uni AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS gram FROM toks) GROUP BY 1, 2
+), u AS (
+  SELECT doc_id, sum(c) AS n_unigrams, max(c) AS top_uni_cnt
+  FROM uni GROUP BY 1
+), bi AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || '_' || t[i+1])) AS gram
+        FROM toks) GROUP BY 1, 2
+), b AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi_cnt
+  FROM bi GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(u.n_unigrams, 0) AS BIGINT) AS n_unigrams,
+       CAST(coalesce(u.top_uni_cnt, 0) AS BIGINT) AS top_uni_cnt,
+       CAST(coalesce((u.top_uni_cnt * 1000) // u.n_unigrams, 0) AS BIGINT)
+         AS top_uni_pm,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(b.top_bi_cnt, 0) AS BIGINT) AS top_bi_cnt,
+       CAST(coalesce((b.top_bi_cnt * 1000) // b.n_bigrams, 0) AS BIGINT)
+         AS top_bi_pm,
+       coalesce((b.top_bi_cnt * 1000) // b.n_bigrams, 0) >= 180
+         AS is_repetitive
+FROM documents d
+LEFT JOIN u ON u.doc_id = d.doc_id
+LEFT JOIN b ON b.doc_id = d.doc_id
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
@@ -1360,6 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyphen_repair": q_hyphen_repair,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
+    "repetition": q_repetition,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -1402,6 +1479,7 @@ ORACLES: dict[str, str] = {
     "hyphen_repair": _SQL_HYPHEN_REPAIR,
     "token_count": _SQL_TOKEN_COUNT,
     "quality_score": _SQL_QUALITY_SCORE,
+    "repetition": _SQL_REPETITION,
     "lang_id": _SQL_LANG_ID,
     "fingerprint": _SQL_FINGERPRINT,
     "dedup_exact": _SQL_DEDUP_EXACT,
