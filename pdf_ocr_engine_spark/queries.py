@@ -425,6 +425,93 @@ LEFT JOIN b ON b.doc_id = d.doc_id
 """
 
 
+def q_host_stats(spark, sf_dir):
+    """Per-host corpus lineage (the north_rule's host-prefix concern as an
+    analytics query): host extracted from the url with a regex (pure
+    Catalyst), then a two-phase aggregate of docs / bytes / quality hits
+    per host — the stats that drive salting decisions and per-partition
+    lineage at crawl scale."""
+    pages = pages_from_documents(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", T.quality_features(F.col("text"))["is_quality"]
+        .alias("is_q"), F.col("n_chars"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    return (pages.select(host.alias("host"), "doc_id")
+            .join(docs, "doc_id")
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum(F.when(F.col("is_q"), 1).otherwise(0)).cast("long")
+                  .alias("n_quality")))
+
+
+_SQL_HOST_STATS = r"""
+WITH f AS (
+  SELECT doc_id, source || '.example' AS host, n_chars,
+         (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              x -> x IN ('the','and','of','to','a','in','is','it'))) * 10
+          >= CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+         AND (CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 5)
+           AS is_q
+  FROM documents
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM f GROUP BY host
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (training-data hygiene, beyond the reference):
+    deterministic synthetic emails/phones are injected per document, then
+    scrubbed with pure-Catalyst regex replacement; the oracle reruns the
+    same construction + scrub in DuckDB, and the md5 of the scrubbed text
+    plus the redaction counts must hash-match — so the regex semantics are
+    value-checked across engines, not assumed."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-555-[0-9]{4}"
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".example or +1-555-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, email_re, "<EMAIL>"), phone_re, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(dirty, F.lit(email_re), F.lit(0)))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(phone_re), F.lit(0)))
+         .cast("long").alias("n_phones"))
+
+
+_SQL_PII_SCRUB = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+              || '.example or +1-555-' || (1000 + doc_id % 9000) AS dirty
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(dirty,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5,
+       CAST(len(regexp_extract_all(dirty,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}')) AS BIGINT)
+         AS n_phones
+FROM d
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
@@ -1437,6 +1524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "repetition": q_repetition,
+    "host_stats": q_host_stats,
+    "pii_scrub": q_pii_scrub,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -1480,6 +1569,8 @@ ORACLES: dict[str, str] = {
     "token_count": _SQL_TOKEN_COUNT,
     "quality_score": _SQL_QUALITY_SCORE,
     "repetition": _SQL_REPETITION,
+    "host_stats": _SQL_HOST_STATS,
+    "pii_scrub": _SQL_PII_SCRUB,
     "lang_id": _SQL_LANG_ID,
     "fingerprint": _SQL_FINGERPRINT,
     "dedup_exact": _SQL_DEDUP_EXACT,
