@@ -181,3 +181,64 @@ def test_streaming_extracts_real_pdfs(spark, stream_dirs):
     for url, text in texts.items():
         assert out[url].status == "ok"
         assert out[url].text.split() == text.split()
+
+
+@pytest.mark.parametrize("tz", ["America/Los_Angeles"])
+def test_sessionize_stream_nonutc_timezone(spark, build_dir, tz):
+    """Event-time timeouts must stay correct when the session timezone is
+    not UTC: stream output must still equal the batch tier on the same
+    input.  (Java-style ids like 'GMT+8' cannot be exercised here: pyarrow
+    itself rejects them while converting Arrow timestamps to pandas inside
+    applyInPandasWithState — upstream of this module's tz handling, which
+    normalizes such ids for the timestamps it does receive.)"""
+    import datetime as dt
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_engine_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = os.path.join(build_dir, f"sess_tz_{tz.replace('/', '_')}")
+    sh.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+
+    t0 = dt.datetime(2025, 3, 9, 0, 30)  # spans the US DST-spring window
+    rows = []
+    for u in range(4):
+        for k in range(6):
+            # two sessions per user: 10-min steps, then a 2-hour gap
+            off = dt.timedelta(minutes=10 * k) if k < 3 else \
+                dt.timedelta(hours=2, minutes=10 * (k - 3))
+            rows.append((u, t0 + off))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        df.write.mode("overwrite").parquet(in_dir)
+        stream_in = spark.readStream.schema("user_id long, ts timestamp") \
+            .parquet(in_dir)
+        q = (sessionize_stream(stream_in, gap_minutes=30)
+             .writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+               for r in spark.read.parquet(out_dir).collect()}
+        batch = sessionize_batch(spark.read.parquet(in_dir), gap_minutes=30)
+        want = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in batch.collect()}
+        # availableNow emits sessions closed by a later event; each user's
+        # final open session stays in state until the watermark passes it,
+        # so the emitted set must be exactly the non-final sessions
+        finals = {max((s for s in want if s[0] == u),
+                      key=lambda s: s[1]) for u in range(4)}
+        assert got == want - finals, (sorted(got), sorted(want))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
