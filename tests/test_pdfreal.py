@@ -497,3 +497,57 @@ class TestLzw:
         payload = _lzw_encode(b"ab" * 200_000)
         with pytest.raises(ValueError, match="cap"):
             _lzw_decode(payload, max_out=10_000)
+
+
+class TestStructureFuzz:
+    """Property-based sweep over the foreign-dialect space: random page
+    counts, filters, positioning operators, and token texts — the parser
+    must recover the exact token stream from structures the repo writer
+    never emits."""
+
+    def test_random_foreign_structures_roundtrip(self):
+        import random
+
+        rng = random.Random(20260817)
+        vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                 "juliet kilo lima mike november oscar papa").split()
+        for trial in range(40):
+            n_pages = rng.randint(1, 4)
+            compress = rng.random() < 0.5
+            expected: list[list[str]] = []
+            contents: list[bytes] = []
+            for _ in range(n_pages):
+                toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+                expected.append(toks)
+                ops = [b"BT /F1 %d Tf" % rng.randint(8, 14)]
+                y = 720
+                style = rng.randrange(3)
+                if style == 0:    # absolute Tm per word
+                    x = 72
+                    for t in toks:
+                        ops.append(b"1 0 0 1 %d %d Tm (%s) Tj"
+                                   % (x, y, t.encode()))
+                        x += 90
+                        if x > 500:
+                            x, y = 72, y - 20
+                elif style == 1:  # relative Td rows
+                    ops.append(b"72 %d Td" % y)
+                    for i, t in enumerate(toks):
+                        if i:
+                            ops.append(b"90 0 Td" if i % 5 else b"-360 -20 Td")
+                        ops.append(b"(%s) Tj" % t.encode())
+                else:             # TJ arrays with kerning, one line per word
+                    ops.append(b"20 TL 72 %d Td" % y)
+                    for t in toks:
+                        half = max(1, len(t) // 2)
+                        ops.append(b"[(%s) %d (%s)] TJ T*"
+                                   % (t[:half].encode(), -rng.randint(0, 40),
+                                      t[half:].encode()))
+                ops.append(b"ET")
+                contents.append(b" ".join(ops))
+            pdf = _foreign_pdf(contents, compress=compress)
+            doc = parse_real_pdf(pdf)
+            assert doc["page_count"] == n_pages, trial
+            for page, toks in zip(doc["pages"], expected):
+                t, _, _ = page_layout_fast(page["texts"], page["coords"])
+                assert t.split() == toks, (trial, t, toks)
