@@ -164,3 +164,56 @@ def lsh_bucket_ann_df(df: DataFrame, query_df: DataFrame, k: int = 10,
         F.col(id_col),
         cosine_sim(F.col(vec_col), F.col("__q_vec")).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate tier
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(df: DataFrame, n_lists: int = 16, seed: int = 42,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               max_iter: int = 20):
+    """Build the IVF coarse quantizer: k-means centroids over the corpus
+    (Spark ML, seeded) and the per-vector inverted-list assignment.
+
+    Returns ``(centroids, assigned)`` where ``centroids`` is a plain
+    ``list[list[float]]`` (index = list id) and ``assigned`` is the input
+    plus an integer ``list_id`` column.  At 10^9 vectors the assigned
+    table is written partitioned/bucketed by ``list_id`` so a probe reads
+    ``nprobe`` lists instead of the corpus — the classic IVF layout; this
+    is INDEX BUILD (one k-means job), not per-query work."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    dfv = df.withColumn(
+        "__vec",
+        array_to_vector(F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double"))))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
+                featuresCol="__vec", predictionCol="list_id")
+    model = km.fit(dfv)
+    centroids = [
+        (c.toArray() if hasattr(c, "toArray") else c).tolist()
+        for c in model.clusterCenters()
+    ]
+    assigned = model.transform(dfv).drop("__vec")
+    return centroids, assigned
+
+
+def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             ) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (tiny driver-side
+    math over ``n_lists`` rows — index metadata, not data), restrict the
+    exact cosine re-rank to the ``nprobe`` nearest inverted lists.  With a
+    ``list_id``-bucketed table the `isin` filter prunes to those buckets."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))
+    probes = [int(i) for i in order[:nprobe]]
+    cand = assigned.where(F.col("list_id").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

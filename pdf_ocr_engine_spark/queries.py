@@ -842,6 +842,14 @@ def q_ann_lsh(spark, sf_dir):
     (broadcast), no driver ``.first()``."""
     from .operators.ann import lsh_bucket_ann_df
 
+    u, qdf = _ann_planted_union(spark, sf_dir)
+    top = lsh_bucket_ann_df(u, qdf, k=10, n_bits=16, max_hamming=5)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+def _ann_planted_union(spark, sf_dir):
+    """(embeddings ∪ 10 planted near-twins of vec 0, query row) — the
+    shared ground-truth corpus for the approximate-ANN recall oracles."""
     emb = _read(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -856,8 +864,28 @@ def q_ann_lsh(spark, sf_dir):
             lambda x, i: x + F.lit(0.001) * (F.col("j") + 1)
             * ((i + F.col("j")) % 7 - 3)
         ).alias("embedding"))
-    u = base.unionByName(twins)
-    top = lsh_bucket_ann_df(u, qdf, k=10, n_bits=16, max_hamming=5)
+    return base.unionByName(twins), qdf
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate ANN — the other scale path the
+    task names alongside LSH: a seeded k-means coarse quantizer assigns
+    every vector to an inverted list (index build, one job; at 10^9
+    vectors the table is written bucketed by ``list_id``), and a probe
+    re-ranks exact cosine inside the ``nprobe`` nearest lists only.
+    Oracle-checked with the same planted-twin recall property as ann_lsh:
+    the twins sit on top of the query vector, so they land in the query's
+    own inverted list REGARDLESS of where k-means placed the centroids —
+    the brute-force top-10 must come back exactly, independent of
+    quantizer randomness.  Centroid ranking is driver-side index-metadata
+    math (n_lists rows), inherent to IVF probing — not a per-row
+    collect."""
+    from .operators.ann import ivf_assign, ivf_topk
+
+    u, qdf = _ann_planted_union(spark, sf_dir)
+    qv = [float(x) for x in qdf.first()["embedding"]]
+    cents, assigned = ivf_assign(u, n_lists=16)
+    top = ivf_topk(assigned, cents, qv, k=10, nprobe=4)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
 
@@ -1537,6 +1565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "media_meta": q_media_meta,
     "resize_images": q_resize_images,
     "embed_media": q_embed_media,
@@ -1587,6 +1616,8 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_lsh": _SQL_DEDUP_EMBEDDING_LSH,
     "ann_cosine_topk": _SQL_ANN_COSINE_TOPK,
     "ann_lsh": _SQL_ANN_LSH,
+    # ann_ivf shares the planted-twin ground truth, hence the same oracle
+    "ann_ivf": _SQL_ANN_LSH,
     "media_meta": _SQL_MEDIA_META,
     "resize_images": _SQL_RESIZE_IMAGES,
     "embed_media": _SQL_EMBED_MEDIA,

@@ -471,3 +471,45 @@ class TestLshGuards:
             lsh_candidate_pairs(sigs, bands=7, n_hashes=64)
         with pytest.raises(ValueError, match="must divide"):
             lsh_candidate_pairs(sigs, bands=128, n_hashes=64)
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").cache()
+
+    def test_ivf_recall_vs_bruteforce(self, spark, emb):
+        """IVF recall well above chance on near-random embeddings (true
+        neighbours are scattered, so the meaningful gate is high recall at
+        a 3/4 probe budget, not perfection; the registry oracle checks
+        exactness on planted twins instead)."""
+        from pdf_ocr_engine_spark.operators.ann import (
+            cosine_topk,
+            ivf_assign,
+            ivf_topk,
+        )
+
+        cents, assigned = ivf_assign(emb, n_lists=16)
+        assigned = assigned.cache()
+        assert len(cents) == 16 and len(cents[0]) == 64
+        recalls = []
+        for qid in range(3):
+            qv = [float(x)
+                  for x in emb.where(f"vec_id = {qid}").first()["embedding"]]
+            exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+            approx = {r.vec_id for r in
+                      ivf_topk(assigned, cents, qv, k=10, nprobe=12).collect()}
+            recalls.append(len(exact & approx) / 10)
+        assert sum(recalls) / len(recalls) >= 0.7, recalls
+        assigned.unpersist()
+
+    def test_ivf_lists_partition_corpus(self, spark, emb):
+        from pdf_ocr_engine_spark.operators.ann import ivf_assign
+
+        cents, assigned = ivf_assign(emb, n_lists=8)
+        counts = {r.list_id: r.c for r in
+                  assigned.groupBy("list_id")
+                  .agg(F.count("*").alias("c")).collect()}
+        assert sum(counts.values()) == emb.count()
+        assert len(counts) > 1  # quantizer actually splits the corpus
