@@ -96,8 +96,6 @@ def top_ngram_stats(df, n: int = 1, text_col: str = "text",
     (doc, gram) is high-cardinality and unskewed — the shape survives
     10^12 documents.  Empty documents drop out here; callers zero-fill
     with a left join (see ``q_repetition``)."""
-    from pyspark.sql import functions as F
-
     toks = F.split(F.trim(norm_ws(F.col(text_col))), " ")
     if n == 1:
         grams = toks

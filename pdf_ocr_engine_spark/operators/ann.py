@@ -184,7 +184,7 @@ def ivf_assign(df: DataFrame, n_lists: int = 16, seed: int = 42,
     ``nprobe`` lists instead of the corpus — the classic IVF layout; this
     is INDEX BUILD (one k-means job), not per-query work."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
     dfv = df.withColumn(
         "__vec",

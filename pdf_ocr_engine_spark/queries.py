@@ -120,6 +120,8 @@ def q_extract_real_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .sources.testdata import REAL_PDF_WORDS_PER_PAGE
+
 _SQL_EXTRACT_REAL_PDF = r"""
 WITH t AS (
   SELECT doc_id,
@@ -130,11 +132,11 @@ WITH t AS (
 SELECT doc_id,
        CASE WHEN len(toks) = 0 THEN 'empty' ELSE 'ok' END AS status,
        CAST(CASE WHEN len(toks) = 0 THEN 1
-            ELSE ceil(len(toks) / 36.0) END AS BIGINT) AS n_pages,
+            ELSE ceil(len(toks) / __WPP__.0) END AS BIGINT) AS n_pages,
        CAST(len(toks) AS BIGINT) AS n_words,
        array_to_string(toks, ' ') AS text_norm
 FROM t
-"""
+""".replace("__WPP__", str(REAL_PDF_WORDS_PER_PAGE))
 
 
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,9 +152,12 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.warc import warc_pages, write_warc
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # v-token in the cache name: a framing/layout change to write_warc or
+    # the shard scheme must invalidate old archives, or the gate would
+    # silently keep passing against stale fixtures
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "_build", f"warc_oracle_{sf_tag}")
+        "_build", f"warc_oracle_v1_{sf_tag}")
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
@@ -875,17 +880,18 @@ def q_ann_ivf(spark, sf_dir):
     re-ranks exact cosine inside the ``nprobe`` nearest lists only.
     Oracle-checked with the same planted-twin recall property as ann_lsh:
     the twins sit on top of the query vector, so they land in the query's
-    own inverted list REGARDLESS of where k-means placed the centroids —
-    the brute-force top-10 must come back exactly, independent of
-    quantizer randomness.  Centroid ranking is driver-side index-metadata
-    math (n_lists rows), inherent to IVF probing — not a per-row
-    collect."""
+    own (or an immediately adjacent) inverted list for any reasonable
+    centroid placement — with half the lists probed the brute-force
+    top-10 must come back exactly, robust to the partitioning-dependent
+    parts of k-means|| initialization.  Centroid ranking is driver-side
+    index-metadata math (n_lists rows), inherent to IVF probing — not a
+    per-row collect."""
     from .operators.ann import ivf_assign, ivf_topk
 
     u, qdf = _ann_planted_union(spark, sf_dir)
     qv = [float(x) for x in qdf.first()["embedding"]]
     cents, assigned = ivf_assign(u, n_lists=16)
-    top = ivf_topk(assigned, cents, qv, k=10, nprobe=4)
+    top = ivf_topk(assigned, cents, qv, k=10, nprobe=8)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
 

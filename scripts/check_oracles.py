@@ -104,7 +104,8 @@ def main() -> int:
                 s_lines = sorted(
                     tuple(norm_cell(r[c]) for c in scols) for r in srows)
                 o_lines = sorted(
-                    tuple(norm_cell(r[c]) for c in ocols) for r in orows)
+                    tuple(norm_cell(r[c]) for c in ocols)
+                    for r in otab.to_pylist())
                 shown = 0
                 for a, b in zip(s_lines, o_lines):
                     if a != b and shown < 3:
