@@ -160,7 +160,13 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_build", f"warc_oracle_v1_{sf_tag}")
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
-        os.makedirs(out_dir, exist_ok=True)
+        # atomic publish: stage into a pid-suffixed dir, rename into place
+        # — a concurrent runner either wins the rename or reads the
+        # winner's complete fixture, never a half-written archive
+        import shutil
+
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
         rows = (_docs(spark, sf_dir).select("doc_id", "text")
                 .orderBy("doc_id").collect())
         shards: dict[int, list] = {i: [] for i in range(4)}
@@ -173,10 +179,14 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, recs in shards.items():
             gz = i % 2 == 1
             name = f"part{i}.warc.gz" if gz else f"part{i}.warc"
-            with open(os.path.join(out_dir, name), "wb") as f:
+            with open(os.path.join(tmp_dir, name), "wb") as f:
                 f.write(write_warc(recs, compress=gz))
-        with open(marker, "w") as f:
+        with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:  # another runner published first — use theirs
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     pages = warc_pages(spark, out_dir)
     return pages.select(
         F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
