@@ -125,12 +125,20 @@ def encode_pdf_json(
     return _HEADER + payload.encode("utf-8") + _FOOTER
 
 
+#: pdf.js-style header recovery window: crawl PDFs frequently carry leading
+#: junk (HTTP garbage, BOM) before %PDF-; tolerate it within the first 1 KiB.
+HEADER_SCAN = 1024
+
+
 def sniff_kind(data: bytes | None) -> str:
     """Batched byte-stream sniff (north_star): classify a payload as
     ``pdf`` / ``html`` / ``other`` from its leading bytes.
 
     PDF test mirrors ``hasPdfHeader`` (reference ``route.ts:9-12``):
-    first five bytes equal ``%PDF-``.
+    first five bytes equal ``%PDF-`` — extended with pdf.js's recovery
+    tolerance (``%PDF-`` anywhere in the first 1 KiB) for crawl payloads
+    with junk prefixes.  HTML magics are tried before the recovery scan so
+    an HTML page that merely *mentions* ``%PDF-`` stays HTML.
     """
     if not data:
         return "other"
@@ -139,6 +147,8 @@ def sniff_kind(data: bytes | None) -> str:
     head = data[:256].lstrip(b" \t\r\n\f").lower()
     if head.startswith(HTML_MAGICS):
         return "html"
+    if data.find(MAGIC, 0, HEADER_SCAN) > 0:
+        return "pdf"
     return "other"
 
 
@@ -157,7 +167,12 @@ def decode_pdf_arrays(data: bytes) -> dict[str, Any]:
     import numpy as np
 
     if data[:5] != MAGIC:
-        raise ValueError("not a PDF payload (missing %PDF- magic)")
+        # junk-prefixed genuine PDF (pdf.js recovery semantics): slice the
+        # prefix so the header lands at byte 0 before routing below
+        off = data.find(MAGIC, 0, HEADER_SCAN)
+        if off <= 0:
+            raise ValueError("not a PDF payload (missing %PDF- magic)")
+        data = data[off:]
     if data.startswith(_HEADER):
         return _arrays_from_json(data)
     if not data.startswith(_HEADER2):
@@ -264,7 +279,10 @@ def decode_pdf(data: bytes) -> dict[str, Any]:
     (compat surface for tests and the reference-port layout oracle).  The
     pipeline's hot path uses :func:`decode_pdf_arrays` instead."""
     if data[:5] != MAGIC:
-        raise ValueError("not a PDF payload (missing %PDF- magic)")
+        off = data.find(MAGIC, 0, HEADER_SCAN)
+        if off <= 0:
+            raise ValueError("not a PDF payload (missing %PDF- magic)")
+        data = data[off:]
     if data.startswith(_HEADER):
         return _decode_json_doc(data)
     doc = decode_pdf_arrays(data)

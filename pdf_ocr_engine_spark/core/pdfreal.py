@@ -67,9 +67,23 @@ class _Name(str):
     __slots__ = ()
 
 
+#: pdf.js-style header recovery: real-world crawl PDFs frequently carry
+#: leading junk (HTTP garbage, BOM) before %PDF-; tolerate it within the
+#: first 1 KiB like pdf.js does instead of rejecting the document.
+_HEADER_SCAN = 1024
+
+
+def _header_offset(data: bytes) -> int:
+    """Offset of the %PDF- magic within the first 1 KiB, or -1."""
+    if data[:5] == b"%PDF-":
+        return 0
+    return data.find(b"%PDF-", 0, _HEADER_SCAN)
+
+
 def is_real_pdf(data: bytes) -> bool:
-    """%PDF- magic and at least one indirect object definition."""
-    return data[:5] == b"%PDF-" and _OBJ_RE.search(data) is not None
+    """%PDF- magic (within the first 1 KiB, pdf.js recovery semantics)
+    and at least one indirect object definition."""
+    return _header_offset(data) >= 0 and _OBJ_RE.search(data) is not None
 
 
 # --------------------------------------------------------------------------
@@ -598,6 +612,11 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
             lo, hi = int(mm.group(1), 16), int(mm.group(2), 16)
             if mm.group(3) == b"[":
                 end = body.find(b"]", mm.end())
+                if end < 0:
+                    # truncated/malformed array form: without this bail,
+                    # pos would wrap to 0 and the same match would repeat
+                    # forever (CPU-bound hang max_doc_ms can't interrupt)
+                    break
                 dsts = _HEX_RE.findall(body[mm.end():end])
                 for i, code in enumerate(range(lo, hi + 1)):
                     if i < len(dsts):
@@ -808,9 +827,15 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
         op = tok
         try:
             if op == "q":
-                gs_stack.append(ctm)
+                # ISO 32000 §8.4.2: the saved graphics state includes the
+                # text-state parameters, not just the CTM — a
+                # 'q /F2 8 Tf ... Q' must not leak the font change past Q
+                gs_stack.append((ctm, font, size, tc, tw, tz, tl, ts))
             elif op == "Q":
-                ctm = gs_stack.pop() if gs_stack else _ID
+                if gs_stack:
+                    ctm, font, size, tc, tw, tz, tl, ts = gs_stack.pop()
+                else:
+                    ctm = _ID
             elif op == "cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == "BT":
@@ -888,6 +913,9 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
     """
     import numpy as np
 
+    off = _header_offset(data)
+    if off > 0:
+        data = data[off:]  # strip leading junk before the header
     doc = _Doc(data)
     page_dicts = _find_pages(doc)
     pages = []

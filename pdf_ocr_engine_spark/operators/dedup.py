@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.text_funcs import fingerprint, norm_ws
+from ..plans.cache import track
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -169,12 +170,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     ``sigs`` is persisted for the pipeline's duration — its lineage is
     otherwise re-evaluated for the banded self-join AND both verify-join
     sides, recomputing the signature UDF (the stage's hot spot) up to 4x.
-    The cache is NOT auto-released (the returned plan still references it);
-    long-running applications should ``spark.catalog.clearCache()`` or wrap
-    per-batch calls, as they would for any persisted intermediate.
+    The cache is registered with ``plans.cache.track`` — sequential runners
+    (the query registry, bench) release it when the next query starts.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k) \
-        .persist()
+    sigs = track(minhash_signatures(df, text_col, id_col, n_hashes,
+                                    shingle_k).persist())
     cands = lsh_candidate_pairs(sigs, id_col, bands, n_hashes)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -294,8 +294,9 @@ def verify_pairs_jaccard(pairs: DataFrame, df: DataFrame,
     """
     # persist: the candidate lineage (LSH signature UDF + banded self-join)
     # is read twice — once to build the pruning id set, once as the join
-    # spine — and recomputing it doubles the stage's hot spot
-    pairs = pairs.persist()
+    # spine — and recomputing it doubles the stage's hot spot; tracked so
+    # sequential runners release it once the result is materialized
+    pairs = track(pairs.persist())
     ids = (pairs.select(F.col("id_a").alias(id_col))
            .union(pairs.select(F.col("id_b").alias(id_col)))
            .distinct())

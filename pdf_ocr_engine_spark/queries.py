@@ -29,6 +29,7 @@ from .operators.dedup import (
 )
 from .operators.extract import extract_pages
 from .operators.multimodal import media_metadata
+from .plans.cache import release_tracked, track
 from .sources.testdata import lang3_col, pages_from_documents
 
 # ---------------------------------------------------------------------------
@@ -695,8 +696,9 @@ def q_dedup_minhash(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     # persist: the banded self-join evaluates both sides of the signature
-    # UDF (the stage's hot spot) — same discipline as minhash_dedup_pairs
-    sigs = minhash_signatures(docs).persist()
+    # UDF (the stage's hot spot) — same discipline as minhash_dedup_pairs;
+    # tracked for release when the next registry query starts
+    sigs = track(minhash_signatures(docs).persist())
     cands = lsh_candidate_pairs(sigs)
     return (verify_pairs_jaccard(cands, docs)
             .where(F.col("jaccard_pm") >= 500))
@@ -719,7 +721,8 @@ def q_dedup_simhash(spark, sf_dir):
     from .operators.dedup import simhash_candidate_pairs, verify_pairs_jaccard
 
     docs = _docs(spark, sf_dir)
-    sh = simhash64(docs).persist()  # both band-join sides read the UDF
+    # both band-join sides read the UDF; tracked for deferred release
+    sh = track(simhash64(docs).persist())
     cands = simhash_candidate_pairs(sh, max_hamming=15, n_bands=16)
     return (verify_pairs_jaccard(cands, docs)
             .where(F.col("jaccard_pm") >= 950))
@@ -1556,6 +1559,22 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 # registry
 # ---------------------------------------------------------------------------
 
+def _with_cache_release(fn: Callable[[SparkSession, str], DataFrame]
+                        ) -> Callable[[SparkSession, str], DataFrame]:
+    """Free the PREVIOUS query's tracked persists when a new one starts.
+
+    Registry queries run sequentially (driver gate, bench): a query's
+    persisted intermediates can only be released after its result has been
+    materialized, which is exactly when the next query begins — so caches
+    never accumulate across a 43-query sweep in one session."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_tracked()
+        return fn(spark, sf_dir)
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents": q_extract_documents,
     "extract_real_pdf": q_extract_real_pdf,
@@ -1601,6 +1620,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_rank": q_order_rank,
     "top_orders": q_top_orders,
 }
+
+# every entry frees the previous query's tracked caches on invocation
+QUERIES = {name: _with_cache_release(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "extract_documents": _SQL_EXTRACT_DOCUMENTS,

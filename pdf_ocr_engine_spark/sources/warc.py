@@ -320,8 +320,23 @@ def _open_warc_stream(file_uri: str):
     probe = raw.read(2)
     stitched = _PrefixReader(probe, raw)
     if probe == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=stitched)
+        return _OwningGzip(stitched)
     return stitched
+
+
+class _OwningGzip(gzip.GzipFile):
+    """``GzipFile.close()`` leaves ``fileobj`` open by design; these readers
+    own their underlying stream, so closing the reader closes it too."""
+
+    def __init__(self, fileobj) -> None:
+        self._owned = fileobj
+        super().__init__(fileobj=fileobj)
+
+    def close(self) -> None:
+        try:
+            super().close()
+        finally:
+            self._owned.close()
 
 
 class _PrefixReader:
@@ -331,6 +346,11 @@ class _PrefixReader:
     def __init__(self, prefix: bytes, stream) -> None:
         self._prefix = prefix
         self._stream = stream
+
+    def close(self) -> None:
+        # readers land in ``finally: reader.close()`` blocks — without this
+        # the underlying pyarrow input stream leaks a file handle until GC
+        self._stream.close()
 
     def read(self, n: int = -1) -> bytes:
         if self._prefix:

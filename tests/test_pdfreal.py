@@ -373,6 +373,62 @@ class TestRobustness:
         assert doc.get("flavor") == "real"
         assert doc["pages"][0]["texts"] == ["routed"]
 
+    def test_truncated_bfrange_array_terminates(self):
+        """bfrange array form with a missing ']' (truncated CMap) must
+        terminate, not loop forever re-matching the same range (the round-2
+        review's high finding: pos wrapped to 0 on find() == -1)."""
+        from pdf_ocr_engine_spark.core.pdfreal import _parse_tounicode
+
+        malformed = (b"beginbfrange\n<41> <43> [<03B1> <03B2>"  # no ']'
+                     b"\nendbfrange")
+        out = _parse_tounicode(malformed)
+        assert isinstance(out, dict)  # reaching here proves termination
+
+    def test_q_restores_text_state(self):
+        """ISO 32000 §8.4.2: q/Q saves the TEXT state too — a font/size
+        change inside q..Q must not leak past Q (wrong advances otherwise
+        ship with status='ok')."""
+        content = (b"BT /F1 12 Tf 72 720 Td (base) Tj "
+                   b"q /F1 24 Tf 100 0 Td (big) Tj Q "
+                   b"100 0 Td (after) Tj ET")
+        pdf = _foreign_pdf([content])
+        doc = parse_real_pdf(pdf)
+        texts = doc["pages"][0]["texts"]
+        coords = doc["pages"][0]["coords"]
+        heights = {t: coords[i][3] - coords[i][1]
+                   for i, t in enumerate(texts)}
+        assert texts == ["base", "big", "after"]
+        assert heights["big"] == pytest.approx(24.0)
+        # size must be restored to 12 after Q, not stay 24
+        assert heights["after"] == pytest.approx(heights["base"])
+        assert heights["after"] == pytest.approx(12.0)
+
+    def test_leading_junk_before_header(self):
+        """Crawl PDFs often carry HTTP junk/BOM before %PDF-; pdf.js scans
+        the first 1 KiB — so do we (ADVICE round 2)."""
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (found) Tj ET"])
+        junky = b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n" \
+            + b"\xef\xbb\xbf" + pdf
+        assert is_real_pdf(junky)
+        assert _tokens(junky) == ["found"]
+        r = extract_document(junky, "eng")
+        assert r["status"] == "ok"
+        assert r["kind"] == "pdf"
+
+    def test_junk_beyond_1kb_not_pdf(self):
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (far) Tj ET"])
+        buried = b"x" * 2048 + pdf
+        assert not is_real_pdf(buried)
+        r = extract_document(buried, "eng")
+        assert r["status"] == "unsupported"
+
+    def test_html_mentioning_pdf_magic_stays_html(self):
+        from pdf_ocr_engine_spark.core.pdfbin import sniff_kind
+
+        page = (b"<!doctype html><html><body>"
+                b"PDF files start with %PDF- bytes</body></html>")
+        assert sniff_kind(page) == "html"
+
 
 class TestFuzzRobustness:
     """Mutated real-PDF bytes must always come back as a status value —

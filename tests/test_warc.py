@@ -261,3 +261,40 @@ class TestStreamedBoundedMemory:
         urls = [r["url"] for r in out if r["type"] == "response"]
         assert urls == ["https://survivor.example/"]
         assert any(r["type"] == "_bad" for r in out)
+
+
+class TestReaderClose:
+    """ADVICE round 2: readers in `finally: reader.close()` blocks must
+    actually close the underlying stream — _PrefixReader had no close()
+    (AttributeError silently swallowed → per-archive handle leak), and
+    GzipFile.close() deliberately leaves fileobj open."""
+
+    class _Closable(io.BytesIO):
+        closed_flag = False
+
+        def close(self):
+            self.closed_flag = True
+            super().close()
+
+    def test_prefix_reader_closes_underlying(self):
+        from pdf_ocr_engine_spark.sources.warc import _PrefixReader
+
+        inner = self._Closable(b"cdef")
+        r = _PrefixReader(b"ab", inner)
+        assert r.read(3) == b"abc"
+        r.close()
+        assert inner.closed_flag
+
+    def test_owning_gzip_closes_underlying(self):
+        import gzip as _gzip
+
+        from pdf_ocr_engine_spark.sources.warc import (_OwningGzip,
+                                                       _PrefixReader)
+
+        payload = _gzip.compress(b"hello world")
+        inner = self._Closable(payload[2:])
+        stitched = _PrefixReader(payload[:2], inner)
+        gz = _OwningGzip(stitched)
+        assert gz.read() == b"hello world"
+        gz.close()
+        assert inner.closed_flag
