@@ -128,6 +128,12 @@ def _extract_pdf(html: bytes, options: ExtractOptions,
         return {"status": "decode_error", "error": str(exc),
                 "n_pages": 0, "n_words": 0, "text": None}
 
+    # corpus-quality lineage (real-PDF parser counts every silent
+    # substitution it makes — MediaBox defaults, unresolvable encodings —
+    # so drift is observable in the metrics table, not shipped as
+    # confident status='ok'; VERDICT round-2 nit)
+    n_fallbacks = sum((doc.get("counters") or {}).values())
+
     page_count = int(doc["page_count"])
     pages = doc["pages"]
 
@@ -190,7 +196,7 @@ def _extract_pdf(html: bytes, options: ExtractOptions,
     text = PAGE_SEP.join(page_texts)
     status = "ok" if any(page_texts) else "empty"
     out = {"status": status, "error": None, "n_pages": page_count,
-           "n_words": n_words, "text": text}
+           "n_words": n_words, "text": text, "n_fallbacks": n_fallbacks}
     if options.emit_spans:
         out["spans"] = spans
     return out
@@ -230,7 +236,7 @@ def extract_document(html: bytes | None, lang: str | None,
     sniff = sniff_document(html, lang, options)
     out = {"kind": sniff["kind"], "status": sniff["status"],
            "error": sniff["error"], "n_bytes": sniff["n_bytes"],
-           "n_pages": 0, "n_words": 0, "text": None}
+           "n_pages": 0, "n_words": 0, "text": None, "n_fallbacks": 0}
     if sniff["status"] != "ok":
         return out
     # bytearray/memoryview payloads normalize to bytes once, here — the

@@ -45,6 +45,7 @@ import zlib
 from typing import Any
 
 from ..functions.afm import FALLBACK_UNITS, HELVETICA_WIDTHS
+from .glyphs import STANDARD, base_encoding_map, glyph_to_unicode
 
 __all__ = ["parse_real_pdf", "is_real_pdf"]
 
@@ -563,21 +564,33 @@ def _find_pages(doc: _Doc) -> list[dict]:
 # --------------------------------------------------------------------------
 
 class _Font:
-    __slots__ = ("widths", "default_w", "to_unicode", "two_byte")
+    __slots__ = ("widths", "default_w", "to_unicode", "two_byte",
+                 "encoding_map")
 
     def __init__(self) -> None:
         self.widths: dict[int, float] = {}
         self.default_w = 500.0
         self.to_unicode: dict[int, str] | None = None
         self.two_byte = False
+        #: simple-font code→Unicode from /Encoding (+/Differences); for
+        #: Type0 UCS2 predefined CMaps the 2-byte code IS the code point,
+        #: which the plain chr() fallback already yields.
+        self.encoding_map: dict[int, str] | None = None
 
     def advance_units(self, code: int) -> float:
         return self.widths.get(code, self.default_w)
 
     def char(self, code: int) -> str:
+        # resolution order mirrors pdf.js getTextContent: an explicit
+        # ToUnicode CMap is authoritative, then the font's /Encoding
+        # (base table + Differences), then the Latin-1 byte fallback
+        # (our own writer's encoding; also the pre-encoding behavior).
         if self.to_unicode is not None and code in self.to_unicode:
             return self.to_unicode[code]
-        # simple-font fallback: byte code = Latin-1 (the writer's encoding)
+        if self.encoding_map is not None:
+            got = self.encoding_map.get(code)
+            if got is not None:
+                return got
         return chr(code)
 
 
@@ -637,7 +650,56 @@ def _afm_widths_for(base_font: str) -> dict[int, float] | None:
     return None
 
 
-def _load_font(doc: _Doc, font_obj: Any) -> _Font:
+#: predefined CMaps whose 2-byte code IS the UCS-2 code point — the common
+#: CJK encodings where extraction needs no CMap resource files at all.
+_UCS2_CMAPS = frozenset(
+    f"Uni{reg}-UCS2-{wm}"
+    for reg in ("GB", "CNS", "JIS", "KS") for wm in ("H", "V"))
+
+
+def _simple_encoding_map(doc: _Doc, enc: Any,
+                         counters: dict[str, int]) -> dict[int, str] | None:
+    """Code→Unicode table from a simple font's /Encoding entry — a base
+    encoding NAME or a dict with /BaseEncoding + /Differences (glyph names
+    resolved through the AGL subset).  Unknown base names and unresolvable
+    glyph names bump ``encoding_fallback`` so corpus-quality drift is
+    counted, never silent."""
+    base_name: str | None = None
+    diffs = None
+    if isinstance(enc, _Name):
+        base_name = str(enc)
+    elif isinstance(enc, dict):
+        b = enc.get("BaseEncoding")
+        base_name = str(doc.resolve(b)) if b is not None else None
+        diffs = doc.resolve(enc.get("Differences"))
+    else:
+        return None
+    table = base_encoding_map(base_name)
+    if base_name is not None and table is None:
+        counters["encoding_fallback"] += 1
+    if table is None:
+        # missing/unknown base with a Differences array: the spec says the
+        # font's built-in encoding, which (absent an embedded font program)
+        # Standard approximates — the same default pdf.js applies
+        table = dict(STANDARD) if isinstance(diffs, list) else None
+    if isinstance(diffs, list) and table is not None:
+        code = 0
+        for item in diffs:
+            item = doc.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, _Name):
+                u = glyph_to_unicode(str(item))
+                if u is None:
+                    counters["encoding_fallback"] += 1
+                    u = "�"
+                table[code] = u
+                code += 1
+    return table
+
+
+def _load_font(doc: _Doc, font_obj: Any,
+               counters: dict[str, int]) -> _Font:
     f = _Font()
     fd = doc.resolve(font_obj)
     if not isinstance(fd, dict):
@@ -652,6 +714,18 @@ def _load_font(doc: _Doc, font_obj: Any) -> _Font:
     if subtype == "Type0":
         f.two_byte = True
         f.default_w = 1000.0
+        cmap = doc.resolve(fd.get("Encoding"))
+        cmap_name = str(cmap) if isinstance(cmap, _Name) else None
+        if cmap_name in _UCS2_CMAPS or cmap_name in ("Identity-H",
+                                                     "Identity-V"):
+            # UCS2 family: code == Unicode code point, which char()'s
+            # chr() fallback already yields; Identity: code == CID, only
+            # ToUnicode can map it (the fallback is best-effort either way)
+            pass
+        elif f.to_unicode is None:
+            # embedded CMap stream or unhandled predefined name without a
+            # ToUnicode: text comes back as raw CIDs — count it
+            counters["encoding_fallback"] += 1
         desc = doc.resolve(fd.get("DescendantFonts"))
         if isinstance(desc, list) and desc:
             d0 = doc.resolve(desc[0])
@@ -677,6 +751,8 @@ def _load_font(doc: _Doc, font_obj: Any) -> _Font:
                             break
         return f
     # simple font
+    f.encoding_map = _simple_encoding_map(
+        doc, doc.resolve(fd.get("Encoding")), counters)
     first = doc.resolve(fd.get("FirstChar"))
     widths = doc.resolve(fd.get("Widths"))
     base = str(doc.resolve(fd.get("BaseFont", "")) or "")
@@ -919,12 +995,21 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
     doc = _Doc(data)
     page_dicts = _find_pages(doc)
     pages = []
+    # corpus-quality lineage counters: every silent substitution the parser
+    # makes is counted here so drift is observable in the metrics table
+    # instead of shipping as confident status='ok' rows
+    counters = {"mediabox_fallback": 0, "encoding_fallback": 0}
     for i, pd in enumerate(page_dicts):
-        media = doc.resolve(pd.get("MediaBox")) or [0, 0, 612, 792]
+        media = doc.resolve(pd.get("MediaBox"))
+        if not isinstance(media, list) or len(media) != 4:
+            media = None
         try:
+            if media is None:
+                raise ValueError("missing MediaBox")
             mx0, my0, mx1, my1 = (float(doc.resolve(v)) for v in media)
         except (TypeError, ValueError):
             mx0, my0, mx1, my1 = 0.0, 0.0, 612.0, 792.0
+            counters["mediabox_fallback"] += 1
         width, height = abs(mx1 - mx0), abs(my1 - my0)
 
         resources = doc.resolve(pd.get("Resources")) or {}
@@ -933,7 +1018,7 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
         fonts = {}
         if isinstance(font_res, dict):
             for fname, fref in font_res.items():
-                fonts[fname] = _load_font(doc, fref)
+                fonts[fname] = _load_font(doc, fref, counters)
 
         contents = doc.resolve(pd.get("Contents"))
         chunks: list[bytes] = []
@@ -961,4 +1046,5 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
         pages.append({"page_no": i + 1, "width": width, "height": height,
                       "has_text": sink.any_text, "texts": texts,
                       "coords": coords})
-    return {"page_count": len(pages), "pages": pages, "flavor": "real"}
+    return {"page_count": len(pages), "pages": pages, "flavor": "real",
+            "counters": counters}

@@ -58,6 +58,10 @@ EXTRACTED_SCHEMA = StructType([
     StructField("n_pages", IntegerType(), False),
     StructField("n_words", IntegerType(), False),
     StructField("text", StringType(), True),
+    # corpus-quality lineage: silent substitutions the decoder made for this
+    # document (MediaBox defaults, unresolvable font encodings) — summed into
+    # the per-partition metrics table so drift is observable at corpus scale
+    StructField("n_fallbacks", IntegerType(), False),
     StructField("partition_id", IntegerType(), False),
     StructField("wall_us", LongType(), False),
 ])
@@ -128,7 +132,8 @@ def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
             payloads = b.column("html").to_pylist()
             cols: dict[str, list] = {k: [] for k in
                                      ("kind", "status", "error", "n_bytes",
-                                      "n_pages", "n_words", "text")}
+                                      "n_pages", "n_words", "text",
+                                      "n_fallbacks")}
             walls: list[int] = []
             for payload, lang in zip(payloads, langs):
                 t0 = time.perf_counter_ns()
@@ -148,6 +153,7 @@ def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
                 pa.array(cols["n_pages"], pa.int32()),
                 pa.array(cols["n_words"], pa.int32()),
                 pa.array(cols["text"], pa.string()),
+                pa.array(cols["n_fallbacks"], pa.int32()),
                 pa.array([pid] * n, pa.int32()),
                 pa.array(walls, pa.int64()),
             ], names=[f.name for f in EXTRACTED_SCHEMA.fields])
@@ -181,8 +187,8 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
 
             cols: dict[str, list] = {k: [] for k in
                                      ("kind", "status", "error", "n_bytes",
-                                      "n_pages", "n_words", "text", "wall_us",
-                                      "spans")}
+                                      "n_pages", "n_words", "text",
+                                      "n_fallbacks", "wall_us", "spans")}
             for payload, lang in zip(payloads, langs):
                 t0 = time.perf_counter_ns()
                 # no bytes() here: extract_document type-guards the payload
@@ -196,6 +202,7 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
                 cols["n_pages"].append(r["n_pages"])
                 cols["n_words"].append(r["n_words"])
                 cols["text"].append(r["text"])
+                cols["n_fallbacks"].append(r["n_fallbacks"])
                 cols["wall_us"].append(wall)
                 if emit_spans:
                     cols["spans"].append(r.get("spans") or [])
@@ -212,6 +219,7 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
                 "n_pages": pd.Series(cols["n_pages"], dtype="int32"),
                 "n_words": pd.Series(cols["n_words"], dtype="int32"),
                 "text": cols["text"],
+                "n_fallbacks": pd.Series(cols["n_fallbacks"], dtype="int32"),
                 "partition_id": pd.Series([pid] * n, dtype="int32"),
                 "wall_us": pd.Series(cols["wall_us"], dtype="int64"),
                 **spans_col,

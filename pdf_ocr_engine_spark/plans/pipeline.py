@@ -83,6 +83,10 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
         F.sum(F.length("text")).alias("bytes_out"),
         F.sum("wall_us").alias("wall_us"),
         F.max("wall_us").alias("max_doc_wall_us"),
+        # decoder silent-substitution count (MediaBox defaults, unresolvable
+        # encodings): nonzero drift here means corpus quality is degrading
+        # even while status='ok' rates look healthy
+        F.sum("n_fallbacks").alias("fallbacks"),
     )
 
 

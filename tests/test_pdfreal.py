@@ -607,3 +607,126 @@ class TestStructureFuzz:
             for page, toks in zip(doc["pages"], expected):
                 t, _, _ = page_layout_fast(page["texts"], page["coords"])
                 assert t.split() == toks, (trial, t, toks)
+
+
+# --------------------------------------------------------------------------
+# simple-font /Encoding resolution (round-3: WinAnsi/MacRoman/Standard +
+# /Differences + AGL glyph names — the no-ToUnicode path real crawls hit)
+# --------------------------------------------------------------------------
+
+class TestEncodings:
+    def test_winansi_no_tounicode(self):
+        # cp1252 high bytes: 0x93/0x94 curly quotes, 0xE9 e-acute, 0x85 …
+        content = (b"BT /F1 12 Tf 72 720 Td (\x93caf\xe9\x94) Tj "
+                   b"60 0 Td (etc\x85) Tj ET")
+        pdf = _foreign_pdf([content],
+                           font_extra=b" /Encoding /WinAnsiEncoding")
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["“café”",
+                                            "etc…"]
+        assert doc["counters"]["encoding_fallback"] == 0
+
+    def test_macroman_no_tounicode(self):
+        # mac_roman: 0x8E is e-acute; 0xDB is Adobe's currency (NOT Apple's
+        # later Euro) per ISO 32000 Annex D
+        content = b"BT /F1 12 Tf 72 720 Td (caf\x8e\xdb) Tj ET"
+        pdf = _foreign_pdf([content],
+                           font_extra=b" /Encoding /MacRomanEncoding")
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["café¤"]
+
+    def test_standard_encoding_quirks(self):
+        # StandardEncoding: 0x27 quoteright, 0x60 quoteleft, 0xAE fi lig
+        content = b"BT /F1 12 Tf 72 720 Td (\x60tis\x27\xae) Tj ET"
+        pdf = _foreign_pdf([content],
+                           font_extra=b" /Encoding /StandardEncoding")
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["‘tis’ﬁ"]
+
+    def test_differences_with_base(self):
+        # remap 'A'(65)->eacute, 'B'(66)->quotedblleft, 'C'(67)->Euro on a
+        # WinAnsi base; 'D' stays WinAnsi
+        enc = (b" /Encoding << /BaseEncoding /WinAnsiEncoding "
+               b"/Differences [65 /eacute /quotedblleft 67 /Euro] >>")
+        content = b"BT /F1 12 Tf 72 720 Td (ABCD) Tj ET"
+        pdf = _foreign_pdf([content], font_extra=enc)
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["é“€D"]
+        assert doc["counters"]["encoding_fallback"] == 0
+
+    def test_differences_without_base_uses_standard(self):
+        # /Encoding dict with only Differences: base is the font's builtin,
+        # approximated by Standard (pdf.js default) — 0x27 maps quoteright
+        enc = b" /Encoding << /Differences [88 /Zcaron] >>"
+        content = b"BT /F1 12 Tf 72 720 Td (X\x27) Tj ET"
+        pdf = _foreign_pdf([content], font_extra=enc)
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["Ž’"]
+
+    def test_differences_uni_and_u_forms(self):
+        enc = (b" /Encoding << /BaseEncoding /WinAnsiEncoding "
+               b"/Differences [65 /uni0416 /u1F600] >>")
+        content = b"BT /F1 12 Tf 72 720 Td (AB) Tj ET"
+        pdf = _foreign_pdf([content], font_extra=enc)
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["Ж\U0001F600"]
+
+    def test_unresolvable_glyph_counted_not_silent(self):
+        # subset glyph names like /g123 carry no Unicode meaning: U+FFFD,
+        # and the lineage counter must tick (silent-wrong-text is the bug)
+        enc = (b" /Encoding << /BaseEncoding /WinAnsiEncoding "
+               b"/Differences [65 /g123] >>")
+        content = b"BT /F1 12 Tf 72 720 Td (A) Tj ET"
+        pdf = _foreign_pdf([content], font_extra=enc)
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["�"]
+        assert doc["counters"]["encoding_fallback"] == 1
+        r = extract_document(pdf, "eng")
+        assert r["n_fallbacks"] == 1
+
+    def test_tounicode_wins_over_encoding(self):
+        # explicit ToUnicode is authoritative (pdf.js resolution order):
+        # 0x41 maps via CMap to alpha even though WinAnsi says 'A'
+        cmap = (b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+                b"endcodespacerange\n1 beginbfchar\n<41> <03B1>\n"
+                b"endbfchar\nendcmap")
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length 34 >>\nstream\n"
+            b"BT /F1 12 Tf 72 720 Td (AB) Tj ET\nendstream",
+            f"<< /Length {len(cmap)} >>\nstream\n".encode() + cmap
+            + b"\nendstream",
+        ]
+        pdf = _assemble(objs)
+        doc = parse_real_pdf(pdf)
+        # A -> CMap alpha; B -> not in CMap, falls to WinAnsi 'B'
+        assert doc["pages"][0]["texts"] == ["αB"]
+
+    def test_unknown_base_encoding_counted(self):
+        enc = b" /Encoding /BogusEncoding"
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (x) Tj ET"],
+                           font_extra=enc)
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["x"]  # chr() fallback survives
+        assert doc["counters"]["encoding_fallback"] == 1
+
+    def test_mediabox_fallback_counted(self):
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (geom) Tj ET"])
+        bad = pdf.replace(b"/MediaBox [0 0 612 792]", b"/MediaBox [0 0]  ")
+        doc = parse_real_pdf(bad)
+        assert doc["pages"][0]["width"] == 612.0
+        assert doc["counters"]["mediabox_fallback"] == 1
+        r = extract_document(bad, "eng")
+        assert r["status"] == "ok"
+        assert r["n_fallbacks"] == 1
+
+    def test_wellformed_has_zero_fallbacks(self):
+        pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (clean) Tj ET"])
+        r = extract_document(pdf, "eng")
+        assert r["n_fallbacks"] == 0
