@@ -121,7 +121,7 @@ def sniff_document(html: bytes | None, lang: str | None,
 
 def _extract_pdf(html: bytes, options: ExtractOptions,
                  hyphen_exceptions: frozenset[str] | None = None,
-                 ) -> dict[str, Any]:
+                 recognizer=None) -> dict[str, Any]:
     try:
         doc = decode_pdf_arrays(html)
     except ValueError as exc:
@@ -168,7 +168,13 @@ def _extract_pdf(html: bytes, options: ExtractOptions,
     # deterministic getTextContent analog), textless pages would need the
     # absent rasterize+OCR tier and fall through to an empty segment.
     skip_has_text = doc.get("flavor", "wbox") != "real"
-    for page in pages:
+    # image-only tier (the reference's core use case, README.md:13-29):
+    # a real-flavor page WITHOUT a text layer is exactly what the reference
+    # rasterizes (extractor.ts:12-37) and recognizes (ocr.ts:50-110).  The
+    # page images are pulled lazily, once per document, only when a
+    # recognizer is present AND some page actually needs it.
+    page_images: list | None = None
+    for page_idx, page in enumerate(pages):
         if deadline is not None and time.perf_counter() > deadline:
             return {"status": "timeout",
                     "error": f"document exceeded {options.max_doc_ms} ms "
@@ -179,10 +185,40 @@ def _extract_pdf(html: bytes, options: ExtractOptions,
             # page contributes no extracted text.
             page_texts.append("")
             continue
+        page_texts_in, page_coords_in = page["texts"], page["coords"]
+        if (recognizer is not None and not page.get("has_text")
+                and doc.get("flavor") == "real"):
+            if page_images is None:
+                from .pdfreal import extract_page_images
+                try:
+                    page_images = extract_page_images(html)
+                except ValueError as exc:
+                    return {"status": "decode_error", "error": str(exc),
+                            "n_pages": page_count, "n_words": 0,
+                            "text": None}
+            imgs = (page_images[page_idx]["images"]
+                    if page_idx < len(page_images) else [])
+            rec_words: list[tuple] = []
+            for img in imgs:
+                try:
+                    rec_words.extend(recognizer(img["data"]))
+                except ValueError as exc:
+                    return {"status": "decode_error",
+                            "error": f"recognizer: {exc}",
+                            "n_pages": page_count, "n_words": 0,
+                            "text": None}
+            import numpy as np
+            coords = np.empty((len(rec_words), 5), dtype="f8")
+            texts_in = []
+            for j, (txt, x0, y0, x1, y1) in enumerate(rec_words):
+                texts_in.append(txt)
+                coords[j, :4] = (x0, y0, x1, y1)
+                coords[j, 4] = 95.0  # model confidence, not text-layer 100
+            page_texts_in, page_coords_in = texts_in, coords
         # vectorized byte-identical kernel (layout_fast; fuzz-checked against
         # the reference-port in layout.py)
         text, n_page_words, page_spans = page_layout_fast(
-            page["texts"], page["coords"], want_spans=options.emit_spans)
+            page_texts_in, page_coords_in, want_spans=options.emit_spans)
         n_words += n_page_words
         if options.fix_hyphenation:
             text = repair_hyphenation(text, hyphen_exceptions)
@@ -221,7 +257,7 @@ def _extract_html(html: bytes, options: ExtractOptions) -> dict[str, Any]:
 def extract_document(html: bytes | None, lang: str | None,
                      options: ExtractOptions = DEFAULT_OPTIONS,
                      hyphen_exceptions: frozenset[str] | None = None,
-                     ) -> dict[str, Any]:
+                     recognizer=None) -> dict[str, Any]:
     """Full per-document pipeline: sniff → guards → route → extract.
 
     Returns ``{"kind", "status", "error", "n_bytes", "n_pages", "n_words",
@@ -232,6 +268,14 @@ def extract_document(html: bytes | None, lang: str | None,
     compounds) — callers load it ONCE at the UDF init point
     (``sources/assets.load_asset_words``) and pass the set per document, so
     the file read never sits in the batch loop.
+
+    ``recognizer`` is the OCR plug point for real-flavor pages without a
+    text layer (the reference's core use case — rasterize ``extractor.ts:
+    12-37`` + recognize ``ocr.ts:50-110``): a callable ``image_bytes →
+    [(text, x0, y0, x1, y1)]`` initialized ONCE at the UDF init point
+    (model load never sits in the batch loop; ``operators/ocr.py``).
+    ``None`` keeps the text-layer-only behavior (textless pages contribute
+    empty segments).
     """
     sniff = sniff_document(html, lang, options)
     out = {"kind": sniff["kind"], "status": sniff["status"],
@@ -243,7 +287,7 @@ def extract_document(html: bytes | None, lang: str | None,
     # decoders assume bytes methods (startswith, slicing semantics)
     html = bytes(html)
     try:
-        body = _extract_pdf(html, options, hyphen_exceptions) \
+        body = _extract_pdf(html, options, hyphen_exceptions, recognizer) \
             if sniff["kind"] == "pdf" else _extract_html(html, options)
     except Exception as exc:  # noqa: BLE001 - error isolation per document
         body = {"status": "decode_error", "error": f"{type(exc).__name__}: {exc}",

@@ -47,7 +47,7 @@ from typing import Any
 from ..functions.afm import FALLBACK_UNITS, HELVETICA_WIDTHS
 from .glyphs import STANDARD, base_encoding_map, glyph_to_unicode
 
-__all__ = ["parse_real_pdf", "is_real_pdf"]
+__all__ = ["extract_page_images", "is_real_pdf", "parse_real_pdf"]
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -1048,3 +1048,56 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
                       "coords": coords})
     return {"page_count": len(pages), "pages": pages, "flavor": "real",
             "counters": counters}
+
+
+def extract_page_images(data: bytes) -> list[dict[str, Any]]:
+    """Per-page image XObjects of a real PDF — the rasterizer-side input for
+    the scanned/image-only tier (reference ``extractor.ts:12-37`` renders
+    pages to PNG via pdf.js canvas; here the page of a *scanned* PDF IS its
+    embedded image, so "rasterizing" = pulling that image's decoded bytes).
+
+    Returns one dict per page: ``{"page_no", "width", "height", "images":
+    [{"data": bytes, "width": int|None, "height": int|None}]}`` in page
+    order.  Pages without image XObjects get an empty list (a blank or
+    vector-only page — nothing for a recognizer to read).  Raises
+    ``ValueError`` on unparseable documents, same contract as
+    :func:`parse_real_pdf`.
+    """
+    off = _header_offset(data)
+    if off > 0:
+        data = data[off:]
+    doc = _Doc(data)
+    out: list[dict[str, Any]] = []
+    for i, pd in enumerate(_find_pages(doc)):
+        media = doc.resolve(pd.get("MediaBox"))
+        try:
+            mx0, my0, mx1, my1 = (float(doc.resolve(v)) for v in media)
+        except (TypeError, ValueError):
+            mx0, my0, mx1, my1 = 0.0, 0.0, 612.0, 792.0
+        images: list[dict[str, Any]] = []
+        resources = doc.resolve(pd.get("Resources")) or {}
+        xobjs = doc.resolve(resources.get("XObject")) \
+            if isinstance(resources, dict) else None
+        if isinstance(xobjs, dict):
+            for _name, ref in xobjs.items():
+                obj = doc.resolve(ref)
+                if not isinstance(obj, _Stream):
+                    continue
+                sd = obj.dict
+                if str(doc.resolve(sd.get("Subtype", ""))) != "Image":
+                    continue
+                try:
+                    blob = obj.decoded(doc)
+                except Exception:  # noqa: BLE001 - one bad image ≠ bad page
+                    continue
+                w = doc.resolve(sd.get("Width"))
+                h = doc.resolve(sd.get("Height"))
+                images.append({
+                    "data": blob,
+                    "width": int(w) if isinstance(w, (int, float)) else None,
+                    "height": int(h) if isinstance(h, (int, float)) else None,
+                })
+        out.append({"page_no": i + 1,
+                    "width": abs(mx1 - mx0), "height": abs(my1 - my0),
+                    "images": images})
+    return out

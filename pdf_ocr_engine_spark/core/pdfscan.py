@@ -1,0 +1,137 @@
+"""Scanned/image-only PDF tier — deterministic raster codec + fixture writer.
+
+Converting scanned documents is the reference's entire purpose
+(``/root/reference/README.md:13-29``): rasterize each page
+(``src/lib/ocr/extractor.ts:12-37``, pdf.js canvas → PNG) and run a
+recognizer over the pixels (``src/lib/ocr/ocr.ts:50-110``, tesseract.js
+→ words + bounding boxes).  Neither a rasterizer (pdfium) nor an OCR
+model ships in this sandbox, so this module supplies the SURVEY §7.0
+deterministic substitute with the *Spark-side plumbing kept fully real*:
+
+* ``FAKERAST`` — a page-raster container standing in for PNG pixels: a
+  struct-packed header (page size, word count) plus per-word records
+  (box + UTF-8 text).  ``encode_page_raster`` is the stand-in for
+  "render page to pixels"; ``decode_page_raster`` is what the
+  deterministic recognizer reads — a real OCR model replaces exactly
+  that one call (see ``operators/ocr.py`` init point) with no plan,
+  schema, or partitioning change.
+* ``build_scanned_pdf`` — a *genuine* PDF whose pages contain no text
+  operators, only an embedded image XObject (FlateDecode-compressed
+  raster painted by ``cm /Im0 Do``).  ``parse_real_pdf`` reports
+  ``has_text=False`` for every page (the F6 routing predicate), and
+  ``extract_page_images`` recovers the exact raster bytes — so the
+  writer and the image-extraction path oracle each other the same way
+  ``pdfwrite`` ⊣ ``pdfreal`` do for the text layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "RASTER_MAGIC",
+    "build_scanned_pdf",
+    "decode_page_raster",
+    "encode_page_raster",
+]
+
+#: magic of the deterministic page-raster container (the "pixels").
+RASTER_MAGIC = b"FAKERAST"
+
+
+def encode_page_raster(width: float, height: float,
+                       words: list[tuple[str, float, float, float, float]],
+                       ) -> bytes:
+    """Page → raster bytes: the deterministic stand-in for rendering a page
+    to pixels.  ``words`` are ``(text, x0, y0, x1, y1)`` in top-origin image
+    coords — exactly the shape a real renderer would make visible to OCR."""
+    out = bytearray(RASTER_MAGIC)
+    out += struct.pack("<ddI", width, height, len(words))
+    for text, x0, y0, x1, y1 in words:
+        enc = text.encode("utf-8")
+        out += struct.pack("<ddddI", x0, y0, x1, y1, len(enc))
+        out += enc
+    return bytes(out)
+
+
+def decode_page_raster(data: bytes,
+                       ) -> tuple[float, float,
+                                  list[tuple[str, float, float, float, float]]]:
+    """Raster bytes → ``(width, height, words)`` — the deterministic
+    recognizer's core.  Raises ``ValueError`` on anything that is not a
+    well-formed FAKERAST payload (mapped to a status value upstream; a real
+    model would instead fail on undecodable pixels)."""
+    if data[:8] != RASTER_MAGIC:
+        raise ValueError("not a FAKERAST page raster")
+    try:
+        width, height, n = struct.unpack_from("<ddI", data, 8)
+        pos = 8 + struct.calcsize("<ddI")
+        words = []
+        for _ in range(n):
+            x0, y0, x1, y1, ln = struct.unpack_from("<ddddI", data, pos)
+            pos += struct.calcsize("<ddddI")
+            text = data[pos:pos + ln].decode("utf-8")
+            if len(text.encode("utf-8")) != ln:
+                raise ValueError("truncated word text")
+            pos += ln
+            words.append((text, x0, y0, x1, y1))
+        return width, height, words
+    except (struct.error, UnicodeDecodeError) as exc:
+        raise ValueError(f"corrupt page raster: {exc}") from exc
+
+
+def _fmt(v: float) -> str:
+    s = f"{v:.4f}".rstrip("0").rstrip(".")
+    return s if s else "0"
+
+
+def build_scanned_pdf(pages: list[dict]) -> bytes:
+    """Genuine image-only PDF: per page one Image XObject (the FlateDecoded
+    raster) and a content stream that only paints it — zero text operators,
+    so ``has_text=False`` everywhere and the document routes to the OCR
+    tier.  Each page dict: ``{"width", "height", "words": [(text, x0, y0,
+    x1, y1)]}`` (top-origin image coords)."""
+    objects: list[bytes] = []
+    n_pages = len(pages)
+    # 1=catalog, 2=pages; then per page: page, content, image (3 objects)
+    first_page_obj = 3
+    kids = " ".join(f"{first_page_obj + 3 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+
+    for i, page in enumerate(pages):
+        w = float(page.get("width") or 612.0)
+        h = float(page.get("height") or 792.0)
+        raster = encode_page_raster(w, h, page.get("words") or [])
+        img = zlib.compress(raster)
+        page_obj = first_page_obj + 3 * i
+        content = (f"q {_fmt(w)} 0 0 {_fmt(h)} 0 0 cm /Im0 Do Q"
+                   .encode("latin-1"))
+        objects.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_fmt(w)} "
+             f"{_fmt(h)}] /Resources << /XObject << /Im0 {page_obj + 2} 0 R "
+             f">> >> /Contents {page_obj + 1} 0 R >>").encode())
+        objects.append(b"<< /Length " + str(len(content)).encode()
+                       + b" >>\nstream\n" + content + b"\nendstream")
+        # Width/Height in "pixels": the raster models a 1 px/pt render
+        objects.append(
+            (f"<< /Type /XObject /Subtype /Image /Width {int(w)} "
+             f"/Height {int(h)} /ColorSpace /DeviceGray /BitsPerComponent 8 "
+             f"/Filter /FlateDecode /Length {len(img)} >>\nstream\n").encode()
+            + img + b"\nendstream")
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF").encode()
+    return bytes(buf)

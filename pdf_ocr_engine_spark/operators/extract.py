@@ -95,7 +95,8 @@ def _load_hyphen_asset(opts: ExtractOptions, audit_path: str | None = None):
     return load_asset_words(opts.hyphen_asset, audit_path)
 
 
-def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataFrame:
+def extract_pages(df: DataFrame, options: ExtractOptions | None = None,
+                  recognizer_factory=None) -> DataFrame:
     """Sniff → guard → route → extract, one Arrow-batched pass, no shuffle.
 
     The text path runs ``mapInArrow`` (pyarrow RecordBatch in/out — measured
@@ -104,14 +105,23 @@ def extract_pages(df: DataFrame, options: ExtractOptions | None = None) -> DataF
     Arrow array untouched).  With ``options.emit_spans`` the output gains a
     ``spans`` array column (:data:`SPAN_SCHEMA`) carrying the positioned
     word sequence per document; that opt-in path stays on ``mapInPandas``
-    for the nested-struct column assembly."""
+    for the nested-struct column assembly.
+
+    ``recognizer_factory`` (zero-arg callable returning an ``image_bytes →
+    words`` recognizer) turns on the OCR tier for image-only real-PDF
+    pages — invoked ONCE per task at the init point, the Spark analog of
+    the reference's singleton tesseract worker (``ocr.ts:20-48``).  Pass a
+    factory, not a recognizer: model handles don't pickle; the closure
+    ships the recipe and the executor builds the instance."""
     opts = options or DEFAULT_OPTIONS
     if not opts.emit_spans:
-        return _extract_pages_arrow(df, opts)
-    return _extract_pages_pandas(df, opts, emit_spans=True)
+        return _extract_pages_arrow(df, opts, recognizer_factory)
+    return _extract_pages_pandas(df, opts, emit_spans=True,
+                                 recognizer_factory=recognizer_factory)
 
 
-def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
+def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions,
+                         recognizer_factory=None) -> DataFrame:
     # captured driver-side: pre-forked python workers don't see driver env
     audit = os.environ.get("SPARK_GRAFT_ASSET_AUDIT")
 
@@ -121,8 +131,10 @@ def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         # per-task init point (mirrors the reference's singleton worker):
-        # executor assets (S6) load here, once, never in the batch loop
+        # executor assets (S6) load here, once, never in the batch loop —
+        # and the OCR model (when enabled) initializes here too
         hyphen_ex = _load_hyphen_asset(opts, audit)
+        recognizer = recognizer_factory() if recognizer_factory else None
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -137,7 +149,8 @@ def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
             walls: list[int] = []
             for payload, lang in zip(payloads, langs):
                 t0 = time.perf_counter_ns()
-                r = extract_document(payload, lang, opts, hyphen_ex)
+                r = extract_document(payload, lang, opts, hyphen_ex,
+                                     recognizer)
                 walls.append((time.perf_counter_ns() - t0) // 1000)
                 for k in cols:
                     cols[k].append(r[k])
@@ -163,7 +176,8 @@ def _extract_pages_arrow(df: DataFrame, opts: ExtractOptions) -> DataFrame:
 
 
 def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
-                          emit_spans: bool) -> DataFrame:
+                          emit_spans: bool,
+                          recognizer_factory=None) -> DataFrame:
     audit = os.environ.get("SPARK_GRAFT_ASSET_AUDIT")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -173,8 +187,9 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
         pid = ctx.partitionId() if ctx is not None else -1
         # per-task init point (mirrors the reference's singleton worker);
         # executor assets (S6) load here, and model-backed decoders
-        # initialize here.
+        # (the OCR recognizer included) initialize here.
         hyphen_ex = _load_hyphen_asset(opts, audit)
+        recognizer = recognizer_factory() if recognizer_factory else None
         for batch in batches:
             n = len(batch)
             if n == 0:
@@ -193,7 +208,8 @@ def _extract_pages_pandas(df: DataFrame, opts: ExtractOptions,
                 t0 = time.perf_counter_ns()
                 # no bytes() here: extract_document type-guards the payload
                 # itself (errors-as-values even for mis-typed columns)
-                r = extract_document(payload, lang, opts, hyphen_ex)
+                r = extract_document(payload, lang, opts, hyphen_ex,
+                                     recognizer)
                 wall = (time.perf_counter_ns() - t0) // 1000
                 cols["kind"].append(r["kind"])
                 cols["status"].append(r["status"])

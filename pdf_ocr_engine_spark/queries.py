@@ -140,6 +140,55 @@ FROM t
 """.replace("__WPP__", str(REAL_PDF_WORDS_PER_PAGE))
 
 
+def q_ocr_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned/image-only tier end-to-end (U1/U4/F6 — the reference's core
+    use case, README.md:13-29): a mixed corpus where odd doc_ids are
+    genuine *image-only* PDFs (no text operators; pages embed a raster of
+    the word grid) and even doc_ids are born-digital text-layer PDFs.  The
+    plan-level F6 gate (``operators/ocr.extract_with_ocr``) probes
+    ``needs_ocr``, routes each half to its branch, and the OCR branch runs
+    rasterize→recognize→layout with the deterministic recognizer (swap-in
+    point for a real model).  The oracle recomputes text, counts, AND the
+    route per document — a misrouted doc (or a recognizer that lost words)
+    hash-mismatches."""
+    from .operators.ocr import extract_with_ocr
+    from .sources.testdata import mixed_scan_pages_from_documents
+
+    pages = mixed_scan_pages_from_documents(spark, sf_dir)
+    # cache_probe registers the persisted probe with plans.cache — released
+    # when the next registry query starts
+    out = extract_with_ocr(pages, cache_probe=True)
+    return out.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.col("route"),
+        F.col("status"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.regexp_replace(F.col("text"), r"\s+", " ").alias("text_norm"),
+    )
+
+
+# route: odd doc_ids are scanned; an EMPTY even doc has a text-layer PDF
+# whose single page carries no text ops → has_text=false → OCR branch too
+_SQL_OCR_SCANNED = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 OR len(toks) = 0
+            THEN 'ocr' ELSE 'text' END AS route,
+       CASE WHEN len(toks) = 0 THEN 'empty' ELSE 'ok' END AS status,
+       CAST(CASE WHEN len(toks) = 0 THEN 1
+            ELSE ceil(len(toks) / __WPP__.0) END AS BIGINT) AS n_pages,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       array_to_string(toks, ' ') AS text_norm
+FROM t
+""".replace("__WPP__", str(REAL_PDF_WORDS_PER_PAGE))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip (S1 on raw archives): documents → real WARC
     archives (half gzipped) written once to ``_build`` → streamed reader
@@ -1578,6 +1627,7 @@ def _with_cache_release(fn: Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents": q_extract_documents,
     "extract_real_pdf": q_extract_real_pdf,
+    "ocr_scanned": q_ocr_scanned,
     "warc_roundtrip": q_warc_roundtrip,
     "pipeline_train": q_pipeline_train,
     "sniff_prefix": q_sniff_prefix,
@@ -1627,6 +1677,7 @@ QUERIES = {name: _with_cache_release(fn) for name, fn in QUERIES.items()}
 ORACLES: dict[str, str] = {
     "extract_documents": _SQL_EXTRACT_DOCUMENTS,
     "extract_real_pdf": _SQL_EXTRACT_REAL_PDF,
+    "ocr_scanned": _SQL_OCR_SCANNED,
     "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
     "pipeline_train": _SQL_PIPELINE_TRAIN,
     "sniff_prefix": _SQL_SNIFF_PREFIX,

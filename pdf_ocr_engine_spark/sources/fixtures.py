@@ -98,6 +98,27 @@ def text_to_real_pdf_payload(text: str,
     return build_searchable_pdf(pages)
 
 
+def text_to_scanned_pdf_payload(text: str,
+                                words_per_line: int = WORDS_PER_LINE,
+                                words_per_page: int | None = None) -> bytes:
+    """Genuine *image-only* PDF (``core/pdfscan``): pages carry no text
+    operators, only an embedded raster of the same word grid — re-extraction
+    must go through the OCR tier (has-text detect → image pull → recognize →
+    layout) and reproduce the token stream.  The scanned twin of
+    :func:`text_to_real_pdf_payload`, paginated identically so both share
+    one oracle."""
+    from ..core.pdfscan import build_scanned_pdf
+
+    tokens = text.split()
+    per_page = words_per_page or max(len(tokens), 1)
+    pages = [
+        {"width": 612.0, "height": 792.0,
+         "words": layout_words(tokens[i:i + per_page], words_per_line)}
+        for i in range(0, len(tokens), per_page)
+    ] or [{"width": 612.0, "height": 792.0, "words": []}]
+    return build_scanned_pdf(pages)
+
+
 # --------------------------------------------------------------------------
 # Self-contained fixture corpus (FIXTURES.md §1)
 # --------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from .fixtures import (
     WORDS_PER_LINE,
     text_to_pdf_payload,
     text_to_real_pdf_payload,
+    text_to_scanned_pdf_payload,
 )
 
 #: testdata `documents.lang` uses 2-letter codes; the pipeline's language
@@ -66,6 +67,37 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
         _text_to_payload(F.col("text")).alias("html"),
+        F.lit("").alias("text"),
+        lang3_col().alias("lang"),
+        F.col("doc_id"),
+    )
+
+
+@F.pandas_udf(BinaryType())
+def _text_to_mixed_payload(text, doc_id):
+    """Even doc_ids → born-digital PDF (text layer); odd → scanned
+    image-only PDF (raster pages, OCR tier required).  Both paginate at
+    REAL_PDF_WORDS_PER_PAGE so one oracle covers the whole corpus."""
+    import pandas as pd
+
+    out = []
+    for t, d in zip(text, doc_id):
+        fn = (text_to_real_pdf_payload if int(d) % 2 == 0
+              else text_to_scanned_pdf_payload)
+        out.append(fn(t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE))
+    return pd.Series(out)
+
+
+def mixed_scan_pages_from_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Mixed born-digital / scanned corpus — the OCR router's input: half
+    the documents (odd doc_id) are genuine image-only PDFs whose text is
+    only reachable through the rasterize→recognize tier."""
+    return documents(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        _text_to_mixed_payload(F.col("text"), F.col("doc_id")).alias("html"),
         F.lit("").alias("text"),
         lang3_col().alias("lang"),
         F.col("doc_id"),
