@@ -24,6 +24,9 @@ Status values and their reference counterparts:
 ``timeout``        per-document wall-clock budget (``maxDuration``,
                    ``route.ts:5``; checked between pages)
 ``decode_error``   malformed payload (corrupt container / undecodable HTML)
+``encrypted``      password-protected or unsupported-scheme PDF (empty-user-
+                   password documents decrypt transparently and never reach
+                   this status; ``core/pdfcrypt.py``)
 =================  =============================================================
 """
 
@@ -122,8 +125,15 @@ def sniff_document(html: bytes | None, lang: str | None,
 def _extract_pdf(html: bytes, options: ExtractOptions,
                  hyphen_exceptions: frozenset[str] | None = None,
                  recognizer=None) -> dict[str, Any]:
+    from .pdfcrypt import EncryptedPdfError
+
     try:
         doc = decode_pdf_arrays(html)
+    except EncryptedPdfError as exc:
+        # distinct from corrupt: a crawl can count/route password-protected
+        # documents (empty-user-password docs decrypt and never land here)
+        return {"status": "encrypted", "error": str(exc),
+                "n_pages": 0, "n_words": 0, "text": None}
     except ValueError as exc:
         return {"status": "decode_error", "error": str(exc),
                 "n_pages": 0, "n_words": 0, "text": None}

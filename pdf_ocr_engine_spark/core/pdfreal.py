@@ -385,11 +385,59 @@ class _Doc:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.index: dict[int, int] = {}
+        self.gens: dict[int, int] = {}
         for m in _OBJ_RE.finditer(data):
             # later definitions (incremental updates) win
-            self.index[int(m.group(1))] = m.end()
+            num = int(m.group(1))
+            self.index[num] = m.end()
+            self.gens[num] = int(m.group(2))
         self._cache: dict[int, Any] = {}
         self._objstm_loaded = False
+        self.decryptor = None
+        if b"/Encrypt" in data:  # cheap pre-check; the common case skips all
+            self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Standard-security-handler setup (ISO 32000-1 §7.6): find the
+        governing trailer's /Encrypt + /ID and build the empty-user-password
+        decryptor.  Raises ``EncryptedPdfError`` (→ ``status='encrypted'``)
+        when the scheme is unsupported or a real password is required."""
+        from .pdfcrypt import EncryptedPdfError, StandardDecryptor
+
+        enc_ref = None
+        id0 = b""
+        # last trailer wins (incremental updates); XRef-stream trailers are
+        # dicts of /Type /XRef objects and are picked up below
+        for m in re.finditer(rb"trailer\b", self.data):
+            try:
+                d, _ = _parse_value(self.data, m.end())
+            except (ValueError, IndexError):
+                continue
+            if isinstance(d, dict) and "Encrypt" in d:
+                enc_ref = d.get("Encrypt")
+                ids = d.get("ID")
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    id0 = ids[0]
+        if enc_ref is None:
+            for num in list(self.index):
+                try:
+                    obj = self.get(num)
+                except ValueError:
+                    continue
+                d = obj.dict if isinstance(obj, _Stream) else obj
+                if isinstance(d, dict) and str(d.get("Type", "")) == "XRef" \
+                        and "Encrypt" in d:
+                    enc_ref = d.get("Encrypt")
+                    ids = d.get("ID")
+                    if isinstance(ids, list) and ids \
+                            and isinstance(ids[0], bytes):
+                        id0 = ids[0]
+        if enc_ref is None:
+            return  # "/Encrypt" bytes were a false positive (e.g. in text)
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise EncryptedPdfError("malformed /Encrypt reference")
+        self.decryptor = StandardDecryptor(enc, id0)
 
     def _load_object_streams(self) -> None:
         if self._objstm_loaded:
@@ -462,7 +510,7 @@ class _Doc:
                     if e < 0:
                         raise ValueError(f"unterminated stream in obj {num}")
                     raw = self.data[p2:e].rstrip(b"\r\n")
-                val = _Stream(val, raw)
+                val = _Stream(val, raw, num, self.gens.get(num, 0))
         self._cache[num] = val
         return val
 
@@ -476,16 +524,23 @@ class _Doc:
 
 
 class _Stream:
-    __slots__ = ("dict", "raw", "_decoded")
+    __slots__ = ("dict", "raw", "_decoded", "num", "gen")
 
-    def __init__(self, d: dict, raw: bytes) -> None:
+    def __init__(self, d: dict, raw: bytes, num: int = 0,
+                 gen: int = 0) -> None:
         self.dict = d
         self.raw = raw
+        self.num = num
+        self.gen = gen
         self._decoded: bytes | None = None
 
     def decoded(self, doc: _Doc) -> bytes:
         if self._decoded is None:
             data = self.raw
+            if doc.decryptor is not None:
+                # Algorithm-1 per-object decryption before any filter;
+                # XRef streams are spec-exempt but never decoded here
+                data = doc.decryptor.decrypt(self.num, self.gen, data)
             filters = doc.resolve(self.dict.get("Filter"))
             parms = doc.resolve(self.dict.get("DecodeParms"))
             if filters is None:

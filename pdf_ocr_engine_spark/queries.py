@@ -140,6 +140,29 @@ FROM t
 """.replace("__WPP__", str(REAL_PDF_WORDS_PER_PAGE))
 
 
+def q_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-PDF round-trip (``core/pdfcrypt``): every document is a
+    genuine PDF encrypted with an EMPTY user password — RC4-40 / RC4-128 /
+    AES-128 rotating by doc_id — the permissions-only encryption routine in
+    crawls.  Extraction must transparently run the Standard-handler key
+    derivation (ISO 32000-1 §7.6), decrypt per-object, and reproduce the
+    exact token stream; the oracle is the same closed form as
+    ``extract_real_pdf``, so a single wrong key byte (or a scheme silently
+    skipped) hash-mismatches.  Password-protected documents get a distinct
+    ``status='encrypted'`` (tests/test_pdfcrypt.py)."""
+    from .sources.testdata import encrypted_pages_from_documents
+
+    pages = encrypted_pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages)
+    return out.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.col("status"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.regexp_replace(F.col("text"), r"\s+", " ").alias("text_norm"),
+    )
+
+
 def q_ocr_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scanned/image-only tier end-to-end (U1/U4/F6 — the reference's core
     use case, README.md:13-29): a mixed corpus where odd doc_ids are
@@ -1627,6 +1650,7 @@ def _with_cache_release(fn: Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents": q_extract_documents,
     "extract_real_pdf": q_extract_real_pdf,
+    "extract_encrypted": q_extract_encrypted,
     "ocr_scanned": q_ocr_scanned,
     "warc_roundtrip": q_warc_roundtrip,
     "pipeline_train": q_pipeline_train,
@@ -1677,6 +1701,8 @@ QUERIES = {name: _with_cache_release(fn) for name, fn in QUERIES.items()}
 ORACLES: dict[str, str] = {
     "extract_documents": _SQL_EXTRACT_DOCUMENTS,
     "extract_real_pdf": _SQL_EXTRACT_REAL_PDF,
+    # same closed form: decryption must be lossless down to the token stream
+    "extract_encrypted": _SQL_EXTRACT_REAL_PDF,
     "ocr_scanned": _SQL_OCR_SCANNED,
     "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
     "pipeline_train": _SQL_PIPELINE_TRAIN,

@@ -283,3 +283,17 @@ def write_pages_parquet(path: str, n_docs: int = 200, seed: int = SEED) -> str:
     pq.write_table(pages, path)
     pq.write_table(golden, path.replace(".parquet", "_golden.parquet"))
     return path
+
+
+def text_to_encrypted_pdf_payload(text: str, scheme: str = "rc4-128",
+                                  words_per_line: int = WORDS_PER_LINE,
+                                  words_per_page: int | None = None) -> bytes:
+    """Encrypted twin of :func:`text_to_real_pdf_payload`: the same genuine
+    PDF re-written by ``core/pdfcrypt.encrypt_pdf`` with an empty user
+    password — re-extraction must transparently decrypt (RC4 V1/V2 or
+    AESV2) and reproduce the token stream."""
+    from ..core.pdfcrypt import encrypt_pdf
+
+    return encrypt_pdf(
+        text_to_real_pdf_payload(text, words_per_line, words_per_page),
+        scheme)

@@ -88,6 +88,41 @@ def _text_to_mixed_payload(text, doc_id):
     return pd.Series(out)
 
 
+@F.pandas_udf(BinaryType())
+def _text_to_encrypted_payload(text, doc_id):
+    """Scheme rotates by doc_id: RC4-40 (V1/R2), RC4-128 (V2/R3), AES-128
+    (V4/R4 AESV2) — all with empty user passwords, the permissions-only
+    encryption ubiquitous in crawls."""
+    import pandas as pd
+
+    from .fixtures import text_to_encrypted_pdf_payload
+
+    schemes = ("rc4-40", "rc4-128", "aes-128")
+    out = []
+    for t, d in zip(text, doc_id):
+        out.append(text_to_encrypted_pdf_payload(
+            t or "", schemes[int(d) % 3], WORDS_PER_LINE,
+            REAL_PDF_WORDS_PER_PAGE))
+    return pd.Series(out)
+
+
+def encrypted_pages_from_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Encrypted-PDF corpus: every document is a genuine PDF encrypted with
+    an empty user password under a rotating scheme — input for the
+    transparent-decryption round-trip query."""
+    return documents(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        _text_to_encrypted_payload(F.col("text"),
+                                   F.col("doc_id")).alias("html"),
+        F.lit("").alias("text"),
+        lang3_col().alias("lang"),
+        F.col("doc_id"),
+    )
+
+
 def mixed_scan_pages_from_documents(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Mixed born-digital / scanned corpus — the OCR router's input: half

@@ -1,0 +1,133 @@
+"""Encrypted-PDF support (core/pdfcrypt.py) — Standard security handler.
+
+Round-trip direction: ``encrypt_pdf`` (fixture-grade writer) ⊣ the
+transparent decryption inside ``parse_real_pdf`` — same writer⊣parser
+oracle pattern as pdfwrite⊣pdfreal.  Primitive direction: AES-128 against
+the FIPS-197 known-answer vector (public spec test data).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_ocr_engine_spark.core.extract_doc import extract_document
+from pdf_ocr_engine_spark.core.pdfcrypt import (
+    EncryptedPdfError,
+    _decrypt_block,
+    _encrypt_block,
+    _expand_key,
+    aes_cbc_decrypt,
+    aes_cbc_encrypt,
+    encrypt_pdf,
+    rc4,
+)
+from pdf_ocr_engine_spark.core.pdfreal import parse_real_pdf
+from pdf_ocr_engine_spark.sources.fixtures import (
+    expected_text,
+    text_to_encrypted_pdf_payload,
+    text_to_real_pdf_payload,
+)
+
+TEXT = ("confidential words inside the encrypted document lorem ipsum "
+        "dolor sit amet adipiscing elit sed do eiusmod tempor")
+
+
+class TestPrimitives:
+    def test_aes128_fips197_vector(self):
+        # FIPS-197 Appendix C.1 (public known-answer test)
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+        rks = _expand_key(key)
+        assert _encrypt_block(pt, rks) == ct
+        assert _decrypt_block(ct, rks) == pt
+
+    def test_aes_cbc_roundtrip_sizes(self):
+        key = bytes(range(16))
+        for n in (0, 1, 15, 16, 17, 100):
+            data = bytes(range(256))[:n] * 1
+            ct = aes_cbc_encrypt(key, b"\x42" * 16, data)
+            assert aes_cbc_decrypt(key, ct) == data
+
+    def test_rc4_symmetric(self):
+        key = b"Key"
+        # public RC4 test vector: "Plaintext" under "Key"
+        assert rc4(key, b"Plaintext").hex() == "bbf316e8d940af0ad3"
+        assert rc4(key, rc4(key, b"arbitrary data")) == b"arbitrary data"
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("scheme", ["rc4-40", "rc4-128", "aes-128"])
+    def test_extracts_identically(self, scheme):
+        plain = text_to_real_pdf_payload(TEXT)
+        enc = text_to_encrypted_pdf_payload(TEXT, scheme)
+        assert enc != plain
+        # ciphertext must not leak the words
+        assert b"confidential" not in enc
+        r_plain = extract_document(plain, "eng")
+        r_enc = extract_document(enc, "eng")
+        assert r_enc["status"] == "ok"
+        assert r_enc["text"] == r_plain["text"] == expected_text(TEXT.split())
+        assert r_enc["n_words"] == r_plain["n_words"]
+
+    @pytest.mark.parametrize("scheme", ["rc4-128", "aes-128"])
+    def test_multipage_paginated(self, scheme):
+        enc = text_to_encrypted_pdf_payload(" ".join(TEXT.split() * 5),
+                                            scheme, 12, 36)
+        r = extract_document(enc, "eng")
+        assert r["status"] == "ok"
+        assert r["n_pages"] == 3
+
+    def test_empty_document(self):
+        enc = text_to_encrypted_pdf_payload("", "rc4-128")
+        r = extract_document(enc, "eng")
+        assert r["status"] == "empty"
+
+
+class TestRefusal:
+    def test_nonempty_user_password_is_encrypted_status(self):
+        # tamper /U so the empty password no longer verifies — the model of
+        # a document with a real user password
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        import re
+
+        m = re.search(rb"/U <([0-9a-f]+)>", enc)
+        assert m is not None
+        bad_u = (b"00" * (len(m.group(1)) // 2))
+        tampered = enc[:m.start(1)] + bad_u + enc[m.end(1):]
+        r = extract_document(tampered, "eng")
+        assert r["status"] == "encrypted"
+        assert "password" in r["error"]
+
+    def test_v5_unsupported_is_encrypted_status(self):
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        tampered = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+        r = extract_document(tampered, "eng")
+        assert r["status"] == "encrypted"
+        assert "V=5" in r["error"]
+
+    def test_non_standard_filter_is_encrypted_status(self):
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        tampered = enc.replace(b"/Filter /Standard", b"/Filter /Custom42")
+        r = extract_document(tampered, "eng")
+        assert r["status"] == "encrypted"
+
+    def test_encrypted_raises_typed_error_at_parse_level(self):
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        tampered = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+        with pytest.raises(EncryptedPdfError):
+            parse_real_pdf(tampered)
+
+    def test_plain_doc_mentioning_encrypt_unaffected(self):
+        # "/Encrypt" appearing as content text must not trigger the handler
+        pdf = text_to_real_pdf_payload("the /Encrypt key is a pdf name")
+        r = extract_document(pdf, "eng")
+        assert r["status"] == "ok"
+        assert "/Encrypt" in r["text"]
+
+
+class TestDeterminism:
+    def test_fixture_bytes_stable(self):
+        a = encrypt_pdf(text_to_real_pdf_payload(TEXT), "aes-128")
+        b = encrypt_pdf(text_to_real_pdf_payload(TEXT), "aes-128")
+        assert a == b  # IVs derive from object numbers, not randomness
