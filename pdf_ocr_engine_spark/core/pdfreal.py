@@ -596,6 +596,11 @@ def _find_pages(doc: _Doc) -> list[dict]:
         if t == "Page" or (t != "Pages" and "Contents" in node):
             merged = dict(inh)
             merged.update(node)
+            # object number of the page node (None for illegal inline page
+            # dicts) — the incremental-update overlay needs it to redefine
+            # the page in place (core/pdfoverlay.py)
+            merged["__num__"] = (node_ref[0]
+                                 if isinstance(node_ref, _Ref) else None)
             pages.append(merged)
         elif t == "Pages" or "Kids" in node:
             for kid in doc.resolve(node.get("Kids", [])) or []:
@@ -610,7 +615,9 @@ def _find_pages(doc: _Doc) -> list[dict]:
             except ValueError:
                 continue
             if isinstance(obj, dict) and str(obj.get("Type", "")) == "Page":
-                pages.append(obj)
+                page = dict(obj)
+                page["__num__"] = num
+                pages.append(page)
     return pages
 
 

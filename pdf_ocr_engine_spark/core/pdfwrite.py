@@ -63,7 +63,8 @@ def _escape_text(raw: str) -> str:
 
 
 def _page_content(spans, page_w: float, page_h: float,
-                  img_w: float | None, img_h: float | None) -> bytes:
+                  img_w: float | None, img_h: float | None,
+                  font_res: str = "F1") -> bytes:
     """Content stream for one page: invisible text ops per drawable span.
 
     ``spans``: iterable of ``(raw, x0, y0, x1, y1)`` in image coords
@@ -87,7 +88,7 @@ def _page_content(spans, page_w: float, page_h: float,
         if fitted <= 1 or not raw.strip():         # builder.ts:189 (unclamped)
             continue
         font_size = max(fitted, 4.0)               # builder.ts:193 render floor
-        ops.append(f"/F1 {_fmt(font_size)} Tf")
+        ops.append(f"/{font_res} {_fmt(font_size)} Tf")
         ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(y)} Tm")
         ops.append(f"({_escape_text(raw)}) Tj")
     ops.append("ET")

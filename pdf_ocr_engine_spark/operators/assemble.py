@@ -45,7 +45,8 @@ ASSEMBLED_SCHEMA = StructType([
 
 
 def _assemble_one(payload: bytes | None, lang: str | None,
-                  opts: ExtractOptions) -> dict:
+                  opts: ExtractOptions, preserve_images: bool = False,
+                  recognizer=None) -> dict:
     sniff = sniff_document(payload, lang, opts)
     if sniff["status"] != "ok" or sniff["kind"] != "pdf":
         status = sniff["status"] if sniff["status"] != "ok" else "unsupported"
@@ -62,6 +63,8 @@ def _assemble_one(payload: bytes | None, lang: str | None,
             return {"status": "too_many_pages",
                     "error": f"PDF has {doc['page_count']} pages",
                     "n_pages": doc["page_count"], "n_words": 0, "pdf": None}
+        if preserve_images:
+            return _overlay_one(payload, doc, recognizer)
         out_pages = []
         n_words = 0
         for p in pages:
@@ -84,19 +87,76 @@ def _assemble_one(payload: bytes | None, lang: str | None,
                 "n_pages": 0, "n_words": 0, "pdf": None}
 
 
+def _overlay_one(payload: bytes, doc: dict, recognizer) -> dict:
+    """preserveImages mode (reference default, ``route.ts:73-77``): overlay
+    the invisible layer onto the ORIGINAL bytes via incremental update
+    (``core/pdfoverlay``) — images/vector art survive verbatim.  Pages with
+    an existing text layer get no overlay (``builder.ts:146-147``); image-
+    only pages get the recognizer's words (None → no layer)."""
+    if doc.get("flavor") != "real":
+        return {"status": "unsupported",
+                "error": "preserveImages needs a genuine PDF original "
+                         "(word-box containers carry no original pages)",
+                "n_pages": 0, "n_words": 0, "pdf": None}
+    from ..core.pdfoverlay import overlay_text_layer
+    from ..core.pdfreal import extract_page_images
+
+    pages = doc["pages"]
+    page_spans: list[list] = []
+    page_images = None
+    n_words = 0
+    for idx, p in enumerate(pages):
+        if p.get("has_text") or recognizer is None:
+            page_spans.append([])
+            continue
+        if page_images is None:
+            page_images = extract_page_images(payload)
+        words: list[tuple] = []
+        imgs = (page_images[idx]["images"]
+                if idx < len(page_images) else [])
+        for img in imgs:
+            words.extend(recognizer(img["data"]))
+        import numpy as np
+        coords = np.empty((len(words), 5), dtype="f8")
+        texts = []
+        for j, (txt, x0, y0, x1, y1) in enumerate(words):
+            texts.append(txt)
+            coords[j, :4] = (x0, y0, x1, y1)
+            coords[j, 4] = 95.0
+        _text, nw, spans = page_layout_fast(texts, coords, want_spans=True)
+        n_words += nw
+        page_spans.append(spans)
+    try:
+        pdf = overlay_text_layer(payload, page_spans)
+    except ValueError as exc:
+        return {"status": "overlay_unsupported", "error": str(exc),
+                "n_pages": len(pages), "n_words": 0, "pdf": None}
+    return {"status": "ok", "error": None, "n_pages": len(pages),
+            "n_words": n_words, "pdf": pdf}
+
+
 def assemble_searchable(df: DataFrame,
-                        options: ExtractOptions | None = None) -> DataFrame:
+                        options: ExtractOptions | None = None,
+                        preserve_images: bool = False,
+                        recognizer_factory=None) -> DataFrame:
+    """``preserve_images=True`` switches to the reference's default overlay
+    mode (invisible layer appended to the ORIGINAL bytes — incremental
+    update); ``recognizer_factory`` supplies the OCR for image-only pages,
+    initialized once per task (same contract as ``extract_pages``)."""
     opts = options or DEFAULT_OPTIONS
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        # per-task init point: the recognizer (model) builds once here
+        recognizer = recognizer_factory() if recognizer_factory else None
         for batch in batches:
             n = len(batch)
             if n == 0:
                 continue
             langs = batch["lang"].tolist() if "lang" in batch else [None] * n
-            rows = [_assemble_one(bytes(p) if p is not None else None, lg, opts)
+            rows = [_assemble_one(bytes(p) if p is not None else None, lg,
+                                  opts, preserve_images, recognizer)
                     for p, lg in zip(batch["html"].tolist(), langs)]
             yield pd.DataFrame({
                 "url": batch["url"].tolist(),

@@ -212,6 +212,105 @@ FROM t
 """.replace("__WPP__", str(REAL_PDF_WORDS_PER_PAGE))
 
 
+def q_assemble_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """preserveImages assembly (U3's faithful mode — reference default,
+    ``route.ts:73-77`` / ``builder.ts:135-147``): scanned image-only PDFs →
+    recognize → invisible text layer appended to the ORIGINAL bytes via PDF
+    incremental update (``core/pdfoverlay``).  The verify stage re-opens
+    every output document and value-checks BOTH halves of the contract:
+    the overlay text extracts to the exact token stream AND the original
+    page image objects survive byte-identically (md5 of the recovered
+    raster equals a recomputation from the source text).  Narrow chain —
+    assemble and verify are back-to-back mapInPandas stages, no shuffle."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.assemble import assemble_searchable
+    from .operators.ocr import deterministic_recognizer
+    from .sources.testdata import scanned_pages_from_documents
+
+    pages = scanned_pages_from_documents(spark, sf_dir)
+    asm = assemble_searchable(pages, preserve_images=True,
+                              recognizer_factory=deterministic_recognizer)
+
+    verify_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("status", StringType(), False),
+        StructField("n_pages", LongType(), False),
+        StructField("n_words", LongType(), False),
+        StructField("text_norm", StringType(), True),
+        StructField("images_intact", StringType(), False),
+    ])
+
+    def verify(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from .core.extract_doc import extract_document
+        from .core.pdfreal import extract_page_images
+        from .core.pdfscan import decode_page_raster
+
+        for batch in batches:
+            rows = []
+            for url, status, pdf in zip(batch["url"], batch["status"],
+                                        batch["pdf"]):
+                doc_id = int(url.rsplit("/", 1)[-1])
+                if status != "ok" or pdf is None:
+                    rows.append((doc_id, status, 0, 0, None, "no"))
+                    continue
+                r = extract_document(bytes(pdf), "eng")
+                text_norm = _re.sub(r"\s+", " ", r["text"] or "")
+                # originals intact ⇔ every page still has its raster AND
+                # the raster words equal what the overlay layer says —
+                # any byte change to the image breaks decode or the match
+                raster_toks: list[str] = []
+                intact = True
+                try:
+                    for p in extract_page_images(bytes(pdf)):
+                        if len(p["images"]) != 1:
+                            intact = False
+                            break
+                        _w, _h, words = decode_page_raster(
+                            p["images"][0]["data"])
+                        raster_toks.extend(w[0] for w in words)
+                except ValueError:
+                    intact = False
+                if intact:
+                    intact = raster_toks == (r["text"] or "").split()
+                rows.append((doc_id, r["status"], r["n_pages"],
+                             r["n_words"], text_norm,
+                             "yes" if intact else "no"))
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in verify_schema.fields])
+
+    return asm.mapInPandas(verify, verify_schema)
+
+
+# the overlay's extraction contract is the same closed form as
+# extract_real_pdf; images_intact must be 'yes' everywhere the overlay ran
+_SQL_ASSEMBLE_OVERLAY = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) = 0 THEN 'empty' ELSE 'ok' END AS status,
+       CAST(CASE WHEN len(toks) = 0 THEN 1
+            ELSE ceil(len(toks) / __WPP__.0) END AS BIGINT) AS n_pages,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       array_to_string(toks, ' ') AS text_norm,
+       'yes' AS images_intact
+FROM t
+""".replace("__WPP__", str(REAL_PDF_WORDS_PER_PAGE))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip (S1 on raw archives): documents → real WARC
     archives (half gzipped) written once to ``_build`` → streamed reader
@@ -1652,6 +1751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_real_pdf": q_extract_real_pdf,
     "extract_encrypted": q_extract_encrypted,
     "ocr_scanned": q_ocr_scanned,
+    "assemble_overlay": q_assemble_overlay,
     "warc_roundtrip": q_warc_roundtrip,
     "pipeline_train": q_pipeline_train,
     "sniff_prefix": q_sniff_prefix,
@@ -1704,6 +1804,7 @@ ORACLES: dict[str, str] = {
     # same closed form: decryption must be lossless down to the token stream
     "extract_encrypted": _SQL_EXTRACT_REAL_PDF,
     "ocr_scanned": _SQL_OCR_SCANNED,
+    "assemble_overlay": _SQL_ASSEMBLE_OVERLAY,
     "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
     "pipeline_train": _SQL_PIPELINE_TRAIN,
     "sniff_prefix": _SQL_SNIFF_PREFIX,

@@ -74,6 +74,30 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @F.pandas_udf(BinaryType())
+def _text_to_scanned_payload(text):
+    """Vectorized text → image-only scanned PDF (paginated like the real
+    corpus so the same oracle applies)."""
+    return text.map(
+        lambda t: text_to_scanned_pdf_payload(t or "", WORDS_PER_LINE,
+                                              REAL_PDF_WORDS_PER_PAGE))
+
+
+def scanned_pages_from_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """All-scanned corpus: every document is a genuine image-only PDF —
+    the input for the preserveImages overlay round-trip query."""
+    return documents(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        _text_to_scanned_payload(F.col("text")).alias("html"),
+        F.lit("").alias("text"),
+        lang3_col().alias("lang"),
+        F.col("doc_id"),
+    )
+
+
+@F.pandas_udf(BinaryType())
 def _text_to_mixed_payload(text, doc_id):
     """Even doc_ids → born-digital PDF (text layer); odd → scanned
     image-only PDF (raster pages, OCR tier required).  Both paginate at

@@ -1,0 +1,134 @@
+"""preserveImages overlay (core/pdfoverlay.py, operators/assemble.py).
+
+Reference parity: the reference's DEFAULT assembly copies original pages
+and overlays invisible text (builder.ts:135-147, route.ts:73-77); here
+that is a PDF incremental update — the original bytes survive verbatim
+as a prefix, which these tests check literally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_ocr_engine_spark.core.extract_doc import extract_document
+from pdf_ocr_engine_spark.core.layout_fast import page_layout_fast
+from pdf_ocr_engine_spark.core.pdfoverlay import overlay_text_layer
+from pdf_ocr_engine_spark.core.pdfreal import (
+    extract_page_images,
+    parse_real_pdf,
+)
+from pdf_ocr_engine_spark.core.pdfscan import decode_page_raster
+from pdf_ocr_engine_spark.operators.assemble import _assemble_one
+from pdf_ocr_engine_spark.operators.ocr import deterministic_recognizer
+from pdf_ocr_engine_spark.core.extract_doc import DEFAULT_OPTIONS
+from pdf_ocr_engine_spark.sources.fixtures import (
+    layout_words,
+    text_to_encrypted_pdf_payload,
+    text_to_pdf_payload,
+    text_to_real_pdf_payload,
+    text_to_scanned_pdf_payload,
+)
+
+TEXT = ("recognized words overlaid on the original scanned page images "
+        "lorem ipsum dolor sit amet")
+
+
+def _spans_for(tokens):
+    words = layout_words(tokens)
+    coords = np.array([[x0, y0, x1, y1, 95.0]
+                       for _t, x0, y0, x1, y1 in words])
+    _txt, _n, spans = page_layout_fast([w[0] for w in words], coords,
+                                       want_spans=True)
+    return spans
+
+
+class TestOverlayCore:
+    def test_original_bytes_preserved_verbatim(self):
+        orig = text_to_scanned_pdf_payload(TEXT)
+        out = overlay_text_layer(orig, [_spans_for(TEXT.split())])
+        assert out[:len(orig)] == orig
+        assert len(out) > len(orig)
+
+    def test_text_extractable_and_images_intact(self):
+        orig = text_to_scanned_pdf_payload(TEXT)
+        out = overlay_text_layer(orig, [_spans_for(TEXT.split())])
+        r = extract_document(out, "eng")
+        assert r["status"] == "ok"
+        assert r["text"].split() == TEXT.split()
+        pages = extract_page_images(out)
+        assert len(pages[0]["images"]) == 1
+        _w, _h, words = decode_page_raster(pages[0]["images"][0]["data"])
+        assert [w[0] for w in words] == TEXT.split()
+
+    def test_multipage_only_touched_pages_change(self):
+        toks = TEXT.split()
+        orig = text_to_scanned_pdf_payload(" ".join(toks * 4), 12, 36)
+        n = parse_real_pdf(orig)["page_count"]
+        assert n >= 2
+        spans = [[] for _ in range(n)]
+        spans[1] = _spans_for(toks[:36])  # only page 2 gets a layer
+        out = overlay_text_layer(orig, spans)
+        doc = parse_real_pdf(out)
+        assert doc["pages"][0]["has_text"] is False
+        assert doc["pages"][1]["has_text"] is True
+
+    def test_no_spans_returns_original(self):
+        orig = text_to_scanned_pdf_payload(TEXT)
+        assert overlay_text_layer(orig, [[]]) == orig
+
+    def test_encrypted_original_refused(self):
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        with pytest.raises(ValueError, match="encrypted"):
+            overlay_text_layer(enc, [_spans_for(TEXT.split())])
+
+    def test_page_count_mismatch_raises(self):
+        orig = text_to_scanned_pdf_payload(TEXT)
+        with pytest.raises(ValueError, match="pages"):
+            overlay_text_layer(orig, [[], []])
+
+    def test_overlay_parses_with_incremental_trailer(self):
+        orig = text_to_scanned_pdf_payload(TEXT)
+        out = overlay_text_layer(orig, [_spans_for(TEXT.split())])
+        assert out.count(b"%%EOF") == 2  # original EOF + update EOF
+        assert b"/Prev" in out[len(orig):]
+
+
+class TestAssembleOperator:
+    def test_preserve_images_end_to_end(self):
+        orig = text_to_scanned_pdf_payload(TEXT)
+        r = _assemble_one(orig, "eng", DEFAULT_OPTIONS,
+                          preserve_images=True,
+                          recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["pdf"][:len(orig)] == orig
+        assert r["n_words"] == len(TEXT.split())
+        rx = extract_document(r["pdf"], "eng")
+        assert rx["text"].split() == TEXT.split()
+
+    def test_has_text_pages_left_alone(self):
+        # born-digital original: nothing to overlay → original returned
+        orig = text_to_real_pdf_payload(TEXT)
+        r = _assemble_one(orig, "eng", DEFAULT_OPTIONS,
+                          preserve_images=True,
+                          recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["pdf"] == orig
+        assert r["n_words"] == 0  # no new layer needed
+
+    def test_wbox_container_unsupported(self):
+        wbox = text_to_pdf_payload(TEXT)
+        r = _assemble_one(wbox, "eng", DEFAULT_OPTIONS,
+                          preserve_images=True,
+                          recognizer=deterministic_recognizer())
+        assert r["status"] == "unsupported"
+        assert "original" in r["error"]
+
+    def test_encrypted_original_is_error_value(self):
+        enc = text_to_encrypted_pdf_payload(TEXT, "aes-128")
+        r = _assemble_one(enc, "eng", DEFAULT_OPTIONS,
+                          preserve_images=True,
+                          recognizer=deterministic_recognizer())
+        # encrypted docs decrypt transparently for READING, but the overlay
+        # writer refuses them (new streams would need encrypting)
+        assert r["status"] == "overlay_unsupported"
