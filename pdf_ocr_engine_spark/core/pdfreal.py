@@ -320,7 +320,34 @@ def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
         raw = _lzw_decode(data,
                           early=int(parms.get("EarlyChange", 1) or 0))
         return _apply_predictor(raw, parms)
+    if name in ("RunLengthDecode", "RL"):
+        return _rle_decode(data)
     raise ValueError(f"unsupported stream filter {name}")
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte L — L<128 copies the
+    next L+1 bytes literally, L>128 repeats the next byte 257−L times,
+    L=128 is EOD.  Seen in older real-world PDFs (VERDICT round-2 item 9)."""
+    out = bytearray()
+    p, n = 0, len(data)
+    while p < n:
+        ln = data[p]
+        p += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            chunk = data[p:p + ln + 1]
+            if len(chunk) != ln + 1:
+                raise ValueError("truncated RunLength literal run")
+            out += chunk
+            p += ln + 1
+        else:
+            if p >= n:
+                raise ValueError("truncated RunLength repeat run")
+            out += data[p:p + 1] * (257 - ln)
+            p += 1
+    return bytes(out)
 
 
 #: LZW expansion bound: table entries grow a byte per code, so k input

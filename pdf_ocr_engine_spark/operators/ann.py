@@ -217,3 +217,42 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
     probes = [int(i) for i in order[:nprobe]]
     cand = assigned.where(F.col("list_id").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_topk_df(assigned: DataFrame, centroids: list[list[float]],
+                query_df: DataFrame, k: int = 10, nprobe: int = 4,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                ) -> DataFrame:
+    """IVF probe with the query vector joined IN-PLAN (no driver-side
+    ``.first()`` — the whole lookup is one Spark job, same discipline as
+    :func:`cosine_topk_df`).  The centroid table is index metadata already
+    living on the driver (``n_lists`` rows from the k-means build), so it
+    embeds as literals; the *query-dependent* part — ranking centroids and
+    picking the ``nprobe`` nearest lists — runs as Catalyst expressions on
+    the broadcast single-row query, then a cheap broadcast join prunes the
+    corpus to those lists before the exact cosine re-rank."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    q = query_df.select(
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double")).alias("__q_vec"))
+    # (squared distance, list_id) per centroid, sorted: nprobe nearest lists
+    dists = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(F.zip_with(c, F.col("__q_vec"),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            i.alias("lid")))
+    q = q.withColumn(
+        "__probes",
+        F.transform(F.slice(F.array_sort(dists), 1, nprobe),
+                    lambda s: s["lid"]))
+    cand = assigned.join(
+        F.broadcast(q),
+        F.array_contains(F.col("__probes"), F.col("list_id")))
+    scored = cand.select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("__q_vec")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

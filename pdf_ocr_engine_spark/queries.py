@@ -1067,15 +1067,16 @@ def q_ann_ivf(spark, sf_dir):
     own (or an immediately adjacent) inverted list for any reasonable
     centroid placement — with half the lists probed the brute-force
     top-10 must come back exactly, robust to the partitioning-dependent
-    parts of k-means|| initialization.  Centroid ranking is driver-side
-    index-metadata math (n_lists rows), inherent to IVF probing — not a
-    per-row collect."""
-    from .operators.ann import ivf_assign, ivf_topk
+    parts of k-means|| initialization.  The query embedding never touches
+    the driver: centroid ranking + nprobe-list selection run as Catalyst
+    expressions on the broadcast query row (``ivf_topk_df``); only the
+    centroid table itself is driver-side — it IS driver index metadata,
+    the k-means build's output."""
+    from .operators.ann import ivf_assign, ivf_topk_df
 
     u, qdf = _ann_planted_union(spark, sf_dir)
-    qv = [float(x) for x in qdf.first()["embedding"]]
     cents, assigned = ivf_assign(u, n_lists=16)
-    top = ivf_topk(assigned, cents, qv, k=10, nprobe=8)
+    top = ivf_topk_df(assigned, cents, qdf, k=10, nprobe=8)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
 

@@ -730,3 +730,60 @@ class TestEncodings:
         pdf = _foreign_pdf([b"BT /F1 12 Tf 72 720 Td (clean) Tj ET"])
         r = extract_document(pdf, "eng")
         assert r["n_fallbacks"] == 0
+
+
+class TestRunLength:
+    @staticmethod
+    def _rle_encode(data: bytes) -> bytes:
+        """Minimal RLE encoder for fixtures: runs of ≥3 → repeat form,
+        else literal form."""
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            run = 1
+            while i + run < n and run < 127 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, data[i]])
+                i += run
+            else:
+                lit_start = i
+                while (i < n and i - lit_start < 128
+                       and not (i + 2 < n and data[i] == data[i + 1]
+                                == data[i + 2])):
+                    i += 1
+                lit = data[lit_start:i]
+                out += bytes([len(lit) - 1]) + lit
+        out.append(128)  # EOD
+        return bytes(out)
+
+    def test_rle_content_stream(self):
+        from pdf_ocr_engine_spark.core.pdfreal import _rle_decode
+
+        content = (b"BT /F1 12 Tf 72 720 Td (run) Tj "
+                   b"40 0 Td (length) Tj ET   ")
+        enc = self._rle_encode(content)
+        assert _rle_decode(enc) == content
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            (f"<< /Filter /RunLengthDecode /Length {len(enc)} >>\nstream\n"
+             ).encode() + enc + b"\nendstream",
+        ]
+        pdf = _assemble(objs)
+        assert _tokens(pdf) == ["run", "length"]
+
+    def test_truncated_rle_is_error(self):
+        from pdf_ocr_engine_spark.core.pdfreal import _rle_decode
+
+        with pytest.raises(ValueError):
+            _rle_decode(b"\x05ab")  # literal run promises 6 bytes, has 2
+
+    def test_repeat_form(self):
+        from pdf_ocr_engine_spark.core.pdfreal import _rle_decode
+
+        assert _rle_decode(bytes([257 - 5, ord("x"), 128])) == b"xxxxx"
