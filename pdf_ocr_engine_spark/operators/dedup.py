@@ -426,56 +426,98 @@ def embedding_neardup_lsh(df: DataFrame, threshold: float = 0.25,
 
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
     """(node, component) — component = min node id reachable via the edge
     set.  Pair lists alone don't dedupe: A~B and B~C must collapse to one
     keeper even when A~C was never emitted, so cluster assignment is the
     step between candidate pairs and `keep min(id) per component`.
 
-    Iterative min-label propagation in pure DataFrame ops: each round every
-    node takes the min of its own label and its neighbours' labels; stops
-    when a round changes nothing.  Rounds needed = graph diameter ≤
-    ``max_iter`` (near-dup graphs are shallow; the classic large-star/
-    small-star variant cuts long chains in O(log n) rounds if ever needed).
-    Each iteration is persisted and the previous one released — the driver
-    loop holds only (labels, count) between rounds.
-    """
-    both = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-            .union(edges.select(F.col(id_b).alias("src"),
-                                F.col(id_a).alias("dst")))).persist()
-    # persist the edge set: each iteration joins it, and its upstream
-    # lineage (LSH candidate generation / pairwise verification) is the
-    # single most expensive stage — never recompute it per round.
-    nodes = both.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("component")).persist()
-    labels.count()
+    **Alternating large-star / small-star** (the public MapReduce
+    connected-components construction — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", and the algorithm this function's
+    round-2 docstring promised for long chains):
 
-    changed = -1
+    * large-star: every node strictly greater than its neighbour ``u``
+      re-attaches to the minimum of ``u``'s closed neighbourhood;
+    * small-star: every smaller neighbour of ``u`` (and ``u`` itself)
+      attaches to that minimum.
+
+    Each round roughly halves tree heights, so convergence is
+    **O(log n) rounds regardless of graph diameter** — a 10k-node chain
+    converges in ~log₂ rounds where min-label propagation needed 10k
+    (tests/test_operators.py has the pathological-chain proof).  Per
+    round: two groupBy-min shuffles and two joins over the shrinking edge
+    set, eagerly ``localCheckpoint``-ed to cut the iterative plan's
+    lineage (the classic iterative-DataFrame requirement).  Convergence =
+    the edge set reaches a fixed point (count + order-insensitive xxhash
+    checksum over the checkpointed result — no extra pass).
+    """
+    # localCheckpoint (eager) rather than persist: iterative self-joins grow
+    # the LOGICAL plan every round even when the data is cached, and
+    # catalyst re-analysis of the nested plan dominates by round ~10 — the
+    # checkpoint truncates lineage so each round's plan is flat.  (A
+    # driver-restart-safe production job would use a reliable checkpoint
+    # dir via plans/checkpoint.py instead.)
+    e = (edges.select(F.col(id_a).cast("long").alias("a"),
+                      F.col(id_b).cast("long").alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    # all original nodes (isolated-after-canonicalization safety) — the
+    # star iterations rewire edges, so node identity must be captured once
+    nodes = (e.select(F.col("a").alias("node"))
+             .union(e.select(F.col("b").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+
+    def _sig(df: DataFrame) -> tuple:
+        # order-insensitive checksum; hashes are bucketed mod a prime so
+        # the sum cannot overflow long under ANSI even at 10^10 edges
+        row = (df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64(F.least("a", "b"),
+                                    F.greatest("a", "b")),
+                         F.lit(1_000_000_007))).alias("h"))
+            .collect()[0])
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (both.join(labels, both.dst == labels.node)
-                   .groupBy("src").agg(F.min("component").alias("nbr_comp")))
-        new_labels = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
-                      .select("node",
-                              F.least("component",
-                                      F.coalesce("nbr_comp", "component"))
-                               .alias("component"))
-                      .persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # ---- large-star ----
+        nbrs = e.union(e.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+        mins = (nbrs.groupBy("a").agg(F.min("b").alias("m"))
+                .select("a", F.least("m", "a").alias("m")))
+        large = (nbrs.join(mins, "a")
+                 .where(F.col("b") > F.col("a"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .where(F.col("a") != F.col("b")).distinct())
+        # ---- small-star (on the large-star output) ----
+        dir_ = (large.select(F.greatest("a", "b").alias("a"),
+                             F.least("a", "b").alias("b")).distinct())
+        mins2 = dir_.groupBy("a").agg(F.min("b").alias("m"))
+        joined = dir_.join(mins2, "a")
+        new_e = (joined.where(F.col("b") != F.col("m"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+                 .where(F.col("a") != F.col("b")).distinct()
+                 .localCheckpoint(eager=True))
+        new_sig = _sig(new_e)
+        e = new_e
+        if new_sig == sig:
+            converged = True
             break
-    both.unpersist()
-    if changed != 0:
-        # silent partial propagation would split true clusters undetectably
+        sig = new_sig
+    if not converged and sig[0] > 0:
+        # silent partial clustering would split true clusters undetectably
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the graph diameter exceeds "
-            f"max_iter; raise it, or switch to large-star/small-star "
-            f"(O(log n) rounds) for long-chain graphs")
+            f"connected_components did not converge in {max_iter} "
+            f"large-star/small-star rounds — pathological input?")
+    # fixed point is a star forest: every non-root has exactly the edge
+    # (node, root); roots and isolated nodes label themselves
+    labels = (nodes.join(e.select(F.col("a").alias("node"),
+                                  F.col("b").alias("root")),
+                         "node", "left")
+              .select("node", F.coalesce("root", "node").alias("component")))
     return labels
 
 

@@ -447,6 +447,20 @@ class TestConnectedComponents:
         assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                          20: 20, 21: 20, 22: 20}
 
+    def test_pathological_chain_converges_in_log_rounds(self, spark):
+        """A 10k-node path graph has diameter 10k — min-label propagation
+        needs 10k rounds; large-star/small-star must finish in ~log₂(n).
+        max_iter=16 (⌈log₂ 10000⌉=14 + slack) is the hard budget: the old
+        algorithm cannot pass this test."""
+        from pdf_ocr_engine_spark.operators.dedup import connected_components
+
+        n = 10_000
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+        comps = connected_components(edges, max_iter=16)
+        assert comps.where("component != 0").count() == 0
+        assert comps.count() == n
+
     def test_dedup_keepers_end_to_end(self, spark):
         from pdf_ocr_engine_spark.operators.dedup import dedup_keepers
 
