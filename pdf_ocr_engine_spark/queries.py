@@ -374,6 +374,57 @@ FROM documents
 """
 
 
+def q_warc_cc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-SHAPED archive round-trip: the same md5-exact body
+    oracle as ``warc_roundtrip``, but over archives with CC's real
+    structural variety (``sources/warc.write_cc_warc``) — warcinfo /
+    request / revisit records interleaved with responses, HTTP bodies
+    rotating identity / chunked / gzip transfer codings, charset-parameter
+    variety, and (half the shards) one-gzip-member-PER-RECORD framing.
+    A reader that fails to skip non-response records, de-chunk, gunzip,
+    or read past the first gzip member hash-mismatches or loses rows."""
+    import os
+
+    from .sources.warc import warc_pages, write_cc_warc
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "_build", f"warc_cc_oracle_v1_{sf_tag}")
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        rows = (_docs(spark, sf_dir).select("doc_id", "text")
+                .orderBy("doc_id").collect())
+        shards: dict[int, list] = {i: [] for i in range(4)}
+        for r in rows:
+            shards[r.doc_id % 4].append({
+                "url": f"https://cc{r.doc_id % 4}.example/doc/{r.doc_id}",
+                "date": "2025-01-01T00:00:00Z",
+                "body": (r.text or "").encode("utf-8"),
+            })
+        for i, recs in shards.items():
+            gz = i % 2 == 1  # per-record gzip members (the CC framing)
+            name = f"part{i}.warc.gz" if gz else f"part{i}.warc"
+            with open(os.path.join(tmp_dir, name), "wb") as f:
+                f.write(write_cc_warc(recs, per_record_gzip=gz))
+        with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:  # another runner published first — use theirs
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    pages = warc_pages(spark, out_dir)
+    return pages.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+    )
+
+
 def q_pipeline_train(spark, sf_dir):
     """The composed training-data pipeline: wrap → EXTRACT (full decode +
     layout) → quality filter on the EXTRACTED text → exact-dedup keepers →
@@ -1754,6 +1805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ocr_scanned": q_ocr_scanned,
     "assemble_overlay": q_assemble_overlay,
     "warc_roundtrip": q_warc_roundtrip,
+    "warc_cc_roundtrip": q_warc_cc_roundtrip,
     "pipeline_train": q_pipeline_train,
     "sniff_prefix": q_sniff_prefix,
     "guard_size": q_guard_size,
@@ -1807,6 +1859,8 @@ ORACLES: dict[str, str] = {
     "ocr_scanned": _SQL_OCR_SCANNED,
     "assemble_overlay": _SQL_ASSEMBLE_OVERLAY,
     "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+    # same oracle: CC structural variety must not change a single body byte
+    "warc_cc_roundtrip": _SQL_WARC_ROUNDTRIP,
     "pipeline_train": _SQL_PIPELINE_TRAIN,
     "sniff_prefix": _SQL_SNIFF_PREFIX,
     "guard_size": _SQL_GUARD_SIZE,

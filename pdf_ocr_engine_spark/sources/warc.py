@@ -508,3 +508,87 @@ def write_warc(records: list[dict[str, Any]], compress: bool = False) -> bytes:
         out.write(head + _CRLF2 + http + _CRLF2)
     data = out.getvalue()
     return gzip.compress(data) if compress else data
+
+
+def write_cc_warc(records: list[dict[str, Any]],
+                  per_record_gzip: bool = False) -> bytes:
+    """Common-Crawl-SHAPED archive writer: the structural variety a real CC
+    segment carries, so the reader is hardened against more than this
+    module's own plain ``write_warc`` dialect:
+
+    * a leading ``warcinfo`` record (``application/warc-fields`` body);
+    * a ``request`` record before every response (readers must skip them);
+    * a ``revisit`` record after every 5th response (dedup pointers —
+      they carry NO payload and must not become page rows);
+    * HTTP bodies rotating by index: identity / ``Transfer-Encoding:
+      chunked`` / ``Content-Encoding: gzip``, with charset-parameter
+      variety in ``Content-Type``;
+    * ``per_record_gzip=True`` emits one gzip member PER RECORD and
+      concatenates them — the actual ``.warc.gz`` framing Common Crawl
+      uses (readers that gunzip only the first member lose the archive).
+
+    Body BYTES are unchanged by the rotation (chunking/gzip are transfer
+    codings the reader must undo), so the same md5 oracle as
+    :func:`write_warc` round-trips.
+    """
+    members: list[bytes] = []
+
+    def emit(warc_type: str, headers: list[tuple[str, str]],
+             body: bytes) -> None:
+        head = [f"WARC/1.0", f"WARC-Type: {warc_type}",
+                *[f"{k}: {v}" for k, v in headers],
+                f"Content-Length: {len(body)}"]
+        rec = ("\r\n".join(head)).encode("latin-1") + _CRLF2 + body + _CRLF2
+        members.append(rec)
+
+    emit("warcinfo",
+         [("WARC-Date", "2025-01-01T00:00:00Z"),
+          ("Content-Type", "application/warc-fields")],
+         b"software: pdf-ocr-engine-spark test fixture\r\n"
+         b"format: WARC File Format 1.0\r\n")
+
+    charsets = ("utf-8", "UTF-8", "iso-8859-1", "")
+    for i, r in enumerate(records):
+        url, date, body = r["url"], r["date"], r["body"]
+        emit("request",
+             [("WARC-Target-URI", url), ("WARC-Date", date),
+              ("Content-Type", "application/http; msgtype=request")],
+             f"GET {url} HTTP/1.1\r\nHost: x\r\n\r\n".encode("latin-1"))
+        cs = charsets[i % len(charsets)]
+        ct = "text/html" + (f"; charset={cs}" if cs else "")
+        mode = i % 3
+        if mode == 1:  # chunked transfer coding
+            chunks = bytearray()
+            for off in range(0, len(body), 100):
+                part = body[off:off + 100]
+                chunks += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+            chunks += b"0\r\n\r\n"
+            http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+                    f"Transfer-Encoding: chunked\r\n\r\n"
+                    ).encode("latin-1") + bytes(chunks)
+        elif mode == 2:  # gzip content coding
+            gz = gzip.compress(body, mtime=0)
+            http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+                    f"Content-Encoding: gzip\r\n"
+                    f"Content-Length: {len(gz)}\r\n\r\n"
+                    ).encode("latin-1") + gz
+        else:
+            http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode("latin-1") + body
+        emit("response",
+             [("WARC-Target-URI", url), ("WARC-Date", date),
+              ("Content-Type", "application/http; msgtype=response")],
+             http)
+        if i % 5 == 4:  # revisit pointer (no payload) — must not be a row
+            emit("revisit",
+                 [("WARC-Target-URI", url), ("WARC-Date", date),
+                  ("WARC-Refers-To-Target-URI", url),
+                  ("WARC-Profile",
+                   "http://netpreserve.org/warc/1.0/revisit/"
+                   "identical-payload-digest")],
+                 b"")
+
+    if per_record_gzip:
+        return b"".join(gzip.compress(m, mtime=0) for m in members)
+    return b"".join(members)

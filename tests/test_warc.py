@@ -298,3 +298,70 @@ class TestReaderClose:
         assert gz.read() == b"hello world"
         gz.close()
         assert inner.closed_flag
+
+
+class TestCommonCrawlShape:
+    """write_cc_warc fixtures: the structural variety of a real CC segment
+    (warcinfo/request/revisit records, chunked/gzip transfer codings,
+    per-record gzip members) round-trips byte-exactly."""
+
+    def _recs(self, n=12):
+        return [{"url": f"https://cc.example/doc/{i}",
+                 "date": "2025-01-01T00:00:00Z",
+                 "body": (f"document {i} body with distinctive words "
+                          * 15).encode("utf-8")}
+                for i in range(n)]
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_bodies_byte_exact_across_codings(self, gz):
+        from pdf_ocr_engine_spark.sources.warc import write_cc_warc
+
+        recs = self._recs()
+        data = write_cc_warc(recs, per_record_gzip=gz)
+        got = [http_body(r["payload"]) for r in parse_warc(data)
+               if r["type"] == "response"]
+        assert got == [r["body"] for r in recs]
+
+    def test_non_response_records_present_and_skipped(self):
+        from pdf_ocr_engine_spark.sources.warc import write_cc_warc
+
+        recs = self._recs()
+        types = [r["type"] for r in parse_warc(write_cc_warc(recs))]
+        assert types.count("warcinfo") == 1
+        assert types.count("request") == len(recs)
+        assert types.count("revisit") == len(recs) // 5
+        assert "_bad" not in types  # every record frames cleanly
+
+    def test_per_record_gzip_reads_all_members(self):
+        # a reader that gunzips only the FIRST member sees one record
+        from pdf_ocr_engine_spark.sources.warc import write_cc_warc
+
+        recs = self._recs(8)
+        data = write_cc_warc(recs, per_record_gzip=True)
+        assert data.count(b"\x1f\x8b\x08") >= 8  # many members
+        got = [r for r in parse_warc(data) if r["type"] == "response"]
+        assert len(got) == 8
+
+    @pytest.mark.spark
+    def test_spark_reader_and_scan_report(self, spark, build_dir):
+        from pdf_ocr_engine_spark.sources.warc import (
+            warc_scan_report,
+            write_cc_warc,
+        )
+
+        recs = self._recs()
+        wdir = os.path.join(build_dir, "warc_cc")
+        os.makedirs(wdir, exist_ok=True)
+        with open(os.path.join(wdir, "seg.warc"), "wb") as f:
+            f.write(write_cc_warc(recs))
+        with open(os.path.join(wdir, "seg2.warc.gz"), "wb") as f:
+            f.write(write_cc_warc(recs, per_record_gzip=True))
+        rows = warc_pages(spark, wdir).collect()
+        assert len(rows) == 2 * len(recs)   # responses only, both shards
+        bodies = {r.url: bytes(r.html) for r in rows}
+        assert bodies["https://cc.example/doc/3"] == recs[3]["body"]
+        rep = {os.path.basename(r.file): r
+               for r in warc_scan_report(spark, wdir).collect()}
+        for name in ("seg.warc", "seg2.warc.gz"):
+            assert rep[name].n_bad == 0
+            assert rep[name].n_response == len(recs)
