@@ -143,11 +143,101 @@ def hardware_ceiling(pairs: list[tuple[int, int]],
     return {f"{a}->{b}": round(times[a] / times[b], 3) for a, b in pairs}
 
 
+def skew_experiment(sf_dir: str, cores: int = 8, n_pages: int = 8,
+                    replicas: int = 8, hot_share: float = 0.85) -> dict:
+    """Measured evidence for the salting claim (VERDICT round-2 item 8):
+    a corpus where one host owns ``hot_share`` of all documents is
+    repartitioned by (a) raw host — the naive key, every mega-host doc
+    lands in ONE task — and (b) ``salted_repartition`` — (host, salt)
+    spreads it.  Same extraction, same cores; the wall-time gap IS the
+    straggler tail, and the per-partition doc counts show why."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from pdf_ocr_engine_spark.operators.extract import extract_pages
+    from pdf_ocr_engine_spark.plans.pipeline import (
+        build_session,
+        host_col,
+        salted_repartition,
+    )
+
+    spark = build_session("skew-bench", master=f"local[{cores}]",
+                          shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    @F.pandas_udf(BinaryType())
+    def heavy_payload(text):
+        from pdf_ocr_engine_spark.core.pdfbin import encode_pdf
+        from pdf_ocr_engine_spark.sources.fixtures import layout_words
+
+        def enc(t):
+            toks = (t or "empty doc").split()
+            return encode_pdf([
+                {"page_no": p + 1, "width": 612.0, "height": 792.0,
+                 "has_text": False, "words": layout_words(toks)}
+                for p in range(n_pages)
+            ])
+
+        return text.map(enc)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(replicas).withColumnRenamed("id", "rep")
+    # hot_share of documents under ONE host, the rest spread over 50
+    skewed = (docs.crossJoin(reps).select(
+        F.concat(
+            F.lit("https://"),
+            F.when(F.pmod(F.xxhash64("doc_id", "rep"), F.lit(100))
+                   < int(hot_share * 100), F.lit("megahost.example"))
+             .otherwise(F.concat(F.lit("host"),
+                                 F.pmod(F.xxhash64("rep", "doc_id"),
+                                        F.lit(50)).cast("string"),
+                                 F.lit(".example"))),
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+            F.lit("/r"), F.col("rep").cast("string")).alias("url"),
+        heavy_payload("text").alias("html"),
+        F.lit("eng").alias("lang"))
+        .persist())
+    n_docs = skewed.count()
+
+    def timed(df) -> tuple[float, int, float]:
+        ext = extract_pages(df)
+        t0 = time.perf_counter()
+        stats = (ext.groupBy("partition_id")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+        wall = time.perf_counter() - t0
+        counts = [r["n"] for r in stats]
+        mx = max(counts)
+        imbalance = mx / (sum(counts) / len(counts))
+        return wall, mx, round(imbalance, 2)
+
+    # warm-up pass (worker pool + code paths) so neither variant pays it
+    timed(skewed.repartition(cores))
+    unsalted_wall, unsalted_max, unsalted_imb = timed(
+        skewed.repartition(cores, host_col()))
+    salted_wall, salted_max, salted_imb = timed(
+        salted_repartition(skewed, cores))
+    skewed.unpersist()
+    spark.stop()
+    return {
+        "what": ("extraction wall time after repartitioning a "
+                 f"{int(hot_share * 100)}%-one-host corpus "
+                 f"({n_docs} docs x {n_pages} pages) at local[{cores}]"),
+        "unsalted_by_host": {"wall_sec": round(unsalted_wall, 2),
+                             "max_partition_docs": unsalted_max,
+                             "imbalance_max_over_mean": unsalted_imb},
+        "salted_host_x_salt": {"wall_sec": round(salted_wall, 2),
+                               "max_partition_docs": salted_max,
+                               "imbalance_max_over_mean": salted_imb},
+        "speedup": round(unsalted_wall / salted_wall, 2),
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--replicas", type=int, default=26)
     p.add_argument("--pages", type=int, default=8)
     p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--skip-skew", action="store_true")
     p.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = p.parse_args()
@@ -192,6 +282,8 @@ def main() -> int:
                  "hardware ceiling is a pure-arithmetic weak-scaling probe "
                  "on the same host" % args.runs),
     }
+    if not args.skip_skew:
+        result["skew"] = skew_experiment(args.sf_dir)
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
