@@ -217,14 +217,8 @@ def _extract_pdf(html: bytes, options: ExtractOptions,
                             "error": f"recognizer: {exc}",
                             "n_pages": page_count, "n_words": 0,
                             "text": None}
-            import numpy as np
-            coords = np.empty((len(rec_words), 5), dtype="f8")
-            texts_in = []
-            for j, (txt, x0, y0, x1, y1) in enumerate(rec_words):
-                texts_in.append(txt)
-                coords[j, :4] = (x0, y0, x1, y1)
-                coords[j, 4] = 95.0  # model confidence, not text-layer 100
-            page_texts_in, page_coords_in = texts_in, coords
+            from .pdfscan import words_to_arrays
+            page_texts_in, page_coords_in = words_to_arrays(rec_words)
         # vectorized byte-identical kernel (layout_fast; fuzz-checked against
         # the reference-port in layout.py)
         text, n_page_words, page_spans = page_layout_fast(

@@ -207,7 +207,11 @@ def _compute_key(o: bytes, p: int, id0: bytes, r: int, length_bits: int,
                  encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2 (empty user password): file encryption key."""
     n = max(length_bits // 8, 5)
-    buf = _PAD + o[:32] + struct.pack("<i", p) + id0
+    # /P is a signed 32-bit value but many real-world writers store it
+    # unsigned (e.g. 4294967252 for -44) — fold before packing, else
+    # struct.error turns a decryptable document into decode_error
+    p32 = p & 0xFFFFFFFF
+    buf = _PAD + o[:32] + struct.pack("<I", p32) + id0
     if r >= 4 and not encrypt_metadata:
         buf += b"\xff\xff\xff\xff"
     h = hashlib.md5(buf).digest()
@@ -382,9 +386,13 @@ def encrypt_pdf(data: bytes, scheme: str = "rc4-128",
         b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> "
         b"/U <%s>%s >>"
         % (v, r, bits, p, o.hex().encode(), u[:32].hex().encode(), cf))
-    # strip the old xref/trailer, keep objects
-    tail_at = out.rfind(b"xref")
-    objs_part = out[:tail_at] if tail_at > 0 else out
+    # strip the old xref/trailer, keep objects — match the xref SECTION
+    # keyword at line start, not the 'xref' inside 'startxref' (which
+    # would leave the old cleartext trailer + a dangling 'start' behind)
+    m_x = None
+    for m_x in re.finditer(rb"(?:^|[\r\n])xref\b", out):
+        pass
+    objs_part = out[:m_x.start()] if m_x is not None else out
     buf = bytearray(objs_part)
     buf += b"%d 0 obj\n" % enc_num + enc_obj_body + b"\nendobj\n"
     # xref rebuilt from scratch (object scan — robust to input layout)

@@ -88,12 +88,12 @@ def overlay_text_layer(original: bytes,
 
     next_num = (max(doc.all_object_numbers()) if doc.index or doc._cache
                 else 0) + 1
-    new_objs: list[tuple[int, bytes]] = []  # (num, full body incl. dict)
+    new_objs: list[tuple[int, int, bytes]] = []  # (num, gen, body)
 
     # one shared font object for the whole overlay
     font_num = next_num
     next_num += 1
-    new_objs.append((font_num,
+    new_objs.append((font_num, 0,
                      b"<< /Type /Font /Subtype /Type1 "
                      b"/BaseFont /Helvetica >>"))
 
@@ -113,7 +113,7 @@ def overlay_text_layer(original: bytes,
         content = _page_content(spans, w, h, None, None, font_res=FONT_RES)
         content_num = next_num
         next_num += 1
-        new_objs.append((content_num,
+        new_objs.append((content_num, 0,
                          b"<< /Length " + str(len(content)).encode()
                          + b" >>\nstream\n" + content + b"\nendstream"))
 
@@ -134,7 +134,11 @@ def overlay_text_layer(original: bytes,
         fonts[FONT_RES] = _Ref((font_num, 0))
         res["Font"] = fonts
         upd["Resources"] = res
-        new_objs.append((page["__num__"],
+        # redefine the page at its ORIGINAL (num, gen): a gen>0 page
+        # rewritten as gen 0 would never resolve for conforming readers
+        # (they'd fall back through /Prev to the un-overlaid original)
+        page_gen = doc.gens.get(page["__num__"], 0)
+        new_objs.append((page["__num__"], page_gen,
                          _ser(upd, doc).encode("latin-1")))
         touched += 1
 
@@ -166,15 +170,17 @@ def overlay_text_layer(original: bytes,
     buf = bytearray(original)
     if not buf.endswith(b"\n"):
         buf += b"\n"
-    offsets: dict[int, int] = {}
-    for num, body in new_objs:
-        offsets[num] = len(buf)
-        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets: dict[int, tuple[int, int]] = {}  # num -> (offset, gen)
+    for num, gen, body in new_objs:
+        offsets[num] = (len(buf), gen)
+        buf += f"{num} {gen} obj\n".encode() + body + b"\nendobj\n"
     xref_at = len(buf)
     buf += b"xref\n"
     # one subsection per updated object (spec-legal, simplest correct form)
     for num in sorted(offsets):
-        buf += f"{num} 1\n{offsets[num]:010d} 00000 n \n".encode()
-    buf += (f"trailer\n<< /Size {next_num} /Root {root_num} 0 R "
+        off, gen = offsets[num]
+        buf += f"{num} 1\n{off:010d} {gen:05d} n \n".encode()
+    root_gen = doc.gens.get(root_num, 0)
+    buf += (f"trailer\n<< /Size {next_num} /Root {root_num} {root_gen} R "
             f"/Prev {prev_xref} >>\nstartxref\n{xref_at}\n%%EOF").encode()
     return bytes(buf)

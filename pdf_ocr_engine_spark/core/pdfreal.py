@@ -1190,3 +1190,62 @@ def extract_page_images(data: bytes) -> list[dict[str, Any]]:
                     "width": abs(mx1 - mx0), "height": abs(my1 - my0),
                     "images": images})
     return out
+
+
+def detect_pages_text(data: bytes) -> list[bool]:
+    """Cheap has-text detector: per-page boolean WITHOUT font loading,
+    ToUnicode/encoding resolution, or word-box building — the probe tier
+    of the OCR router (``operators/ocr.py``), ~3-5× cheaper than
+    :func:`parse_real_pdf` on font-heavy documents.
+
+    A page "has text" when any show operator (Tj/TJ/'/\") draws a string
+    whose raw bytes are non-blank (latin-1 view).  This matches the full
+    parser's reference detector on everything the deterministic writers
+    emit and on ordinary simple-font PDFs; exotic encodings whose
+    non-blank bytes decode to all-whitespace would probe as has-text and
+    merely route to the expensive branch — which extracts via the full
+    parser and still handles them correctly (probe false-positives cost
+    routing, never correctness).  Raises ``ValueError`` like
+    :func:`parse_real_pdf` on unparseable documents.
+    """
+    off = _header_offset(data)
+    if off > 0:
+        data = data[off:]
+    doc = _Doc(data)
+    out: list[bool] = []
+    for pd in _find_pages(doc):
+        contents = doc.resolve(pd.get("Contents"))
+        chunks: list[bytes] = []
+        if isinstance(contents, _Stream):
+            chunks.append(contents.decoded(doc))
+        elif isinstance(contents, list):
+            for c in contents:
+                cs = doc.resolve(c)
+                if isinstance(cs, _Stream):
+                    chunks.append(cs.decoded(doc))
+        content = b"\n".join(chunks)
+        has_text = False
+        pending: list = []
+        for kind, val in _tokenize_content(content):
+            if kind == "val":
+                pending.append(val)
+                if len(pending) > 8:
+                    del pending[0]
+                continue
+            if val in ("Tj", "'", '"'):
+                s = pending[-1] if pending else None
+                if isinstance(s, bytes) and s.decode(
+                        "latin-1", "replace").strip():
+                    has_text = True
+                    break
+            elif val == "TJ":
+                arr = pending[-1] if pending else None
+                if isinstance(arr, list) and any(
+                        isinstance(x, bytes) and x.decode(
+                            "latin-1", "replace").strip()
+                        for x in arr):
+                    has_text = True
+                    break
+            pending.clear()
+        out.append(has_text)
+    return out

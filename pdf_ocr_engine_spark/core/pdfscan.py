@@ -135,3 +135,20 @@ def build_scanned_pdf(pages: list[dict]) -> bytes:
     buf += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF").encode()
     return bytes(buf)
+
+
+def words_to_arrays(words: list[tuple]) -> tuple[list[str], "object"]:
+    """Recognizer output → the layout kernel's input shape: ``(texts,
+    float64 (n, 5) coords)`` with column 4 = model confidence (95.0 — a
+    model-backed value, distinct from the text layer's exact 100.0).
+    Shared by the extract OCR path and the preserveImages overlay so the
+    two cannot drift."""
+    import numpy as np
+
+    coords = np.empty((len(words), 5), dtype="f8")
+    texts: list[str] = []
+    for j, (txt, x0, y0, x1, y1) in enumerate(words):
+        texts.append(txt)
+        coords[j, :4] = (x0, y0, x1, y1)
+        coords[j, 4] = 95.0
+    return texts, coords

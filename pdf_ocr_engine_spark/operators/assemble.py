@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 from ..core.extract_doc import DEFAULT_OPTIONS, ExtractOptions, sniff_document
 from ..core.layout_fast import page_layout_fast
 from ..core.pdfbin import decode_pdf_arrays
+from ..core.pdfcrypt import EncryptedPdfError
 from ..core.pdfwrite import build_searchable_pdf
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -81,6 +82,11 @@ def _assemble_one(payload: bytes | None, lang: str | None,
         pdf = build_searchable_pdf(out_pages)
         return {"status": "ok", "error": None, "n_pages": len(out_pages),
                 "n_words": n_words, "pdf": pdf}
+    except EncryptedPdfError as exc:
+        # same taxonomy as the extract path: password-protected documents
+        # must count as 'encrypted' on EVERY route, or crawl stats diverge
+        return {"status": "encrypted", "error": str(exc),
+                "n_pages": 0, "n_words": 0, "pdf": None}
     except Exception as exc:  # noqa: BLE001 - per-doc error isolation
         return {"status": "decode_error",
                 "error": f"{type(exc).__name__}: {exc}",
@@ -111,18 +117,14 @@ def _overlay_one(payload: bytes, doc: dict, recognizer) -> dict:
             continue
         if page_images is None:
             page_images = extract_page_images(payload)
+        from ..core.pdfscan import words_to_arrays
+
         words: list[tuple] = []
         imgs = (page_images[idx]["images"]
                 if idx < len(page_images) else [])
         for img in imgs:
             words.extend(recognizer(img["data"]))
-        import numpy as np
-        coords = np.empty((len(words), 5), dtype="f8")
-        texts = []
-        for j, (txt, x0, y0, x1, y1) in enumerate(words):
-            texts.append(txt)
-            coords[j, :4] = (x0, y0, x1, y1)
-            coords[j, 4] = 95.0
+        texts, coords = words_to_arrays(words)
         _text, nw, spans = page_layout_fast(texts, coords, want_spans=True)
         n_words += nw
         page_spans.append(spans)

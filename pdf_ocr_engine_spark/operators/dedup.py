@@ -458,8 +458,10 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     # checkpoint truncates lineage so each round's plan is flat.  (A
     # driver-restart-safe production job would use a reliable checkpoint
     # dir via plans/checkpoint.py instead.)
-    e = (edges.select(F.col(id_a).cast("long").alias("a"),
-                      F.col(id_b).cast("long").alias("b"))
+    # ids stay their source type: the algorithm needs only a total order
+    # (least/greatest/min work on strings and numerics alike) — a cast
+    # would silently NULL non-numeric ids and no-op the whole dedup
+    e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
          .where(F.col("a") != F.col("b")).distinct()
          .localCheckpoint(eager=True))
     # all original nodes (isolated-after-canonicalization safety) — the

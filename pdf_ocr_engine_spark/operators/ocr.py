@@ -65,9 +65,13 @@ def deterministic_recognizer():
 def _doc_needs_ocr(payload) -> bool:
     """True iff the payload is a real-flavor PDF some of whose pages lack a
     text layer — the document-level F6 predicate (page-level skipping
-    happens again inside the extract stage)."""
+    happens again inside the extract stage).  Uses the CHEAP detector
+    (``detect_pages_text``: content-stream scan, no font loading, no
+    word-box building) — a probe false-positive only routes a document to
+    the expensive branch, where the full parser still extracts it
+    correctly; it can never lose text."""
     from ..core.pdfbin import sniff_kind
-    from ..core.pdfreal import is_real_pdf, parse_real_pdf
+    from ..core.pdfreal import detect_pages_text, is_real_pdf
 
     if payload is None:
         return False
@@ -75,11 +79,10 @@ def _doc_needs_ocr(payload) -> bool:
     if sniff_kind(data) != "pdf" or not is_real_pdf(data):
         return False
     try:
-        doc = parse_real_pdf(data)
+        flags = detect_pages_text(data)
     except Exception:  # noqa: BLE001 - undecodable: text branch owns errors
         return False
-    pages = doc.get("pages") or []
-    return bool(pages) and any(not p.get("has_text") for p in pages)
+    return bool(flags) and not all(flags)
 
 
 def with_needs_ocr(df: DataFrame) -> DataFrame:

@@ -527,3 +527,17 @@ class TestIvf:
                   .agg(F.count("*").alias("c")).collect()}
         assert sum(counts.values()) == emb.count()
         assert len(counts) > 1  # quantizer actually splits the corpus
+
+
+class TestConnectedComponentsStringIds:
+    def test_string_ids_not_silently_nulled(self, spark):
+        """dedup on md5/string ids: a numeric cast would NULL every id and
+        silently no-op the whole dedup (review regression)."""
+        from pdf_ocr_engine_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [("aa", "bb"), ("bb", "cc"), ("zz", "yy")], ["id_a", "id_b"])
+        comps = {r.node: r.component
+                 for r in connected_components(pairs).collect()}
+        assert comps == {"aa": "aa", "bb": "aa", "cc": "aa",
+                         "yy": "yy", "zz": "yy"}

@@ -131,3 +131,27 @@ class TestDeterminism:
         a = encrypt_pdf(text_to_real_pdf_payload(TEXT), "aes-128")
         b = encrypt_pdf(text_to_real_pdf_payload(TEXT), "aes-128")
         assert a == b  # IVs derive from object numbers, not randomness
+
+
+class TestReviewRegressions:
+    def test_unsigned_p_value_decrypts(self):
+        """Many real writers store /P unsigned (4294967252 == -44): key
+        derivation must fold, not crash into decode_error."""
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        unsigned = enc.replace(b"/P -44", b"/P 4294967252")
+        assert unsigned != enc
+        r = extract_document(unsigned, "eng")
+        assert r["status"] == "ok"
+        assert r["text"] == expected_text(TEXT.split())
+
+    def test_single_trailer_in_encrypted_output(self):
+        """encrypt_pdf must strip the old cleartext xref/trailer — two
+        conflicting trailers would let first-trailer readers treat the
+        document as unencrypted and show ciphertext."""
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        assert enc.count(b"trailer") == 1
+        assert enc.count(b"\nstart\n") == 0  # no dangling 'start' token
+        import re
+
+        xref_sections = re.findall(rb"(?:^|[\r\n])xref\b", enc)
+        assert len(xref_sections) == 1

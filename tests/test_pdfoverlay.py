@@ -9,6 +9,7 @@ as a prefix, which these tests check literally.
 from __future__ import annotations
 
 import numpy as np
+import re
 import pytest
 
 from pdf_ocr_engine_spark.core.extract_doc import extract_document
@@ -132,3 +133,40 @@ class TestAssembleOperator:
         # encrypted docs decrypt transparently for READING, but the overlay
         # writer refuses them (new streams would need encrypting)
         assert r["status"] == "overlay_unsupported"
+
+
+class TestGenerationNumbers:
+    def test_gen_nonzero_page_redefined_at_same_gen(self):
+        """A page object at generation 1 must be redefined as 'N 1 obj'
+        with a gen-1 xref entry — a gen-0 redefinition never resolves for
+        conforming readers (they fall back through /Prev and silently
+        render the un-overlaid original)."""
+        orig = text_to_scanned_pdf_payload(TEXT)
+        # bump the first page object (obj 3 in build_scanned_pdf layout)
+        # to generation 1, in both the definition and the reference
+        bumped = orig.replace(b"3 0 obj", b"3 1 obj") \
+                     .replace(b"/Kids [3 0 R]", b"/Kids [3 1 R]")
+        assert bumped != orig
+        out = overlay_text_layer(bumped, [_spans_for(TEXT.split())])
+        tail = out[len(bumped):]
+        assert b"3 1 obj" in tail          # same gen, not gen 0
+        assert b"\n3 0 obj" not in tail
+        # xref entry for object 3 carries generation 00001
+        assert re.search(rb"3 1\r?\n\d{10} 00001 n", tail)
+        r = extract_document(out, "eng")
+        assert r["status"] == "ok"
+        assert r["text"].split() == TEXT.split()
+
+
+class TestAssembleStatusTaxonomy:
+    def test_password_protected_is_encrypted_on_assemble_path(self):
+        """The 'encrypted' status must hold on EVERY route: assembly of a
+        password-protected document is 'encrypted', not 'decode_error'
+        (review regression)."""
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128")
+        tampered = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")  # undecryptable
+        for preserve in (False, True):
+            r = _assemble_one(tampered, "eng", DEFAULT_OPTIONS,
+                              preserve_images=preserve,
+                              recognizer=deterministic_recognizer())
+            assert r["status"] == "encrypted", preserve
