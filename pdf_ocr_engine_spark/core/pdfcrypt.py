@@ -170,31 +170,132 @@ def _decrypt_block(block: bytes, round_keys: list[bytes]) -> bytes:
     return bytes(s)
 
 
+# ---- fast paths ----------------------------------------------------------
+# The scalar cipher above is the readable spec reference (and what the
+# FIPS-197 known-answer test pins).  The paths below are the standard
+# public speed constructions over the SAME tables:
+# * encryption: 32-bit T-tables (ShiftRows+SubBytes+MixColumns folded into
+#   four 256-entry word tables) — CBC encryption is inherently sequential
+#   per block, so the per-block constant is what matters;
+# * decryption: CBC decryption is parallel across blocks (P_i = D(C_i) ^
+#   C_{i-1}), so the inverse cipher runs numpy-vectorized over ALL blocks
+#   of a stream at once — the production (crawl-reading) direction.
+
+def _make_te() -> tuple[list[int], ...]:
+    te0 = []
+    for x in range(256):
+        s = _SBOX[x]
+        te0.append(((_mul(s, 2) << 24) | (s << 16) | (s << 8)
+                    | _mul(s, 3)) & 0xFFFFFFFF)
+    ror = lambda t: ((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF  # noqa: E731
+    te1 = [ror(t) for t in te0]
+    te2 = [ror(t) for t in te1]
+    te3 = [ror(t) for t in te2]
+    return te0, te1, te2, te3
+
+
+_TE0, _TE1, _TE2, _TE3 = _make_te()
+
+
+def _enc_key_words(key: bytes) -> list[int]:
+    return [int.from_bytes(rk[i:i + 4], "big")
+            for rk in _expand_key(key) for i in range(0, 16, 4)]
+
+
+def _encrypt_block_fast(block: bytes, kw: list[int]) -> bytes:
+    s0, s1, s2, s3 = (int.from_bytes(block[i:i + 4], "big")
+                      for i in range(0, 16, 4))
+    s0 ^= kw[0]; s1 ^= kw[1]; s2 ^= kw[2]; s3 ^= kw[3]  # noqa: E702
+    for r in range(1, 10):
+        k = 4 * r
+        t0 = (_TE0[s0 >> 24] ^ _TE1[(s1 >> 16) & 255]
+              ^ _TE2[(s2 >> 8) & 255] ^ _TE3[s3 & 255] ^ kw[k])
+        t1 = (_TE0[s1 >> 24] ^ _TE1[(s2 >> 16) & 255]
+              ^ _TE2[(s3 >> 8) & 255] ^ _TE3[s0 & 255] ^ kw[k + 1])
+        t2 = (_TE0[s2 >> 24] ^ _TE1[(s3 >> 16) & 255]
+              ^ _TE2[(s0 >> 8) & 255] ^ _TE3[s1 & 255] ^ kw[k + 2])
+        t3 = (_TE0[s3 >> 24] ^ _TE1[(s0 >> 16) & 255]
+              ^ _TE2[(s1 >> 8) & 255] ^ _TE3[s2 & 255] ^ kw[k + 3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    sb = _SBOX
+    out = bytearray(16)
+    for i, (a, b, c, d) in enumerate(((s0, s1, s2, s3), (s1, s2, s3, s0),
+                                      (s2, s3, s0, s1), (s3, s0, s1, s2))):
+        w = ((sb[a >> 24] << 24) | (sb[(b >> 16) & 255] << 16)
+             | (sb[(c >> 8) & 255] << 8) | sb[d & 255]) ^ kw[40 + i]
+        out[4 * i:4 * i + 4] = w.to_bytes(4, "big")
+    return bytes(out)
+
+
+_NP_DEC = None  # lazily-built numpy tables for the batch inverse cipher
+
+
+def _np_tables():
+    global _NP_DEC
+    if _NP_DEC is None:
+        import numpy as np
+
+        inv_sbox = np.frombuffer(_INV_SBOX, dtype=np.uint8)
+        muls = {k: np.array([_mul(x, k) for x in range(256)], dtype=np.uint8)
+                for k in (9, 11, 13, 14)}
+        inv_shift = np.array([0, 13, 10, 7, 4, 1, 14, 11,
+                              8, 5, 2, 15, 12, 9, 6, 3])
+        _NP_DEC = (np, inv_sbox, muls, inv_shift)
+    return _NP_DEC
+
+
+def _decrypt_blocks_np(blocks, round_keys: list[bytes]):
+    """Inverse cipher over an (N, 16) uint8 array — all blocks at once."""
+    np, inv_sbox, muls, inv_shift = _np_tables()
+    rks = [np.frombuffer(rk, dtype=np.uint8) for rk in round_keys]
+    s = blocks ^ rks[10]
+    for rnd in range(9, -1, -1):
+        s = s[:, inv_shift]
+        s = inv_sbox[s]
+        s ^= rks[rnd]
+        if rnd > 0:
+            a = s.reshape(-1, 4, 4)
+            a0, a1 = a[:, :, 0], a[:, :, 1]
+            a2, a3 = a[:, :, 2], a[:, :, 3]
+            out = np.empty_like(a)
+            out[:, :, 0] = muls[14][a0] ^ muls[11][a1] \
+                ^ muls[13][a2] ^ muls[9][a3]
+            out[:, :, 1] = muls[9][a0] ^ muls[14][a1] \
+                ^ muls[11][a2] ^ muls[13][a3]
+            out[:, :, 2] = muls[13][a0] ^ muls[9][a1] \
+                ^ muls[14][a2] ^ muls[11][a3]
+            out[:, :, 3] = muls[11][a0] ^ muls[13][a1] \
+                ^ muls[9][a2] ^ muls[14][a3]
+            s = out.reshape(-1, 16)
+    return s
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 stream layout: 16-byte IV prefix, PKCS#7 padding."""
+    """PDF AESV2 stream layout: 16-byte IV prefix, PKCS#7 padding.
+    Vectorized: the whole stream's blocks decrypt in one numpy pass."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES stream not block-aligned")
-    rks = _expand_key(key)
-    iv, out = data[:16], bytearray()
-    for off in range(16, len(data), 16):
-        block = data[off:off + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rks), iv))
-        iv = block
+    import numpy as np
+
+    all_blocks = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    plain = _decrypt_blocks_np(all_blocks[1:].copy(), _expand_key(key))
+    plain ^= all_blocks[:-1]  # CBC chain: previous ciphertext (IV first)
+    out = plain.tobytes()
     pad = out[-1]
     if not 1 <= pad <= 16:
         raise ValueError("bad AES padding")
-    return bytes(out[:-pad])
+    return out[:-pad]
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    rks = _expand_key(key)
+    kw = _enc_key_words(key)
     pad = 16 - (len(data) % 16)
     data += bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for off in range(0, len(data), 16):
         block = bytes(a ^ b for a, b in zip(data[off:off + 16], prev))
-        prev = _encrypt_block(block, rks)
+        prev = _encrypt_block_fast(block, kw)
         out += prev
     return bytes(out)
 
