@@ -122,3 +122,38 @@ def test_ann_topk_single_row_broadcast(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ocr_router_branches_stay_narrow(spark, fixture_pages_path):
+    """The F6 routed plan: probe + filter + extract per branch must add NO
+    shuffle — routing is a narrow predicate, not a repartition."""
+    from pdf_ocr_engine_spark.operators.ocr import extract_with_ocr
+
+    pages = spark.read.parquet(fixture_pages_path)
+    plan = plan_str(extract_with_ocr(pages), "simple")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Union") == 1, plan
+
+
+def test_ivf_probe_broadcasts_query(spark):
+    """ivf_topk_df: the single-row query must broadcast (never shuffle the
+    corpus against it) and the top-k must stay TakeOrderedAndProject."""
+    from pdf_ocr_engine_spark.operators.ann import ivf_topk_df
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .withColumn("list_id", (F.col("vec_id") % 4).cast("int"))
+    cents = [[0.1] * 64, [0.2] * 64, [0.3] * 64, [0.4] * 64]
+    qdf = emb.where("vec_id = 0").select("embedding")
+    plan = plan_str(ivf_topk_df(emb, cents, qdf, k=10, nprobe=2))
+    assert "Broadcast" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_assemble_overlay_chain_is_narrow(spark):
+    """assemble(preserve_images) → verify is a back-to-back mapInPandas
+    chain with zero Exchange (the scanned corpus synthesis + overlay +
+    re-extract all ride the same partitioning)."""
+    from pdf_ocr_engine_spark.queries import q_assemble_overlay
+
+    plan = plan_str(q_assemble_overlay(spark, SF_DIR), "simple")
+    assert "Exchange" not in plan, plan
