@@ -952,8 +952,13 @@ class _WordSink:
         self._x = x_next
 
 
+#: nested Form-XObject execution depth cap (cycle guard is separate)
+_MAX_FORM_DEPTH = 8
+
+
 def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
-              page_h: float) -> _WordSink:
+              page_h: float, resources: dict | None = None,
+              counters: dict[str, int] | None = None) -> _WordSink:
     sink = _WordSink(page_h)
     gs_stack: list[tuple] = []
     ctm = _ID
@@ -961,7 +966,7 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
     font: _Font | None = None
     size = tc = tw = ts = tl = 0.0
     tz = 100.0
-    stack: list[Any] = []
+    form_seen: set[int] = set()  # object ids on the current Do chain
 
     def show(s: bytes) -> None:
         nonlocal tm
@@ -985,83 +990,145 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
             dev_size = abs(size * trm[3]) or size
             sink.glyph(ch, x, y, x2, dev_size)
 
-    for kind, tok in _tokenize_content(content):
-        if kind == "val":
-            stack.append(tok)
-            continue
-        op = tok
+    def do_form(name: str, resources: dict | None, fonts: dict,
+                depth: int) -> None:
+        """Execute a /Subtype /Form XObject (text inside forms is real
+        page text — pdf.js getTextContent descends into them too).  Per
+        ISO 32000 §8.10.1, Do brackets the form in an implicit q..Q and
+        premultiplies the form /Matrix into the CTM; the form's own
+        /Resources scope its content, falling back to the caller's."""
+        nonlocal ctm, font, size, tc, tw, tz, tl, ts
+        if depth >= _MAX_FORM_DEPTH or not isinstance(resources, dict):
+            return
+        xobjs = doc.resolve(resources.get("XObject"))
+        if not isinstance(xobjs, dict) or name not in xobjs:
+            return
+        obj = doc.resolve(xobjs[name])
+        if not isinstance(obj, _Stream) or \
+                str(doc.resolve(obj.dict.get("Subtype", ""))) != "Form":
+            return
+        if id(obj) in form_seen:  # self-referential form: cycle guard
+            return
+        form_seen.add(id(obj))
+        save = (ctm, font, size, tc, tw, tz, tl, ts)
         try:
-            if op == "q":
-                # ISO 32000 §8.4.2: the saved graphics state includes the
-                # text-state parameters, not just the CTM — a
-                # 'q /F2 8 Tf ... Q' must not leak the font change past Q
-                gs_stack.append((ctm, font, size, tc, tw, tz, tl, ts))
-            elif op == "Q":
-                if gs_stack:
-                    ctm, font, size, tc, tw, tz, tl, ts = gs_stack.pop()
-                else:
-                    ctm = _ID
-            elif op == "cm" and len(stack) >= 6:
-                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
-            elif op == "BT":
-                tm = tlm = _ID
-            elif op == "ET":
-                sink.flush()
-            elif op == "Tf" and len(stack) >= 2:
-                font = fonts.get(str(stack[-2]))
-                size = float(stack[-1])
-            elif op == "Td" and len(stack) >= 2:
-                sink.flush()
-                tlm = _mat_mul((1, 0, 0, 1,
-                                float(stack[-2]), float(stack[-1])), tlm)
-                tm = tlm
-            elif op == "TD" and len(stack) >= 2:
-                sink.flush()
-                tl = -float(stack[-1])
-                tlm = _mat_mul((1, 0, 0, 1,
-                                float(stack[-2]), float(stack[-1])), tlm)
-                tm = tlm
-            elif op == "Tm" and len(stack) >= 6:
-                sink.flush()
-                tm = tlm = tuple(float(v) for v in stack[-6:])
-            elif op == "T*":
-                sink.flush()
-                tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
-                tm = tlm
-            elif op == "TL" and stack:
-                tl = float(stack[-1])
-            elif op == "Tc" and stack:
-                tc = float(stack[-1])
-            elif op == "Tw" and stack:
-                tw = float(stack[-1])
-            elif op == "Tz" and stack:
-                tz = float(stack[-1]) or 100.0
-            elif op == "Ts" and stack:
-                ts = float(stack[-1])
-            elif op == "Tj" and stack:
-                show(stack[-1])
-            elif op == "'" and stack:
-                sink.flush()
-                tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
-                tm = tlm
-                show(stack[-1])
-            elif op == '"' and len(stack) >= 3:
-                tw = float(stack[-3])
-                tc = float(stack[-2])
-                sink.flush()
-                tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
-                tm = tlm
-                show(stack[-1])
-            elif op == "TJ" and stack and isinstance(stack[-1], list):
-                for el in stack[-1]:
-                    if isinstance(el, (bytes, bytearray)):
-                        show(el)
-                    elif isinstance(el, (int, float)):
-                        adv = -float(el) / 1000.0 * size * tz / 100.0
-                        tm = _mat_mul((1, 0, 0, 1, adv, 0.0), tm)
-        except (TypeError, ValueError, IndexError):
-            pass  # malformed operands: skip the op, keep extracting
-        stack.clear()
+            mat = doc.resolve(obj.dict.get("Matrix"))
+            if isinstance(mat, list) and len(mat) == 6:
+                try:
+                    ctm = _mat_mul(
+                        tuple(float(doc.resolve(v)) for v in mat), ctm)
+                except (TypeError, ValueError):
+                    pass
+            sub_res = doc.resolve(obj.dict.get("Resources"))
+            if not isinstance(sub_res, dict):
+                sub_res = resources
+            sub_fonts = fonts
+            sub_font_res = doc.resolve(sub_res.get("Font")) \
+                if isinstance(sub_res, dict) else None
+            if isinstance(sub_font_res, dict):
+                sub_fonts = dict(fonts)
+                for fname, fref in sub_font_res.items():
+                    sub_fonts[fname] = _load_font(
+                        doc, fref, counters if counters is not None
+                        else {"encoding_fallback": 0})
+            try:
+                body = obj.decoded(doc)
+            except Exception:  # noqa: BLE001 - bad form ≠ bad page
+                return
+            execute(body, sub_res, sub_fonts, depth + 1)
+        finally:
+            form_seen.discard(id(obj))
+            ctm, font, size, tc, tw, tz, tl, ts = save
+
+    def execute(content: bytes, resources: dict | None,
+                fonts: dict, depth: int) -> None:
+        nonlocal ctm, tm, tlm, font, size, tc, tw, tz, tl, ts
+        stack: list[Any] = []
+        for kind, tok in _tokenize_content(content):
+            if kind == "val":
+                stack.append(tok)
+                continue
+            op = tok
+            try:
+                if op == "q":
+                    # ISO 32000 §8.4.2: the saved graphics state includes the
+                    # text-state parameters, not just the CTM — a
+                    # 'q /F2 8 Tf ... Q' must not leak the font change past Q
+                    gs_stack.append((ctm, font, size, tc, tw, tz, tl, ts))
+                elif op == "Q":
+                    if gs_stack:
+                        ctm, font, size, tc, tw, tz, tl, ts = gs_stack.pop()
+                    else:
+                        ctm = _ID
+                elif op == "cm" and len(stack) >= 6:
+                    ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+                elif op == "BT":
+                    tm = tlm = _ID
+                elif op == "ET":
+                    sink.flush()
+                elif op == "Tf" and len(stack) >= 2:
+                    font = fonts.get(str(stack[-2]))
+                    size = float(stack[-1])
+                elif op == "Td" and len(stack) >= 2:
+                    sink.flush()
+                    tlm = _mat_mul((1, 0, 0, 1,
+                                    float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == "TD" and len(stack) >= 2:
+                    sink.flush()
+                    tl = -float(stack[-1])
+                    tlm = _mat_mul((1, 0, 0, 1,
+                                    float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == "Tm" and len(stack) >= 6:
+                    sink.flush()
+                    tm = tlm = tuple(float(v) for v in stack[-6:])
+                elif op == "T*":
+                    sink.flush()
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                elif op == "TL" and stack:
+                    tl = float(stack[-1])
+                elif op == "Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == "Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == "Tz" and stack:
+                    tz = float(stack[-1]) or 100.0
+                elif op == "Ts" and stack:
+                    ts = float(stack[-1])
+                elif op == "Tj" and stack:
+                    show(stack[-1])
+                elif op == "'" and stack:
+                    sink.flush()
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == '"' and len(stack) >= 3:
+                    tw = float(stack[-3])
+                    tc = float(stack[-2])
+                    sink.flush()
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == "TJ" and stack and isinstance(stack[-1], list):
+                    for el in stack[-1]:
+                        if isinstance(el, (bytes, bytearray)):
+                            show(el)
+                        elif isinstance(el, (int, float)):
+                            adv = -float(el) / 1000.0 * size * tz / 100.0
+                            tm = _mat_mul((1, 0, 0, 1, adv, 0.0), tm)
+                elif op == "Do" and stack:
+                    # XObject paint: Form XObjects carry real page text
+                    # (pdf.js getTextContent descends); images are the
+                    # OCR tier's concern (extract_page_images)
+                    sink.flush()
+                    do_form(str(stack[-1]), resources, fonts, depth)
+            except (TypeError, ValueError, IndexError):
+                pass  # malformed operands: skip the op, keep extracting
+            stack.clear()
+
+    execute(content, resources, fonts, 0)
     sink.flush()
     return sink
 
@@ -1120,7 +1187,9 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
                     chunks.append(cs.decoded(doc))
         content = b"\n".join(chunks)
 
-        sink = _run_page(doc, content, fonts, height)
+        sink = _run_page(doc, content, fonts, height,
+                         resources if isinstance(resources, dict) else None,
+                         counters)
         words = sink.words
         n = len(words)
         coords = np.empty((n, 5), dtype="f8")
@@ -1137,6 +1206,34 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
                       "coords": coords})
     return {"page_count": len(pages), "pages": pages, "flavor": "real",
             "counters": counters}
+
+
+def _walk_xobjects(doc: _Doc, resources: Any,
+                   _depth: int = 0, _seen: set | None = None):
+    """Yield every Image/Form XObject STREAM reachable from ``resources``,
+    descending into Form XObjects' own resources (depth-capped, cycle-
+    guarded) — scanned-page images are often wrapped in a form, and form
+    content streams carry real text the cheap probe must see."""
+    if _depth >= _MAX_FORM_DEPTH or not isinstance(resources, dict):
+        return
+    seen = _seen if _seen is not None else set()
+    xobjs = doc.resolve(resources.get("XObject"))
+    if not isinstance(xobjs, dict):
+        return
+    for _name, ref in xobjs.items():
+        try:
+            obj = doc.resolve(ref)
+        except ValueError:
+            continue
+        if not isinstance(obj, _Stream) or id(obj) in seen:
+            continue
+        seen.add(id(obj))
+        subtype = str(doc.resolve(obj.dict.get("Subtype", "")))
+        yield subtype, obj
+        if subtype == "Form":
+            yield from _walk_xobjects(
+                doc, doc.resolve(obj.dict.get("Resources")),
+                _depth + 1, seen)
 
 
 def extract_page_images(data: bytes) -> list[dict[str, Any]]:
@@ -1165,27 +1262,21 @@ def extract_page_images(data: bytes) -> list[dict[str, Any]]:
             mx0, my0, mx1, my1 = 0.0, 0.0, 612.0, 792.0
         images: list[dict[str, Any]] = []
         resources = doc.resolve(pd.get("Resources")) or {}
-        xobjs = doc.resolve(resources.get("XObject")) \
-            if isinstance(resources, dict) else None
-        if isinstance(xobjs, dict):
-            for _name, ref in xobjs.items():
-                obj = doc.resolve(ref)
-                if not isinstance(obj, _Stream):
-                    continue
-                sd = obj.dict
-                if str(doc.resolve(sd.get("Subtype", ""))) != "Image":
-                    continue
-                try:
-                    blob = obj.decoded(doc)
-                except Exception:  # noqa: BLE001 - one bad image ≠ bad page
-                    continue
-                w = doc.resolve(sd.get("Width"))
-                h = doc.resolve(sd.get("Height"))
-                images.append({
-                    "data": blob,
-                    "width": int(w) if isinstance(w, (int, float)) else None,
-                    "height": int(h) if isinstance(h, (int, float)) else None,
-                })
+        for subtype, obj in _walk_xobjects(doc, resources):
+            if subtype != "Image":
+                continue
+            sd = obj.dict
+            try:
+                blob = obj.decoded(doc)
+            except Exception:  # noqa: BLE001 - one bad image ≠ bad page
+                continue
+            w = doc.resolve(sd.get("Width"))
+            h = doc.resolve(sd.get("Height"))
+            images.append({
+                "data": blob,
+                "width": int(w) if isinstance(w, (int, float)) else None,
+                "height": int(h) if isinstance(h, (int, float)) else None,
+            })
         out.append({"page_no": i + 1,
                     "width": abs(mx1 - mx0), "height": abs(my1 - my0),
                     "images": images})
@@ -1223,6 +1314,15 @@ def detect_pages_text(data: bytes) -> list[bool]:
                 cs = doc.resolve(c)
                 if isinstance(cs, _Stream):
                     chunks.append(cs.decoded(doc))
+        # form XObjects carry real page text too — scan their streams as
+        # plain extra chunks (show ops inside them count the same)
+        for subtype, obj in _walk_xobjects(
+                doc, doc.resolve(pd.get("Resources"))):
+            if subtype == "Form":
+                try:
+                    chunks.append(obj.decoded(doc))
+                except Exception:  # noqa: BLE001 - bad form ≠ bad page
+                    pass
         content = b"\n".join(chunks)
         has_text = False
         pending: list = []

@@ -787,3 +787,117 @@ class TestRunLength:
         from pdf_ocr_engine_spark.core.pdfreal import _rle_decode
 
         assert _rle_decode(bytes([257 - 5, ord("x"), 128])) == b"xxxxx"
+
+
+class TestFormXObjects:
+    """Text inside /Subtype /Form XObjects is real page text (pdf.js
+    getTextContent descends into them); round 3 makes the interpreter,
+    the cheap has-text probe, and the image walker all descend too."""
+
+    @staticmethod
+    def _form_pdf(form_content: bytes, matrix: bytes = b"",
+                  page_extra: bytes = b"",
+                  form_font: bytes = b"/F1 3 0 R") -> bytes:
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources "
+             b"<< /XObject << /Fx 6 0 R >> /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Length 26 >>\nstream\nq 1 0 0 1 0 0 cm /Fx Do Q"
+            + page_extra + b"\nendstream",
+            (b"<< /Type /XObject /Subtype /Form " + matrix
+             + b" /Resources << /Font << " + form_font + b" >> >> /Length "
+             + str(len(form_content)).encode() + b" >>\nstream\n"
+             + form_content + b"\nendstream"),
+        ]
+        return _assemble(objs)
+
+    def test_text_in_form_extracted(self):
+        pdf = self._form_pdf(b"BT /F1 12 Tf 72 720 Td (inside) Tj "
+                             b"50 0 Td (form) Tj ET")
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["has_text"] is True
+        assert doc["pages"][0]["texts"] == ["inside", "form"]
+
+    def test_form_matrix_transforms_positions(self):
+        pdf = self._form_pdf(b"BT /F1 12 Tf 72 700 Td (moved) Tj ET",
+                             matrix=b"/Matrix [1 0 0 1 100 -50]")
+        doc = parse_real_pdf(pdf)
+        x0 = doc["pages"][0]["coords"][0][0]
+        assert x0 == pytest.approx(172.0)  # 72 + 100
+
+    def test_form_own_font_resources_win(self):
+        # the form's /F1 names a DIFFERENT font object whose ToUnicode
+        # remaps 'c'→'K' — if the PAGE's /F1 (no CMap) were wrongly used
+        # inside the form, the text would come back unmapped
+        cmap = (b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+                b"endcodespacerange\n1 beginbfchar\n<63> <004B>\n"
+                b"endbfchar\nendcmap")
+        pdf = self._form_pdf(b"BT /F1 10 Tf 72 600 Td (courier) Tj ET",
+                             form_font=b"/F1 7 0 R")
+        pdf = pdf.replace(
+            b"trailer",
+            b"7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode 8 0 R >>\nendobj\n"
+            + f"8 0 obj\n<< /Length {len(cmap)} >>\nstream\n".encode()
+            + cmap + b"\nendstream\nendobj\ntrailer")
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["Kourier"]
+
+    def test_cheap_probe_sees_form_text(self):
+        from pdf_ocr_engine_spark.core.pdfreal import detect_pages_text
+
+        pdf = self._form_pdf(b"BT /F1 12 Tf 72 720 Td (hidden) Tj ET")
+        assert detect_pages_text(pdf) == [True]
+
+    def test_self_referential_form_terminates(self):
+        # a form whose content invokes ITSELF must not recurse forever
+        content = b"q /Fx Do Q BT /F1 9 Tf 10 10 Td (safe) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources "
+             b"<< /XObject << /Fx 6 0 R >> /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Length 20 >>\nstream\n/Fx Do\nendstream",
+            (b"<< /Type /XObject /Subtype /Form /Resources "
+             b"<< /XObject << /Fx 6 0 R >> /Font << /F1 3 0 R >> >> "
+             b"/Length " + str(len(content)).encode() + b" >>\nstream\n"
+             + content + b"\nendstream"),
+        ]
+        doc = parse_real_pdf(_assemble(objs))
+        assert doc["pages"][0]["texts"] == ["safe"]
+
+    def test_image_inside_form_found(self):
+        import zlib as _z
+
+        from pdf_ocr_engine_spark.core.pdfreal import extract_page_images
+        from pdf_ocr_engine_spark.core.pdfscan import (
+            decode_page_raster,
+            encode_page_raster,
+        )
+
+        raster = encode_page_raster(612.0, 792.0,
+                                    [("wrapped", 1.0, 1.0, 40.0, 13.0)])
+        img = _z.compress(raster)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] >>"),
+            (b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+             b"/Filter /FlateDecode /Length " + str(len(img)).encode()
+             + b" >>\nstream\n" + img + b"\nendstream"),
+            (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources "
+             b"<< /XObject << /Fx 6 0 R >> >> >>"),
+            b"<< /Length 9 >>\nstream\n/Fx Do\nendstream",
+            (b"<< /Type /XObject /Subtype /Form /Resources "
+             b"<< /XObject << /Im0 3 0 R >> >> /Length 30 >>\nstream\n"
+             b"q 612 0 0 792 0 0 cm /Im0 Do Q\nendstream"),
+        ]
+        pages = extract_page_images(_assemble(objs))
+        assert len(pages[0]["images"]) == 1
+        _w, _h, words = decode_page_raster(pages[0]["images"][0]["data"])
+        assert words[0][0] == "wrapped"
