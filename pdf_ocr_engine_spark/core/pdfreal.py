@@ -958,10 +958,11 @@ _MAX_FORM_DEPTH = 8
 
 def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
               page_h: float, resources: dict | None = None,
-              counters: dict[str, int] | None = None) -> _WordSink:
+              counters: dict[str, int] | None = None,
+              base_ctm: tuple = _ID) -> _WordSink:
     sink = _WordSink(page_h)
     gs_stack: list[tuple] = []
-    ctm = _ID
+    ctm = base_ctm
     tm = tlm = _ID
     font: _Font | None = None
     size = tc = tw = ts = tl = 0.0
@@ -1059,7 +1060,7 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
                     if gs_stack:
                         ctm, font, size, tc, tw, tz, tl, ts = gs_stack.pop()
                     else:
-                        ctm = _ID
+                        ctm = base_ctm  # underflowed Q: reset to viewport
                 elif op == "cm" and len(stack) >= 6:
                     ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
                 elif op == "BT":
@@ -1168,6 +1169,29 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
             counters["mediabox_fallback"] += 1
         width, height = abs(mx1 - mx0), abs(my1 - my0)
 
+        # /Rotate (inherited): scanned pages routinely carry 90/180/270 —
+        # pdf.js folds it into the viewport transform; here the rotation
+        # becomes the base CTM so word boxes land in the DISPLAYED page's
+        # top-origin coords (90/270 swap the page dimensions).  Derivation
+        # (display dx,dy from user x,y; sink applies dy = page_h − Y):
+        #   0:   dx=x,   dy=h−y  → B=I,            page h×w unchanged
+        #   90:  dx=y,   dy=x    → B=(0,−1,1,0,0,w),   page w'=h, h'=w
+        #   180: dx=w−x, dy=y    → B=(−1,0,0,−1,w,h)
+        #   270: dx=h−y, dy=w−x  → B=(0,1,−1,0,h,0),   page w'=h, h'=w
+        try:
+            rot = int(doc.resolve(pd.get("Rotate", 0)) or 0) % 360
+        except (TypeError, ValueError):
+            rot = 0
+        base_ctm = _ID
+        if rot == 90:
+            base_ctm = (0.0, -1.0, 1.0, 0.0, 0.0, width)
+            width, height = height, width
+        elif rot == 180:
+            base_ctm = (-1.0, 0.0, 0.0, -1.0, width, height)
+        elif rot == 270:
+            base_ctm = (0.0, 1.0, -1.0, 0.0, height, 0.0)
+            width, height = height, width
+
         resources = doc.resolve(pd.get("Resources")) or {}
         font_res = doc.resolve(resources.get("Font")) if \
             isinstance(resources, dict) else None
@@ -1189,7 +1213,7 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
 
         sink = _run_page(doc, content, fonts, height,
                          resources if isinstance(resources, dict) else None,
-                         counters)
+                         counters, base_ctm)
         words = sink.words
         n = len(words)
         coords = np.empty((n, 5), dtype="f8")

@@ -901,3 +901,66 @@ class TestFormXObjects:
         assert len(pages[0]["images"]) == 1
         _w, _h, words = decode_page_raster(pages[0]["images"][0]["data"])
         assert words[0][0] == "wrapped"
+
+
+class TestPageRotation:
+    """/Rotate is routine on scans; word boxes must land in the DISPLAYED
+    page's top-origin coords (pdf.js folds rotation into the viewport)."""
+
+    @staticmethod
+    def _rot_pdf(content: bytes, rot: int) -> bytes:
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] /Rotate " + str(rot).encode()
+             + b" /Resources << /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+        ]
+        return _assemble(objs)
+
+    def test_rotate_90_swaps_dims_and_uprights_text(self):
+        # text written rotated 90° CCW in user space (Tm [0 1 -1 0 ..])
+        # displays upright once /Rotate 90 is applied
+        pdf = self._rot_pdf(
+            b"BT /F1 12 Tf 0 1 -1 0 300 100 Tm (up) Tj ET", 90)
+        doc = parse_real_pdf(pdf)
+        page = doc["pages"][0]
+        assert (page["width"], page["height"]) == (792.0, 612.0)
+        assert page["texts"] == ["up"]
+        x0, y0, x1, y1 = page["coords"][0][:4]
+        assert x0 == pytest.approx(100.0)          # dx = user y
+        assert x1 > x0                             # upright advance
+        # baseline at dy = user x = 300 → box spans around it
+        assert y0 < 300.0 < y1 + 1e-9
+
+    def test_rotate_180_keeps_dims(self):
+        # text written upside-down (Tm [-1 0 0 -1 ..]) reads upright after
+        # /Rotate 180; dims unchanged
+        pdf = self._rot_pdf(
+            b"BT /F1 12 Tf -1 0 0 -1 400 700 Tm (flip) Tj ET", 180)
+        doc = parse_real_pdf(pdf)
+        page = doc["pages"][0]
+        assert (page["width"], page["height"]) == (612.0, 792.0)
+        assert page["texts"] == ["flip"]
+        x0 = page["coords"][0][0]
+        assert x0 == pytest.approx(612.0 - 400.0)  # dx = w − user x
+
+    def test_rotate_270_roundtrip_order(self):
+        pdf = self._rot_pdf(
+            b"BT /F1 12 Tf 0 -1 1 0 200 600 Tm (two ) Tj (words) Tj ET",
+            270)
+        doc = parse_real_pdf(pdf)
+        page = doc["pages"][0]
+        assert (page["width"], page["height"]) == (792.0, 612.0)
+        assert page["texts"] == ["two", "words"]
+        # both words on ONE display line, left to right
+        assert page["coords"][1][0] > page["coords"][0][0]
+
+    def test_rotate_0_and_360_identity(self):
+        pdf = self._rot_pdf(b"BT /F1 12 Tf 72 720 Td (plain) Tj ET", 360)
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["texts"] == ["plain"]
+        assert doc["pages"][0]["width"] == 612.0
