@@ -51,15 +51,20 @@ def extract_stream(
     options: ExtractOptions | None = None,
     available_now: bool = True,
     max_files_per_trigger: int = 16,
+    recognizer_factory=None,
 ):
     """Start the streaming extraction; returns the ``StreamingQuery``.
 
     With ``available_now=True`` the query drains all currently-visible files
     and finishes (call ``.awaitTermination()``); with ``False`` it runs
-    continuously on new files.
+    continuously on new files.  ``recognizer_factory`` enables the OCR tier
+    for image-only real-PDF pages — same per-task init contract as the
+    batch operator (the model builds once per task, never per microbatch
+    row).
     """
     pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
-    extracted = extract_pages(pages, options)
+    extracted = extract_pages(pages, options,
+                              recognizer_factory=recognizer_factory)
     writer = (extracted.writeStream
               .format("parquet")
               .option("path", output_dir)

@@ -242,3 +242,40 @@ def test_sessionize_stream_nonutc_timezone(spark, build_dir, tz):
         assert got == want - finals, (sorted(got), sorted(want))
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_streaming_ocr_tier_with_recognizer(spark, stream_dirs):
+    """Scanned (image-only) PDFs extract through the streaming front-end
+    when a recognizer factory is plugged in — same init-once contract as
+    batch; without one they come back 'empty', never an error."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_engine_spark.operators.ocr import deterministic_recognizer
+    from pdf_ocr_engine_spark.sources.fixtures import (
+        text_to_scanned_pdf_payload,
+    )
+
+    texts = {"https://s1.example/a": "scanned alpha beta gamma",
+             "https://s2.example/b": "ocr words flow in streams"}
+    table = pa.table({
+        "url": list(texts),
+        "warc_ts": pa.array([dt.datetime(2025, 1, 1)] * 2,
+                            type=pa.timestamp("us")),
+        "html": pa.array([text_to_scanned_pdf_payload(t)
+                          for t in texts.values()], type=pa.binary()),
+        "text": ["", ""],
+        "lang": ["eng", "eng"],
+    })
+    pq.write_table(table, os.path.join(stream_dirs["in"], "scan.parquet"))
+    q = extract_stream(spark, stream_dirs["in"], stream_dirs["out"],
+                       stream_dirs["ckpt"],
+                       recognizer_factory=deterministic_recognizer)
+    q.awaitTermination()
+    out = {r.url: r for r in
+           spark.read.parquet(stream_dirs["out"]).collect()}
+    for url, text in texts.items():
+        assert out[url].status == "ok"
+        assert out[url].text.split() == text.split()
