@@ -242,10 +242,45 @@ def _extract_pdf(html: bytes, options: ExtractOptions,
     return out
 
 
+#: meta-declared charset, scanned in the first 2 KiB like browsers do:
+#: <meta charset="..."> or <meta http-equiv=... content="...; charset=...">
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""",
+    re.IGNORECASE)
+
+#: labels the WHATWG encoding standard maps to other codecs; everything
+#: else passes to Python's codec registry verbatim (unknown → utf-8)
+_CHARSET_ALIASES = {"iso-8859-1": "cp1252", "latin-1": "cp1252",
+                    "latin1": "cp1252", "ascii": "cp1252",
+                    "us-ascii": "cp1252"}
+
+
+def detect_html_charset(html: bytes) -> str:
+    """BOM, then meta-declared charset (first 2 KiB), then utf-8 — the
+    browser resolution order readability-style extractors inherit.  A
+    non-utf-8 page decoded as utf-8-with-replace turns every non-ASCII
+    character into U+FFFD, which silently destroys quality-scoring and
+    dedup signals downstream."""
+    if html[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _META_CHARSET_RE.search(html[:2048])
+    if m:
+        label = m.group(1).decode("latin-1").lower()
+        codec = _CHARSET_ALIASES.get(label, label)
+        try:
+            b"x".decode(codec)
+        except LookupError:
+            return "utf-8"
+        return codec
+    return "utf-8"
+
+
 def _extract_html(html: bytes, options: ExtractOptions) -> dict[str, Any]:
     try:
-        markup = html.decode("utf-8", errors="replace")
-    except Exception as exc:  # pragma: no cover - decode w/ replace can't raise
+        markup = html.decode(detect_html_charset(html), errors="replace")
+    except Exception as exc:  # pragma: no cover - replace can't raise
         return {"status": "decode_error", "error": str(exc),
                 "n_pages": 0, "n_words": 0, "text": None}
     text = extract_main_text(

@@ -355,3 +355,58 @@ class TestPayloadTypeGuard:
         data = encode_pdf([page(1, HELLO)])
         assert extract_document(bytearray(data), "eng")["status"] == "ok"
         assert extract_document(memoryview(data), "eng")["status"] == "ok"
+
+
+class TestHtmlCharset:
+    """Browser-order charset resolution (BOM → meta → utf-8): a non-utf-8
+    page decoded as utf-8-replace turns every non-ASCII char into U+FFFD,
+    silently destroying downstream quality/dedup signals."""
+
+    def _page(self, body: str) -> str:
+        return ("<html><head><meta charset=\"iso-8859-1\"></head><body>"
+                f"<p>{body}</p></body></html>")
+
+    def test_latin1_meta_charset_decodes(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+
+        body = "café résumé naïve jalapeño words enough to keep the block"
+        html = self._page(body).encode("iso-8859-1")
+        r = extract_document(html, "eng")
+        assert r["status"] == "ok"
+        assert "café" in r["text"]
+        assert "�" not in r["text"]
+
+    def test_utf8_unaffected(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+
+        html = ("<html><head><meta charset='utf-8'></head><body><p>"
+                "unicode snowman ☃ plus enough words to keep the paragraph "
+                "block alive here</p></body></html>").encode("utf-8")
+        r = extract_document(html, "eng")
+        assert "☃" in r["text"]
+
+    def test_bom_utf16(self):
+        from pdf_ocr_engine_spark.core.extract_doc import (
+            detect_html_charset,
+        )
+
+        assert detect_html_charset(
+            "<html>x</html>".encode("utf-16")) == "utf-16"
+        assert detect_html_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
+
+    def test_unknown_label_falls_back_utf8(self):
+        from pdf_ocr_engine_spark.core.extract_doc import (
+            detect_html_charset,
+        )
+
+        html = b"<meta charset='x-bogus-enc'><p>hi</p>"
+        assert detect_html_charset(html) == "utf-8"
+
+    def test_whatwg_latin1_is_cp1252(self):
+        # the WHATWG standard maps iso-8859-1 to windows-1252 (0x93 etc.)
+        from pdf_ocr_engine_spark.core.extract_doc import (
+            detect_html_charset,
+        )
+
+        assert detect_html_charset(
+            b"<meta charset='iso-8859-1'>") == "cp1252"
