@@ -663,6 +663,63 @@ LEFT JOIN b ON b.doc_id = d.doc_id
 """
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/eval split (``operators/sample.py``): membership
+    from a salted md5 of the key, so re-runs / engine swaps / repartitions
+    cannot leak eval documents into training.  The oracle recomputes the
+    SAME hash arithmetic in DuckDB — per-document membership is value-
+    checked, not just the split sizes."""
+    from .operators.sample import deterministic_split
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return deterministic_split(docs, eval_fraction=0.05) \
+        .select("doc_id", "split")
+
+
+_SQL_SAMPLE_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(md5('https://' || source || '.example/doc/'
+                           || doc_id || 'split-v1'), 1, 4) < '0ccc'
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_host_cap(spark, sf_dir):
+    """Per-host document cap (the C4/Gopher-style guard against one domain
+    dominating a corpus): at most N docs per host, chosen by deterministic
+    hashed order.  Oracle recomputes the same window in DuckDB — the kept
+    SET is value-checked, so a nondeterministic or input-order-dependent
+    selection hash-mismatches."""
+    from .operators.sample import cap_per_host
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return cap_per_host(docs, max_per_host=7).select("doc_id")
+
+
+_SQL_HOST_CAP = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example/doc/' || doc_id AS url
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY regexp_extract(
+             url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+           ORDER BY md5(url), url) AS rn
+  FROM u
+)
+SELECT doc_id FROM r WHERE rn <= 7
+"""
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host corpus lineage (the north_rule's host-prefix concern as an
     analytics query): host extracted from the url with a regex (pure
@@ -1816,6 +1873,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "host_stats": q_host_stats,
     "pii_scrub": q_pii_scrub,
+    "sample_split": q_sample_split,
+    "host_cap": q_host_cap,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -1871,6 +1930,8 @@ ORACLES: dict[str, str] = {
     "repetition": _SQL_REPETITION,
     "host_stats": _SQL_HOST_STATS,
     "pii_scrub": _SQL_PII_SCRUB,
+    "sample_split": _SQL_SAMPLE_SPLIT,
+    "host_cap": _SQL_HOST_CAP,
     "lang_id": _SQL_LANG_ID,
     "fingerprint": _SQL_FINGERPRINT,
     "dedup_exact": _SQL_DEDUP_EXACT,

@@ -541,3 +541,54 @@ class TestConnectedComponentsStringIds:
                  for r in connected_components(pairs).collect()}
         assert comps == {"aa": "aa", "bb": "aa", "cc": "aa",
                          "yy": "yy", "zz": "yy"}
+
+
+class TestSampling:
+    def test_split_deterministic_and_sized(self, spark):
+        from pdf_ocr_engine_spark.operators.sample import deterministic_split
+
+        df = spark.createDataFrame(
+            [(f"https://h{i % 9}.example/d/{i}",) for i in range(2000)],
+            ["url"])
+        a = {r.url: r.split for r in deterministic_split(df, 0.05).collect()}
+        b = {r.url: r.split
+             for r in deterministic_split(df.repartition(13), 0.05).collect()}
+        assert a == b  # partitioning cannot move split membership
+        frac = sum(1 for v in a.values() if v == "eval") / len(a)
+        assert 0.03 < frac < 0.07  # ~5% within binomial noise
+
+    def test_split_salt_changes_membership(self, spark):
+        from pdf_ocr_engine_spark.operators.sample import deterministic_split
+
+        df = spark.createDataFrame(
+            [(f"https://x.example/{i}",) for i in range(500)], ["url"])
+        a = {r.url: r.split
+             for r in deterministic_split(df, 0.5, salt="s1").collect()}
+        b = {r.url: r.split
+             for r in deterministic_split(df, 0.5, salt="s2").collect()}
+        assert a != b
+
+    def test_cap_per_host_bounds_and_determinism(self, spark):
+        from pdf_ocr_engine_spark.operators.sample import cap_per_host
+
+        rows = [(f"https://big.example/{i}",) for i in range(100)] \
+            + [(f"https://small.example/{i}",) for i in range(3)]
+        df = spark.createDataFrame(rows, ["url"])
+        kept1 = {r.url for r in cap_per_host(df, 10).collect()}
+        kept2 = {r.url
+                 for r in cap_per_host(df.repartition(7), 10).collect()}
+        assert kept1 == kept2  # hashed order, not input order
+        assert sum(1 for u in kept1 if "big." in u) == 10
+        assert sum(1 for u in kept1 if "small." in u) == 3
+
+    def test_bad_args_raise(self, spark):
+        from pdf_ocr_engine_spark.operators.sample import (
+            cap_per_host,
+            deterministic_split,
+        )
+
+        df = spark.createDataFrame([("u",)], ["url"])
+        with pytest.raises(ValueError):
+            deterministic_split(df, 1.5)
+        with pytest.raises(ValueError):
+            cap_per_host(df, 0)
