@@ -720,6 +720,81 @@ SELECT doc_id FROM r WHERE rn <= 7
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (``operators/pack.py``): every document's
+    (bucket, window, offset) placement in the concatenated token stream,
+    computed as bucket-parallel window cumsums.  The oracle recomputes the
+    placement arithmetic exactly — a nondeterministic order or an
+    off-by-one in the exclusive cumsum moves offsets and hash-mismatches."""
+    from .operators.pack import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        T.token_count(F.col("text")).alias("n_tokens"))
+    out = pack_sequences(docs.withColumn("doc_id", F.col("doc_id")),
+                         window_tokens=2048, key_col="url")
+    # re-join doc_id through the url (pack keeps only the key column)
+    return out.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        "bucket", "seq_id", "offset", "n_tokens")
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example/doc/' || doc_id AS url,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT *, substr(md5(url), 1, 2) AS bucket FROM u
+), c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY md5(url), url
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM b
+)
+SELECT doc_id, bucket, cum // 2048 AS seq_id, cum % 2048 AS offset,
+       n_tokens
+FROM c
+"""
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization (``operators/ann.quantize_embeddings``):
+    the ANN storage tier.  Oracle recomputes scale and every quantized
+    component (floor(x+0.5) rounding is engine-identical), so a lossy-er
+    quantizer or a changed scale convention hash-mismatches."""
+    from .operators.ann import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale_r6"),
+        "q_vec")
+
+
+_SQL_QUANTIZE_EMBEDDINGS = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS sc FROM v
+)
+SELECT vec_id, round(sc, 6) AS q_scale_r6,
+       CASE WHEN sc > 0
+            THEN list_transform(e, x -> CAST(floor(x / sc * 127.0 + 0.5)
+                                             AS INTEGER))
+            ELSE list_transform(e, x -> 0) END AS q_vec
+FROM s
+"""
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host corpus lineage (the north_rule's host-prefix concern as an
     analytics query): host extracted from the url with a regex (pure
@@ -1875,6 +1950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "sample_split": q_sample_split,
     "host_cap": q_host_cap,
+    "pack_sequences": q_pack_sequences,
+    "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -1932,6 +2009,8 @@ ORACLES: dict[str, str] = {
     "pii_scrub": _SQL_PII_SCRUB,
     "sample_split": _SQL_SAMPLE_SPLIT,
     "host_cap": _SQL_HOST_CAP,
+    "pack_sequences": _SQL_PACK_SEQUENCES,
+    "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
     "lang_id": _SQL_LANG_ID,
     "fingerprint": _SQL_FINGERPRINT,
     "dedup_exact": _SQL_DEDUP_EXACT,

@@ -592,3 +592,58 @@ class TestSampling:
             deterministic_split(df, 1.5)
         with pytest.raises(ValueError):
             cap_per_host(df, 0)
+
+
+class TestPackAndQuantize:
+    def test_pack_offsets_contiguous_per_bucket(self, spark):
+        from pdf_ocr_engine_spark.operators.pack import pack_sequences
+
+        rows = [(f"https://h.example/{i}", 100 + i % 7) for i in range(300)]
+        df = spark.createDataFrame(rows, ["url", "n_tokens"])
+        out = pack_sequences(df, window_tokens=512).collect()
+        by_bucket: dict = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        for rows_b in by_bucket.values():
+            rows_b.sort(key=lambda r: (r.seq_id, r.offset))
+            cum = 0
+            for r in rows_b:
+                assert r.seq_id == cum // 512
+                assert r.offset == cum % 512
+                cum += r.n_tokens
+
+    def test_pack_deterministic_across_partitioning(self, spark):
+        from pdf_ocr_engine_spark.operators.pack import pack_sequences
+
+        rows = [(f"https://h.example/{i}", 50) for i in range(200)]
+        df = spark.createDataFrame(rows, ["url", "n_tokens"])
+        a = {r.url: (r.bucket, r.seq_id, r.offset)
+             for r in pack_sequences(df).collect()}
+        b = {r.url: (r.bucket, r.seq_id, r.offset)
+             for r in pack_sequences(df.repartition(11)).collect()}
+        assert a == b
+
+    def test_quantize_roundtrip_error_bounded(self, spark):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.operators.ann import quantize_embeddings
+
+        rng = np.random.RandomState(3)
+        vecs = rng.standard_normal((50, 32))
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(50)],
+            ["vec_id", "embedding"])
+        for r in quantize_embeddings(df).collect():
+            orig = vecs[r.vec_id]
+            deq = np.array(r.q_vec, dtype=np.float64) * r.q_scale / 127.0
+            assert np.max(np.abs(deq - orig)) <= r.q_scale / 127.0 / 2 + 1e-12
+            assert max(abs(q) for q in r.q_vec) <= 127
+
+    def test_quantize_zero_vector(self, spark):
+        from pdf_ocr_engine_spark.operators.ann import quantize_embeddings
+
+        df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])],
+                                   ["vec_id", "embedding"])
+        r = quantize_embeddings(df).collect()[0]
+        assert r.q_vec == [0, 0, 0]
+        assert r.q_scale == 0.0
