@@ -249,10 +249,17 @@ _META_CHARSET_RE = re.compile(
     re.IGNORECASE)
 
 #: labels the WHATWG encoding standard maps to other codecs; everything
-#: else passes to Python's codec registry verbatim (unknown → utf-8)
+#: else passes to Python's codec registry verbatim (unknown → utf-8).
+#: utf-16/utf-32 labels map to utf-8 per WHATWG: a META-declared utf-16
+#: is a lie by construction (we just read the tag as ASCII bytes);
+#: real utf-16 documents are caught by the BOM branch before this table.
 _CHARSET_ALIASES = {"iso-8859-1": "cp1252", "latin-1": "cp1252",
                     "latin1": "cp1252", "ascii": "cp1252",
-                    "us-ascii": "cp1252"}
+                    "us-ascii": "cp1252",
+                    "utf-16": "utf-8", "utf-16le": "utf-8",
+                    "utf-16be": "utf-8", "utf16": "utf-8",
+                    "utf-32": "utf-8", "utf-32le": "utf-8",
+                    "utf-32be": "utf-8"}
 
 
 def detect_html_charset(html: bytes) -> str:
@@ -267,10 +274,12 @@ def detect_html_charset(html: bytes) -> str:
         return "utf-16"
     m = _META_CHARSET_RE.search(html[:2048])
     if m:
+        import codecs
+
         label = m.group(1).decode("latin-1").lower()
         codec = _CHARSET_ALIASES.get(label, label)
         try:
-            b"x".decode(codec)
+            codecs.lookup(codec)
         except LookupError:
             return "utf-8"
         return codec

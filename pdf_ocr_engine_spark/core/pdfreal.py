@@ -962,6 +962,10 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
               base_ctm: tuple = _ID) -> _WordSink:
     sink = _WordSink(page_h)
     gs_stack: list[tuple] = []
+    gs_floor = 0  # Q may not pop below this while inside a Form XObject
+    #: form fonts memoized by indirect ref across Do invocations — a page
+    #: tiling one form 200× must load (and lineage-count) its fonts ONCE
+    form_font_cache: dict = {}
     ctm = base_ctm
     tm = tlm = _ID
     font: _Font | None = None
@@ -998,7 +1002,7 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
         ISO 32000 §8.10.1, Do brackets the form in an implicit q..Q and
         premultiplies the form /Matrix into the CTM; the form's own
         /Resources scope its content, falling back to the caller's."""
-        nonlocal ctm, font, size, tc, tw, tz, tl, ts
+        nonlocal ctm, font, size, tc, tw, tz, tl, ts, gs_floor
         if depth >= _MAX_FORM_DEPTH or not isinstance(resources, dict):
             return
         xobjs = doc.resolve(resources.get("XObject"))
@@ -1012,6 +1016,9 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
             return
         form_seen.add(id(obj))
         save = (ctm, font, size, tc, tw, tz, tl, ts)
+        gs_depth = len(gs_stack)  # forms must not unbalance the caller's q/Q
+        old_floor = gs_floor
+        gs_floor = gs_depth
         try:
             mat = doc.resolve(obj.dict.get("Matrix"))
             if isinstance(mat, list) and len(mat) == 6:
@@ -1029,9 +1036,12 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
             if isinstance(sub_font_res, dict):
                 sub_fonts = dict(fonts)
                 for fname, fref in sub_font_res.items():
-                    sub_fonts[fname] = _load_font(
-                        doc, fref, counters if counters is not None
-                        else {"encoding_fallback": 0})
+                    key = fref if isinstance(fref, _Ref) else id(fref)
+                    if key not in form_font_cache:
+                        form_font_cache[key] = _load_font(
+                            doc, fref, counters if counters is not None
+                            else {"encoding_fallback": 0})
+                    sub_fonts[fname] = form_font_cache[key]
             try:
                 body = obj.decoded(doc)
             except Exception:  # noqa: BLE001 - bad form ≠ bad page
@@ -1039,6 +1049,12 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
             execute(body, sub_res, sub_fonts, depth + 1)
         finally:
             form_seen.discard(id(obj))
+            # a form with unbalanced q leaves saved states behind; a bare
+            # Q inside one must not have popped the caller's — restore the
+            # stack depth exactly (excess Q is prevented by the depth
+            # floor in the Q handler)
+            del gs_stack[gs_depth:]
+            gs_floor = old_floor
             ctm, font, size, tc, tw, tz, tl, ts = save
 
     def execute(content: bytes, resources: dict | None,
@@ -1057,10 +1073,11 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
                     # 'q /F2 8 Tf ... Q' must not leak the font change past Q
                     gs_stack.append((ctm, font, size, tc, tw, tz, tl, ts))
                 elif op == "Q":
-                    if gs_stack:
+                    if len(gs_stack) > gs_floor:
                         ctm, font, size, tc, tw, tz, tl, ts = gs_stack.pop()
-                    else:
+                    elif gs_floor == 0:
                         ctm = base_ctm  # underflowed Q: reset to viewport
+                    # else: excess Q inside a form — never pop the caller's
                 elif op == "cm" and len(stack) >= 6:
                     ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
                 elif op == "BT":
@@ -1327,28 +1344,15 @@ def detect_pages_text(data: bytes) -> list[bool]:
     if off > 0:
         data = data[off:]
     doc = _Doc(data)
-    out: list[bool] = []
-    for pd in _find_pages(doc):
-        contents = doc.resolve(pd.get("Contents"))
-        chunks: list[bytes] = []
-        if isinstance(contents, _Stream):
-            chunks.append(contents.decoded(doc))
-        elif isinstance(contents, list):
-            for c in contents:
-                cs = doc.resolve(c)
-                if isinstance(cs, _Stream):
-                    chunks.append(cs.decoded(doc))
-        # form XObjects carry real page text too — scan their streams as
-        # plain extra chunks (show ops inside them count the same)
-        for subtype, obj in _walk_xobjects(
-                doc, doc.resolve(pd.get("Resources"))):
-            if subtype == "Form":
-                try:
-                    chunks.append(obj.decoded(doc))
-                except Exception:  # noqa: BLE001 - bad form ≠ bad page
-                    pass
-        content = b"\n".join(chunks)
-        has_text = False
+
+    def scan(content: bytes, resources: Any, depth: int,
+             seen: set[int]) -> bool:
+        """True on the first non-blank show string, descending ONLY into
+        forms this stream actually draws via Do.  Counting every form
+        merely *reachable* from (often inherited, shared) resources would
+        flip needs_ocr False for a scanned page whose sibling uses the
+        form — the one direction the router cannot tolerate (text loss,
+        not just routing cost)."""
         pending: list = []
         for kind, val in _tokenize_content(content):
             if kind == "val":
@@ -1360,16 +1364,52 @@ def detect_pages_text(data: bytes) -> list[bool]:
                 s = pending[-1] if pending else None
                 if isinstance(s, bytes) and s.decode(
                         "latin-1", "replace").strip():
-                    has_text = True
-                    break
+                    return True
             elif val == "TJ":
                 arr = pending[-1] if pending else None
                 if isinstance(arr, list) and any(
                         isinstance(x, bytes) and x.decode(
                             "latin-1", "replace").strip()
                         for x in arr):
-                    has_text = True
-                    break
+                    return True
+            elif val == "Do" and pending and depth < _MAX_FORM_DEPTH \
+                    and isinstance(resources, dict):
+                name = pending[-1]
+                xobjs = doc.resolve(resources.get("XObject"))
+                if isinstance(name, _Name) and isinstance(xobjs, dict) \
+                        and str(name) in xobjs:
+                    try:
+                        obj = doc.resolve(xobjs[str(name)])
+                    except ValueError:
+                        obj = None
+                    if isinstance(obj, _Stream) and id(obj) not in seen \
+                            and str(doc.resolve(
+                                obj.dict.get("Subtype", ""))) == "Form":
+                        seen.add(id(obj))
+                        sub_res = doc.resolve(obj.dict.get("Resources"))
+                        if not isinstance(sub_res, dict):
+                            sub_res = resources
+                        try:
+                            body = obj.decoded(doc)
+                        except Exception:  # noqa: BLE001 - bad form
+                            body = b""
+                        if body and scan(body, sub_res, depth + 1, seen):
+                            return True
+                        seen.discard(id(obj))
             pending.clear()
-        out.append(has_text)
+        return False
+
+    out: list[bool] = []
+    for pd in _find_pages(doc):
+        contents = doc.resolve(pd.get("Contents"))
+        chunks: list[bytes] = []
+        if isinstance(contents, _Stream):
+            chunks.append(contents.decoded(doc))
+        elif isinstance(contents, list):
+            for c in contents:
+                cs = doc.resolve(c)
+                if isinstance(cs, _Stream):
+                    chunks.append(cs.decoded(doc))
+        out.append(scan(b"\n".join(chunks),
+                        doc.resolve(pd.get("Resources")), 0, set()))
     return out

@@ -50,7 +50,12 @@ def deterministic_split(df: DataFrame, eval_fraction: float = 0.01,
     the split boundary.  Granularity is 1/65536 ≈ 0.0015%."""
     if not 0.0 <= eval_fraction <= 1.0:
         raise ValueError(f"eval_fraction {eval_fraction} outside [0, 1]")
-    thr = format(int(eval_fraction * 65536), "04x")
+    thr_n = int(eval_fraction * 65536)
+    if thr_n >= 65536:
+        # fraction == 1.0: format() would yield the 5-char '10000', which
+        # loses the fixed-width lexicographic compare — short-circuit
+        return df.withColumn("split", F.lit("eval"))
+    thr = format(thr_n, "04x")
     return df.withColumn(
         "split",
         F.when(hash16(F.col(key_col), salt) < F.lit(thr),
@@ -62,11 +67,19 @@ def cap_per_host(df: DataFrame, max_per_host: int,
     """Keep at most ``max_per_host`` documents per host, chosen by
     deterministic hashed order (md5 of the key, key as tie-break) — NOT by
     input order, which varies with partitioning.  One shuffle on host;
-    output bounded per host by construction."""
+    output bounded per host by construction.
+
+    Keys that yield NO host (scheme-less / malformed urls all regex-
+    extract to ``''``) pass through uncapped: they are unrelated
+    documents, not one domain — collapsing millions of them into a single
+    ``''`` partition's cap would silently drop almost all of them."""
     if max_per_host < 1:
         raise ValueError("max_per_host must be >= 1")
-    w = (Window.partitionBy(host_col(F.col(key_col)))
+    host = host_col(F.col(key_col))
+    w = (Window.partitionBy(host)
          .orderBy(F.md5(F.col(key_col)), F.col(key_col)))
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= max_per_host)
-            .drop("__rn"))
+    return (df.withColumn("__host", host)
+            .withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") <= max_per_host)
+                   | (F.col("__host") == ""))
+            .drop("__rn", "__host"))

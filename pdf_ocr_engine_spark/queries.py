@@ -710,13 +710,15 @@ WITH u AS (
   FROM documents
 ), r AS (
   SELECT doc_id,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+           AS host,
          row_number() OVER (
            PARTITION BY regexp_extract(
              url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
            ORDER BY md5(url), url) AS rn
   FROM u
 )
-SELECT doc_id FROM r WHERE rn <= 7
+SELECT doc_id FROM r WHERE rn <= 7 OR host = ''
 """
 
 
@@ -733,9 +735,8 @@ def q_pack_sequences(spark, sf_dir):
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),
         T.token_count(F.col("text")).alias("n_tokens"))
-    out = pack_sequences(docs.withColumn("doc_id", F.col("doc_id")),
-                         window_tokens=2048, key_col="url")
-    # re-join doc_id through the url (pack keeps only the key column)
+    # pack keeps only the key column; doc_id is recovered from the url
+    out = pack_sequences(docs, window_tokens=2048, key_col="url")
     return out.select(
         F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
         "bucket", "seq_id", "offset", "n_tokens")

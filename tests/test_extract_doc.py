@@ -410,3 +410,20 @@ class TestHtmlCharset:
 
         assert detect_html_charset(
             b"<meta charset='iso-8859-1'>") == "cp1252"
+
+    def test_meta_utf16_label_is_whatwg_utf8(self):
+        # a META-declared utf-16 is a lie by construction; decoding the
+        # (ASCII-compatible) bytes as utf-16 previously crashed into
+        # decode_error (review regression)
+        from pdf_ocr_engine_spark.core.extract_doc import (
+            detect_html_charset,
+            extract_document,
+        )
+
+        html = ("<html><head><meta charset='utf-16'></head><body><p>"
+                "mislabeled page with enough words to keep this block "
+                "alive</p></body></html>").encode("utf-8")
+        assert detect_html_charset(html) == "utf-8"
+        r = extract_document(html, "eng")
+        assert r["status"] == "ok"
+        assert "mislabeled" in r["text"]

@@ -647,3 +647,24 @@ class TestPackAndQuantize:
         r = quantize_embeddings(df).collect()[0]
         assert r.q_vec == [0, 0, 0]
         assert r.q_scale == 0.0
+
+
+class TestSamplingReviewRegressions:
+    def test_eval_fraction_one_is_all_eval(self, spark):
+        from pdf_ocr_engine_spark.operators.sample import deterministic_split
+
+        df = spark.createDataFrame(
+            [(f"https://x.example/{i}",) for i in range(200)], ["url"])
+        out = deterministic_split(df, 1.0).collect()
+        assert all(r.split == "eval" for r in out)
+
+    def test_hostless_urls_pass_through_uncapped(self, spark):
+        from pdf_ocr_engine_spark.operators.sample import cap_per_host
+
+        rows = [(f"https://h.example/{i}",) for i in range(20)] \
+            + [(f"www.no-scheme-{i}.com/page",) for i in range(50)]
+        df = spark.createDataFrame(rows, ["url"])
+        kept = {r.url for r in cap_per_host(df, 5).collect()}
+        assert sum(1 for u in kept if u.startswith("https")) == 5
+        # malformed/scheme-less urls are unrelated docs, never one "host"
+        assert sum(1 for u in kept if u.startswith("www.")) == 50

@@ -964,3 +964,105 @@ class TestPageRotation:
         doc = parse_real_pdf(pdf)
         assert doc["pages"][0]["texts"] == ["plain"]
         assert doc["pages"][0]["width"] == 612.0
+
+
+class TestFormReviewRegressions:
+    def test_probe_ignores_undrawn_shared_form(self):
+        """A text-bearing form in SHARED (inherited) resources that page 1
+        never draws must not flip page 1's probe to has-text — that would
+        skip OCR and LOSE the scanned content (review finding)."""
+        import zlib as _z
+
+        from pdf_ocr_engine_spark.core.pdfreal import detect_pages_text
+        from pdf_ocr_engine_spark.core.pdfscan import encode_page_raster
+
+        form = b"BT /F1 12 Tf 10 10 Td (shared text) Tj ET"
+        raster = _z.compress(encode_page_raster(612.0, 792.0, []))
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            # shared resources at the Pages node: form + font + image
+            (b"<< /Type /Pages /Kids [5 0 R 6 0 R] /Count 2 "
+             b"/MediaBox [0 0 612 792] /Resources << /Font "
+             b"<< /F1 3 0 R >> /XObject << /Fx 4 0 R /Im0 9 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            (b"<< /Type /XObject /Subtype /Form /Resources << /Font "
+             b"<< /F1 3 0 R >> >> /Length " + str(len(form)).encode()
+             + b" >>\nstream\n" + form + b"\nendstream"),
+            b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",  # scanned
+            b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>",  # uses form
+            b"<< /Length 30 >>\nstream\nq 612 0 0 792 0 0 cm /Im0 Do Q"
+            b"\nendstream",
+            b"<< /Length 9 >>\nstream\n/Fx Do\nendstream",
+            (b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+             b"/Filter /FlateDecode /Length " + str(len(raster)).encode()
+             + b" >>\nstream\n" + raster + b"\nendstream"),
+        ]
+        flags = detect_pages_text(_assemble(objs))
+        assert flags == [False, True]  # page 1 scans, page 2 draws the form
+
+    def test_unbalanced_q_in_form_does_not_leak(self):
+        """A form leaving an extra saved state (or popping one too many)
+        must not corrupt the caller's q/Q pairing (review finding)."""
+        leaky = b"10 0 0 10 0 0 cm q"     # saves a scaled state, never pops
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] /Resources << /Font "
+             b"<< /F1 3 0 R >> /XObject << /Fm 6 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length 47 >>\nstream\n"
+            b"q /Fm Do Q BT /F1 12 Tf 100 700 Td (AFTER) Tj ET\nendstream",
+            b"<< /Type /XObject /Subtype /Form /Length "
+            + str(len(leaky)).encode() + b" >>\nstream\n" + leaky
+            + b"\nendstream",
+        ]
+        doc = parse_real_pdf(_assemble(objs))
+        assert doc["pages"][0]["texts"] == ["AFTER"]
+        x0, y0 = doc["pages"][0]["coords"][0][:2]
+        assert x0 == pytest.approx(100.0)          # not 1000 (scaled leak)
+        assert 0 <= y0 <= 792                      # on-page
+
+    def test_bare_q_in_form_does_not_pop_caller(self):
+        popper = b"Q Q Q"  # tries to pop the caller's saved states
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] /Resources << /Font "
+             b"<< /F1 3 0 R >> /XObject << /Fm 6 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length 64 >>\nstream\n"
+            b"q 1 0 0 1 200 0 cm /Fm Do "
+            b"BT /F1 12 Tf 0 700 Td (IN) Tj ET Q\nendstream",
+            b"<< /Type /XObject /Subtype /Form /Length "
+            + str(len(popper)).encode() + b" >>\nstream\n" + popper
+            + b"\nendstream",
+        ]
+        doc = parse_real_pdf(_assemble(objs))
+        # the q 200-translate must still be active for (IN): x = 200
+        assert doc["pages"][0]["texts"] == ["IN"]
+        assert doc["pages"][0]["coords"][0][0] == pytest.approx(200.0)
+
+    def test_form_font_loaded_once_per_page(self):
+        """Tiling one form N times must count its unresolvable-encoding
+        fallback ONCE, not N times (lineage comparability; review
+        finding)."""
+        form = b"BT /F2 10 Tf 5 5 Td (x) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] /Resources << /Font "
+             b"<< /F1 3 0 R >> /XObject << /Fm 6 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length 37 >>\nstream\n"
+            b"/Fm Do /Fm Do /Fm Do /Fm Do /Fm Do\nendstream",
+            (b"<< /Type /XObject /Subtype /Form /Resources << /Font "
+             b"<< /F2 7 0 R >> >> /Length " + str(len(form)).encode()
+             + b" >>\nstream\n" + form + b"\nendstream"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Weird "
+            b"/Encoding /NoSuchEncoding >>",
+        ]
+        doc = parse_real_pdf(_assemble(objs))
+        assert doc["counters"]["encoding_fallback"] == 1  # once, not 5
