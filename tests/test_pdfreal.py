@@ -1066,3 +1066,61 @@ class TestFormReviewRegressions:
         ]
         doc = parse_real_pdf(_assemble(objs))
         assert doc["counters"]["encoding_fallback"] == 1  # once, not 5
+
+
+class TestFlavorFuzz:
+    """Property sweep over the round-3 flavors: encryption must be a
+    byte-transparent wrapper (extract(encrypt(pdf)) ≡ extract(pdf) for
+    every scheme), and the scanned tier must round-trip arbitrary token
+    streams through raster → recognize → layout."""
+
+    def test_encryption_transparency_fuzz(self):
+        import random
+
+        from pdf_ocr_engine_spark.core.pdfcrypt import encrypt_pdf
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_real_pdf_payload,
+        )
+
+        rng = random.Random(99)
+        vocab = ("loren ipsum data spark shuffle join scan filter table "
+                 "window agg sort").split()
+        for trial in range(15):
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(0, 120)))
+            pdf = text_to_real_pdf_payload(text, 12, 36)
+            plain = extract_document(pdf, "eng")
+            scheme = ("rc4-40", "rc4-128", "aes-128")[trial % 3]
+            enc = extract_document(encrypt_pdf(pdf, scheme), "eng")
+            assert (enc["status"], enc["n_pages"], enc["n_words"],
+                    enc["text"]) == (plain["status"], plain["n_pages"],
+                                     plain["n_words"], plain["text"]), \
+                (trial, scheme)
+
+    def test_scanned_roundtrip_fuzz(self):
+        import random
+
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_real_pdf_payload,
+            text_to_scanned_pdf_payload,
+        )
+
+        rng = random.Random(7)
+        vocab = ("zero one two three four five six seven eight nine "
+                 "ten eleven twelve").split()
+        rec = deterministic_recognizer()
+        for trial in range(15):
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(0, 150)))
+            scanned = extract_document(
+                text_to_scanned_pdf_payload(text, 12, 36), "eng",
+                recognizer=rec)
+            born = extract_document(
+                text_to_real_pdf_payload(text, 12, 36), "eng")
+            assert (scanned["status"], scanned["n_pages"],
+                    scanned["n_words"], scanned["text"]) == \
+                   (born["status"], born["n_pages"],
+                    born["n_words"], born["text"]), trial
