@@ -1240,6 +1240,64 @@ def _ann_planted_union(spark, sf_dir):
     return base.unionByName(twins), qdf
 
 
+def q_ann_quantized(spark, sf_dir):
+    """ANN over the int8 STORAGE tier: the corpus is quantized
+    (``quantize_embeddings``), the search de-quantizes in-plan and ranks
+    by exact cosine against the float query — the standard
+    quantized-corpus/float-query configuration.  The oracle recomputes
+    the SAME quantize→dequantize→cosine chain in DuckDB, so the top-10
+    ids AND their quantized cosines are value-checked — proving the
+    storage tier's arithmetic end to end, not just 'results look
+    similar'."""
+    from .operators.ann import cosine_topk_df, quantize_embeddings
+
+    u, qdf = _ann_planted_union(spark, sf_dir)
+    qz = quantize_embeddings(u)
+    deq = qz.select(
+        "vec_id",
+        F.transform(
+            "q_vec",
+            lambda x: x.cast("double") * F.col("q_scale") / 127.0
+        ).alias("embedding"))
+    top = cosine_topk_df(deq, qdf, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+_SQL_ANN_QUANTIZED = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT v AS qv FROM b WHERE vec_id = 0),
+tw AS (
+  SELECT 200000 + j AS vec_id,
+         list_transform(range(1, len(qv) + 1),
+             i -> qv[i] + 0.001::DOUBLE * (j + 1) * (((i - 1) + j) % 7 - 3))
+           AS v
+  FROM q, range(10) t(j)
+), u AS (
+  SELECT vec_id, v FROM b UNION ALL SELECT vec_id, v FROM tw
+), z AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM u
+), d AS (
+  SELECT vec_id,
+         CASE WHEN sc > 0
+              THEN list_transform(v, x -> CAST(CAST(floor(x / sc * 127.0
+                     + 0.5) AS INTEGER) AS DOUBLE) * sc / 127.0)
+              ELSE list_transform(v, x -> 0.0::DOUBLE) END AS w
+  FROM z
+), s AS (
+  SELECT d.vec_id,
+         list_sum(list_transform(range(1, len(d.w) + 1),
+                  i -> d.w[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(d.w, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+  FROM d, q
+)
+SELECT vec_id, round(cosine, 6) AS cosine_r6
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF (inverted-file) approximate ANN — the other scale path the
     task names alongside LSH: a seeded k-means coarse quantizer assigns
@@ -1965,6 +2023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_quantized": q_ann_quantized,
     "media_meta": q_media_meta,
     "resize_images": q_resize_images,
     "embed_media": q_embed_media,
@@ -2030,6 +2089,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh": _SQL_ANN_LSH,
     # ann_ivf shares the planted-twin ground truth, hence the same oracle
     "ann_ivf": _SQL_ANN_LSH,
+    "ann_quantized": _SQL_ANN_QUANTIZED,
     "media_meta": _SQL_MEDIA_META,
     "resize_images": _SQL_RESIZE_IMAGES,
     "embed_media": _SQL_EMBED_MEDIA,
