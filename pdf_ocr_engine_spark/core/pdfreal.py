@@ -1184,7 +1184,25 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
         except (TypeError, ValueError):
             mx0, my0, mx1, my1 = 0.0, 0.0, 612.0, 792.0
             counters["mediabox_fallback"] += 1
+        # /CropBox (inherited): the DISPLAYED region — pdf.js viewports are
+        # CropBox-relative, so an offset crop shifts every coordinate; use
+        # it when well-formed (origin translate below), else the MediaBox
+        crop = doc.resolve(pd.get("CropBox"))
+        if isinstance(crop, list) and len(crop) == 4:
+            try:
+                cx0, cy0, cx1, cy1 = (float(doc.resolve(v)) for v in crop)
+                if cx1 > cx0 and cy1 > cy0:
+                    # intersect with media (spec: crop ⊆ media effective)
+                    mx0n, my0n = max(min(mx0, mx1), cx0), max(min(my0, my1),
+                                                              cy0)
+                    mx1n, my1n = min(max(mx0, mx1), cx1), min(max(my0, my1),
+                                                              cy1)
+                    if mx1n > mx0n and my1n > my0n:
+                        mx0, my0, mx1, my1 = mx0n, my0n, mx1n, my1n
+            except (TypeError, ValueError):
+                pass  # malformed CropBox: keep the MediaBox
         width, height = abs(mx1 - mx0), abs(my1 - my0)
+        box_x0, box_y0 = min(mx0, mx1), min(my0, my1)
 
         # /Rotate (inherited): scanned pages routinely carry 90/180/270 —
         # pdf.js folds it into the viewport transform; here the rotation
@@ -1208,6 +1226,11 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
         elif rot == 270:
             base_ctm = (0.0, 1.0, -1.0, 0.0, height, 0.0)
             width, height = height, width
+        if box_x0 or box_y0:
+            # crop/media origin ≠ (0,0): translate user space to the box
+            # origin BEFORE the rotation viewport (pdf.js order)
+            base_ctm = _mat_mul((1.0, 0.0, 0.0, 1.0, -box_x0, -box_y0),
+                                base_ctm)
 
         resources = doc.resolve(pd.get("Resources")) or {}
         font_res = doc.resolve(resources.get("Font")) if \

@@ -1124,3 +1124,48 @@ class TestFlavorFuzz:
                     scanned["n_words"], scanned["text"]) == \
                    (born["status"], born["n_pages"],
                     born["n_words"], born["text"]), trial
+
+
+class TestCropBox:
+    """pdf.js viewports are CropBox-relative: an offset crop shifts every
+    displayed coordinate and defines the page size."""
+
+    @staticmethod
+    def _box_pdf(content: bytes, media: bytes, crop: bytes = b"") -> bytes:
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox " + media
+             + crop + b" /Resources << /Font << /F1 3 0 R >> >> >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+        ]
+        return _assemble(objs)
+
+    def test_offset_cropbox_shifts_coords_and_dims(self):
+        pdf = self._box_pdf(
+            b"BT /F1 12 Tf 172 650 Td (crop) Tj ET",
+            b"[0 0 612 792]", b" /CropBox [100 100 500 700]")
+        doc = parse_real_pdf(pdf)
+        page = doc["pages"][0]
+        assert (page["width"], page["height"]) == (400.0, 600.0)
+        x0, _y0, _x1, y1 = page["coords"][0][:4]
+        assert x0 == pytest.approx(72.0)     # 172 − crop x0
+        # baseline at user 650 → display 600 − (650−100) = 50
+        assert y1 == pytest.approx(50.0 + 0.2 * 12)
+
+    def test_nonzero_mediabox_origin_translates(self):
+        pdf = self._box_pdf(b"BT /F1 12 Tf 120 260 Td (orig) Tj ET",
+                            b"[100 200 712 992]")
+        doc = parse_real_pdf(pdf)
+        page = doc["pages"][0]
+        assert (page["width"], page["height"]) == (612.0, 792.0)
+        assert page["coords"][0][0] == pytest.approx(20.0)  # 120 − 100
+
+    def test_malformed_cropbox_falls_back_to_media(self):
+        pdf = self._box_pdf(b"BT /F1 12 Tf 72 720 Td (ok) Tj ET",
+                            b"[0 0 612 792]", b" /CropBox [0 0 0 0]")
+        doc = parse_real_pdf(pdf)
+        assert doc["pages"][0]["width"] == 612.0
+        assert doc["pages"][0]["texts"] == ["ok"]
