@@ -927,6 +927,56 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
 FROM documents
 """
 
+def q_snapshot_delta(spark, sf_dir):
+    """Incremental-crawl delta (``operators/snapshot.py``): two snapshots
+    derived deterministically from the documents table — snapshot B drops
+    every 10th doc (removed), edits every 7th (changed), and adds a new
+    url for every 13th (added) — classified by one full-outer join on
+    fingerprints.  The oracle rebuilds both snapshots and the
+    classification in SQL, value-checking every document's change label."""
+    from .operators.snapshot import snapshot_delta
+
+    old = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text", "doc_id")
+    base = old.where(F.col("doc_id") % 10 != 9)
+    edited = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" updated")))
+         .otherwise(F.col("text")))
+    added = old.where(F.col("doc_id") % 13 == 0).select(
+        F.concat(F.col("url"), F.lit("/v2")).alias("url"), "text", "doc_id")
+    new = edited.unionByName(added)
+    return snapshot_delta(old, new).orderBy("url")
+
+
+_SQL_SNAPSHOT_DELTA = r"""
+WITH o AS (
+  SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         doc_id, text
+  FROM documents
+), n AS (
+  SELECT url,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                ELSE text END)), '\s+', ' ', 'g')) AS fp
+  FROM o WHERE doc_id % 10 != 9
+  UNION ALL
+  SELECT url || '/v2' AS url, fp FROM o WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.url = n.url
+ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -2013,6 +2063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "snapshot_delta": q_snapshot_delta,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -2073,6 +2124,7 @@ ORACLES: dict[str, str] = {
     "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
     "lang_id": _SQL_LANG_ID,
     "fingerprint": _SQL_FINGERPRINT,
+    "snapshot_delta": _SQL_SNAPSHOT_DELTA,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,

@@ -668,3 +668,29 @@ class TestSamplingReviewRegressions:
         assert sum(1 for u in kept if u.startswith("https")) == 5
         # malformed/scheme-less urls are unrelated docs, never one "host"
         assert sum(1 for u in kept if u.startswith("www.")) == 50
+
+
+class TestSnapshotDelta:
+    def test_classification(self, spark):
+        from pdf_ocr_engine_spark.operators.snapshot import snapshot_delta
+
+        old = spark.createDataFrame(
+            [("u1", "same text"), ("u2", "old text"), ("u3", "gone")],
+            ["url", "text"])
+        new = spark.createDataFrame(
+            [("u1", "Same   TEXT"),   # normalizes identically → unchanged
+             ("u2", "new text"),      # changed
+             ("u4", "brand new")],    # added
+            ["url", "text"])
+        got = {r.url: r.change for r in snapshot_delta(old, new).collect()}
+        assert got == {"u1": "unchanged", "u2": "changed",
+                       "u3": "removed", "u4": "added"}
+
+    def test_delta_is_single_join_plan(self, spark):
+        from pdf_ocr_engine_spark.operators.snapshot import snapshot_delta
+
+        old = spark.createDataFrame([("u", "t")], ["url", "text"])
+        new = spark.createDataFrame([("u", "t")], ["url", "text"])
+        plan = snapshot_delta(old, new)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("SortMergeJoin") + plan.count("HashJoin") == 1
