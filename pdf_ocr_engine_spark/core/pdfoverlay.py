@@ -21,7 +21,14 @@ Both raise ``ValueError`` → ``status='overlay_unsupported'`` upstream.
 
 from __future__ import annotations
 
-from .pdfreal import _Doc, _find_pages, _Name, _Ref, _Stream
+from .pdfreal import (
+    _Doc,
+    _find_pages,
+    _Name,
+    _Ref,
+    _Stream,
+    effective_page_box,
+)
 from .pdfwrite import _fmt, _page_content
 
 __all__ = ["overlay_text_layer"]
@@ -104,13 +111,27 @@ def overlay_text_layer(original: bytes,
         if page.get("__num__") is None:
             raise ValueError("page has no object number (inline page dict) "
                              "— cannot redefine via incremental update")
-        try:
-            mx0, my0, mx1, my1 = (float(doc.resolve(x))
-                                  for x in doc.resolve(page["MediaBox"]))
-            w, h = abs(mx1 - mx0), abs(my1 - my0)
-        except (KeyError, TypeError, ValueError):
-            w, h = 612.0, 792.0
-        content = _page_content(spans, w, h, None, None, font_res=FONT_RES)
+        # spans arrive in the DISPLAYED frame (parse_real_pdf's viewport:
+        # CropBox-relative, rotation applied) — the overlay must invert
+        # exactly that viewport or the invisible words drift off the
+        # original glyphs on cropped/rotated pages.  effective_page_box is
+        # shared with the parser so the two sides cannot diverge.
+        bx0, by0, bw, bh, rot = effective_page_box(doc, page)
+        dw, dh = (bh, bw) if rot in (90, 270) else (bw, bh)
+        content = _page_content(spans, dw, dh, None, None,
+                                font_res=FONT_RES)
+        # inverse viewport: display(bottom-origin) → page user space
+        if rot == 90:
+            inv = (0.0, 1.0, -1.0, 0.0, bx0 + bw, by0)
+        elif rot == 180:
+            inv = (-1.0, 0.0, 0.0, -1.0, bx0 + bw, by0 + bh)
+        elif rot == 270:
+            inv = (0.0, -1.0, 1.0, 0.0, bx0, by0 + bh)
+        else:
+            inv = (1.0, 0.0, 0.0, 1.0, bx0, by0)
+        if inv != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+            content = (b"q " + " ".join(_fmt(v) for v in inv).encode()
+                       + b" cm\n" + content + b"\nQ")
         content_num = next_num
         next_num += 1
         new_objs.append((content_num, 0,

@@ -1155,6 +1155,60 @@ def _run_page(doc: _Doc, content: bytes, fonts: dict[str, _Font],
 # Entry point
 # --------------------------------------------------------------------------
 
+def effective_page_box(doc: _Doc, pd: dict,
+                       counters: dict[str, int] | None = None,
+                       ) -> tuple[float, float, float, float, int]:
+    """The displayed page region: ``(box_x0, box_y0, width, height, rot)``
+    — the CropBox intersected with the MediaBox when well-formed
+    (pdf.js viewports are CropBox-relative), else the MediaBox, plus the
+    normalized /Rotate.  Shared by the parser AND the preserveImages
+    overlay so the display→user round trip cannot drift.  Silent
+    substitutions (missing/garbage MediaBox, malformed/degenerate
+    CropBox) bump lineage counters when ``counters`` is supplied."""
+    media = doc.resolve(pd.get("MediaBox"))
+    if not isinstance(media, list) or len(media) != 4:
+        media = None
+    try:
+        if media is None:
+            raise ValueError("missing MediaBox")
+        mx0, my0, mx1, my1 = (float(doc.resolve(v)) for v in media)
+    except (TypeError, ValueError):
+        mx0, my0, mx1, my1 = 0.0, 0.0, 612.0, 792.0
+        if counters is not None:
+            counters["mediabox_fallback"] = \
+                counters.get("mediabox_fallback", 0) + 1
+    crop = doc.resolve(pd.get("CropBox"))
+    if isinstance(crop, list) and len(crop) == 4:
+        applied = False
+        try:
+            cx0, cy0, cx1, cy1 = (float(doc.resolve(v)) for v in crop)
+            if cx1 > cx0 and cy1 > cy0:
+                # intersect with media (spec: effective crop ⊆ media)
+                mx0n = max(min(mx0, mx1), cx0)
+                my0n = max(min(my0, my1), cy0)
+                mx1n = min(max(mx0, mx1), cx1)
+                my1n = min(max(my0, my1), cy1)
+                if mx1n > mx0n and my1n > my0n:
+                    mx0, my0, mx1, my1 = mx0n, my0n, mx1n, my1n
+                    applied = True
+        except (TypeError, ValueError):
+            pass
+        if not applied and counters is not None:
+            # malformed/degenerate/disjoint CropBox silently ignored —
+            # counted so corpus drift is observable (same contract as
+            # mediabox_fallback)
+            counters["cropbox_fallback"] = \
+                counters.get("cropbox_fallback", 0) + 1
+    try:
+        rot = int(doc.resolve(pd.get("Rotate", 0)) or 0) % 360
+    except (TypeError, ValueError):
+        rot = 0
+    if rot not in (90, 180, 270):
+        rot = 0
+    return (min(mx0, mx1), min(my0, my1),
+            abs(mx1 - mx0), abs(my1 - my0), rot)
+
+
 def parse_real_pdf(data: bytes) -> dict[str, Any]:
     """Real PDF → the ``decode_pdf_arrays`` page shape (+ ``flavor='real'``).
 
@@ -1172,39 +1226,13 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
     # corpus-quality lineage counters: every silent substitution the parser
     # makes is counted here so drift is observable in the metrics table
     # instead of shipping as confident status='ok' rows
-    counters = {"mediabox_fallback": 0, "encoding_fallback": 0}
+    counters = {"mediabox_fallback": 0, "cropbox_fallback": 0,
+                "encoding_fallback": 0}
     for i, pd in enumerate(page_dicts):
-        media = doc.resolve(pd.get("MediaBox"))
-        if not isinstance(media, list) or len(media) != 4:
-            media = None
-        try:
-            if media is None:
-                raise ValueError("missing MediaBox")
-            mx0, my0, mx1, my1 = (float(doc.resolve(v)) for v in media)
-        except (TypeError, ValueError):
-            mx0, my0, mx1, my1 = 0.0, 0.0, 612.0, 792.0
-            counters["mediabox_fallback"] += 1
-        # /CropBox (inherited): the DISPLAYED region — pdf.js viewports are
-        # CropBox-relative, so an offset crop shifts every coordinate; use
-        # it when well-formed (origin translate below), else the MediaBox
-        crop = doc.resolve(pd.get("CropBox"))
-        if isinstance(crop, list) and len(crop) == 4:
-            try:
-                cx0, cy0, cx1, cy1 = (float(doc.resolve(v)) for v in crop)
-                if cx1 > cx0 and cy1 > cy0:
-                    # intersect with media (spec: crop ⊆ media effective)
-                    mx0n, my0n = max(min(mx0, mx1), cx0), max(min(my0, my1),
-                                                              cy0)
-                    mx1n, my1n = min(max(mx0, mx1), cx1), min(max(my0, my1),
-                                                              cy1)
-                    if mx1n > mx0n and my1n > my0n:
-                        mx0, my0, mx1, my1 = mx0n, my0n, mx1n, my1n
-            except (TypeError, ValueError):
-                pass  # malformed CropBox: keep the MediaBox
-        width, height = abs(mx1 - mx0), abs(my1 - my0)
-        box_x0, box_y0 = min(mx0, mx1), min(my0, my1)
+        box_x0, box_y0, width, height, rot = effective_page_box(
+            doc, pd, counters)
 
-        # /Rotate (inherited): scanned pages routinely carry 90/180/270 —
+        # /Rotate viewport: scanned pages routinely carry 90/180/270 —
         # pdf.js folds it into the viewport transform; here the rotation
         # becomes the base CTM so word boxes land in the DISPLAYED page's
         # top-origin coords (90/270 swap the page dimensions).  Derivation
@@ -1213,10 +1241,6 @@ def parse_real_pdf(data: bytes) -> dict[str, Any]:
         #   90:  dx=y,   dy=x    → B=(0,−1,1,0,0,w),   page w'=h, h'=w
         #   180: dx=w−x, dy=y    → B=(−1,0,0,−1,w,h)
         #   270: dx=h−y, dy=w−x  → B=(0,1,−1,0,h,0),   page w'=h, h'=w
-        try:
-            rot = int(doc.resolve(pd.get("Rotate", 0)) or 0) % 360
-        except (TypeError, ValueError):
-            rot = 0
         base_ctm = _ID
         if rot == 90:
             base_ctm = (0.0, -1.0, 1.0, 0.0, 0.0, width)

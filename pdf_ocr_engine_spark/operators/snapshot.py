@@ -37,12 +37,18 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
     unless ``fingerprint_col`` supplies a custom expression."""
     fp = (fingerprint_col if fingerprint_col is not None
           else fingerprint(F.col(text_col)))
-    o = old.select(F.col(key_col).alias("key"), fp.alias("__fp_old"))
-    n = new.select(F.col(key_col).alias("key"), fp.alias("__fp_new"))
+    # presence tracked with explicit markers, never fp nullness: a doc
+    # with NULL text (decode_error rows are realistic inputs) present in
+    # both snapshots must classify by content, not as added/removed
+    o = old.select(F.col(key_col).alias("key"), fp.alias("__fp_old"),
+                   F.lit(True).alias("__in_old"))
+    n = new.select(F.col(key_col).alias("key"), fp.alias("__fp_new"),
+                   F.lit(True).alias("__in_new"))
     joined = o.join(n, "key", "full_outer")
     return joined.select(
         F.col("key").alias(key_col),
-        F.when(F.col("__fp_old").isNull(), F.lit("added"))
-         .when(F.col("__fp_new").isNull(), F.lit("removed"))
-         .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+         .when(F.col("__in_new").isNull(), F.lit("removed"))
+         .when(F.col("__fp_old").eqNullSafe(F.col("__fp_new")),
+               F.lit("unchanged"))
          .otherwise(F.lit("changed")).alias("change"))

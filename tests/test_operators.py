@@ -694,3 +694,18 @@ class TestSnapshotDelta:
         plan = snapshot_delta(old, new)._jdf.queryExecution() \
             .executedPlan().toString()
         assert plan.count("SortMergeJoin") + plan.count("HashJoin") == 1
+
+    def test_null_text_presence_not_misclassified(self, spark):
+        """NULL text (decode_error rows) must classify by presence +
+        null-safe content compare, never as added/removed (third-review
+        finding)."""
+        from pdf_ocr_engine_spark.operators.snapshot import snapshot_delta
+
+        old = spark.createDataFrame(
+            [("u1", None), ("u2", "text"), ("u3", None)],
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("u1", "recovered"), ("u2", None), ("u3", None)],
+            "url string, text string")
+        got = {r.url: r.change for r in snapshot_delta(old, new).collect()}
+        assert got == {"u1": "changed", "u2": "changed", "u3": "unchanged"}

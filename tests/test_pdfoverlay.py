@@ -170,3 +170,54 @@ class TestAssembleStatusTaxonomy:
                               preserve_images=preserve,
                               recognizer=deterministic_recognizer())
             assert r["status"] == "encrypted", preserve
+
+
+class TestViewportRoundTrip:
+    """Overlay writes display-frame spans through the INVERSE viewport;
+    re-parsing applies the forward viewport — the round trip must be the
+    identity on cropped and rotated originals (third-review finding: the
+    overlay previously assumed an untranslated MediaBox frame)."""
+
+    def _roundtrip(self, orig: bytes, tol: float = 0.5) -> None:
+        toks = ["alpha", "beta", "gamma"]
+        spans = _spans_for(toks)
+        out = overlay_text_layer(orig, [spans])
+        doc = parse_real_pdf(out)
+        got = {t: c for t, c in zip(doc["pages"][0]["texts"],
+                                    doc["pages"][0]["coords"])}
+        assert set(got) == set(toks)
+        for raw, x0, y0, x1, y1 in spans:
+            gx0, gy0, gx1, gy1 = got[raw][:4]
+            assert abs(gx0 - x0) < tol, (raw, gx0, x0)
+            # y: writer puts the baseline at y1 − 0.2·h and the parser
+            # recovers a box around that baseline — compare baselines
+            assert abs((gy1 - 0.2 * (gy1 - gy0)) - (y1 - 0.2 * (y1 - y0))) \
+                < 2.0, (raw, got[raw], (x0, y0, x1, y1))
+
+    def test_plain_page(self):
+        self._roundtrip(text_to_scanned_pdf_payload(""))
+
+    def test_cropped_page(self):
+        orig = text_to_scanned_pdf_payload("")
+        cropped = orig.replace(
+            b"/MediaBox [0 0 612 792]",
+            b"/MediaBox [0 0 612 792] /CropBox [50 40 562 752]")
+        assert cropped != orig
+        assert parse_real_pdf(cropped)["pages"][0]["width"] == 512.0
+        self._roundtrip(cropped)
+
+    def test_rotated_page(self):
+        orig = text_to_scanned_pdf_payload("")
+        rotated = orig.replace(
+            b"/MediaBox [0 0 612 792]",
+            b"/MediaBox [0 0 612 792] /Rotate 90")
+        assert rotated != orig
+        assert parse_real_pdf(rotated)["pages"][0]["width"] == 792.0
+        self._roundtrip(rotated)
+
+    def test_cropped_and_rotated(self):
+        orig = text_to_scanned_pdf_payload("")
+        both = orig.replace(
+            b"/MediaBox [0 0 612 792]",
+            b"/MediaBox [0 0 612 792] /CropBox [50 40 562 752] /Rotate 270")
+        self._roundtrip(both)
