@@ -180,6 +180,10 @@ def _parse_hex_string(d: bytes, p: int) -> tuple[bytes, int]:
     return bytes.fromhex(hx), end + 1
 
 
+#: inline-image terminator: EI delimited by whitespace on both sides (or
+#: end of stream) — bare 'EI' bytes appear inside binary image data
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|\Z)")
+
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _REF_RE = re.compile(
     rb"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![A-Za-z0-9])")
@@ -911,9 +915,14 @@ def _tokenize_content(d: bytes):
                 p += 1
                 continue
             op = d[start:p].decode("latin-1", errors="replace")
-            if op == "BI":  # inline image: skip to EI
-                e = d.find(b"EI", p)
-                p = n if e < 0 else e + 2
+            if op == "BI":
+                # inline image: skip to EI — but only an EI at a WHITESPACE
+                # boundary ends the image; the two bytes 'EI' occur freely
+                # inside binary image data and a bare find() would cut the
+                # image short and desync the whole stream (pdf.js applies
+                # the same boundary heuristic)
+                m = _EI_RE.search(d, p)
+                p = n if m is None else m.end()
                 continue
             yield ("op", op)
 

@@ -1169,3 +1169,19 @@ class TestCropBox:
         doc = parse_real_pdf(pdf)
         assert doc["pages"][0]["width"] == 612.0
         assert doc["pages"][0]["texts"] == ["ok"]
+
+
+class TestInlineImageBoundary:
+    def test_ei_bytes_inside_image_data_do_not_cut(self):
+        """'EI' occurring inside binary inline-image data must not end the
+        image early and desync the stream (whitespace-boundary rule)."""
+        img_data = b"\x01EIx\xffEI\x02"  # embedded 'EI' without boundaries
+        content = (b"BI /W 2 /H 2 /CS /G /BPC 8 ID " + img_data
+                   + b" EI\nBT /F1 12 Tf 72 720 Td (after) Tj ET")
+        pdf = _foreign_pdf([content])
+        assert _tokens(pdf) == ["after"]
+
+    def test_ei_at_end_of_stream(self):
+        content = b"BT /F1 12 Tf 72 720 Td (pre) Tj ET\nBI /W 1 ID \x00 EI"
+        pdf = _foreign_pdf([content])
+        assert _tokens(pdf) == ["pre"]
