@@ -41,6 +41,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread over the default parallelism — the sf tables are
+    single parquet files (one scan partition), which serializes any
+    Python-UDF stage onto one core; production inputs are many files and
+    never hit this.  Used by the UDF-heavy dedup tiers."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1099,7 +1108,7 @@ def q_dedup_minhash(spark, sf_dir):
     pytest (not SQL-expressible)."""
     from .operators.dedup import verify_pairs_jaccard
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     # persist: the banded self-join evaluates both sides of the signature
     # UDF (the stage's hot spot) — same discipline as minhash_dedup_pairs;
     # tracked for release when the next registry query starts
@@ -1125,7 +1134,7 @@ def q_dedup_simhash(spark, sf_dir):
     bound (bands-1) still covers the corpus's near-dup Hamming spread."""
     from .operators.dedup import simhash_candidate_pairs, verify_pairs_jaccard
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     # both band-join sides read the UDF; tracked for deferred release
     sh = track(simhash64(docs).persist())
     cands = simhash_candidate_pairs(sh, max_hamming=15, n_bands=16)
