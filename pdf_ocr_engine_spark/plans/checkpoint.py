@@ -74,6 +74,7 @@ def run_resumable(
     options: ExtractOptions | None = None,
     run_id: str = "run",
     max_chunks: int | None = None,
+    recognizer_factory=None,
 ) -> ResumeReport:
     """Process pending buckets in chunks; each chunk = write data, then
     manifests.  ``max_chunks`` exists for tests (simulated interruption)."""
@@ -101,7 +102,8 @@ def run_resumable(
             break
         chunk = pending[start:start + chunk_buckets]
         chunk_df = bucketed.where(F.col(BUCKET_COL).isin(chunk))
-        extracted = extract_pages(chunk_df.drop(BUCKET_COL), options)
+        extracted = extract_pages(chunk_df.drop(BUCKET_COL), options,
+                                  recognizer_factory=recognizer_factory)
         out = with_bucket(extracted, n_buckets)
         out.write.mode("append").partitionBy(BUCKET_COL).parquet(data_dir)
 

@@ -97,12 +97,16 @@ def run_extraction(
     num_partitions: int | None = None,
     salt_buckets: int | None = None,
     run_id: str = "adhoc",
+    recognizer_factory=None,
 ) -> ExtractionResult:
-    """The full DAG: salt+repartition → extract → (output, metrics)."""
+    """The full DAG: salt+repartition → extract → (output, metrics).
+    ``recognizer_factory`` enables the OCR tier for image-only real-PDF
+    pages (same init-once contract as ``extract_pages``)."""
     df = pages
     if num_partitions:
         df = salted_repartition(df, num_partitions, salt_buckets)
-    extracted = extract_pages(df, options)
+    extracted = extract_pages(df, options,
+                              recognizer_factory=recognizer_factory)
     return ExtractionResult(extracted, partition_metrics(extracted, run_id))
 
 
@@ -115,6 +119,7 @@ def write_extraction(
     num_partitions: int | None = None,
     salt_buckets: int | None = None,
     run_id: str = "adhoc",
+    recognizer_factory=None,
 ) -> DataFrame:
     """Materialize the DAG once: extract → write data → derive the metrics
     table from a **read-back** of the written parquet (lineage columns are in
@@ -130,7 +135,8 @@ def write_extraction(
     from pyspark.sql import Observation
 
     res = run_extraction(pages, options=options, num_partitions=num_partitions,
-                         salt_buckets=salt_buckets, run_id=run_id)
+                         salt_buckets=salt_buckets, run_id=run_id,
+                         recognizer_factory=recognizer_factory)
     obs = Observation(f"extract-{run_id}")
     observed = res.extracted.observe(
         obs,

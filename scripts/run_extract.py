@@ -37,6 +37,13 @@ def main(argv: list[str]) -> int:
                    help="hyphen-exception wordlist to ship to executors "
                         "(S6; equivalent to listing it in --files). "
                         "Implies --fix-hyphenation.")
+    p.add_argument("--ocr", action="store_true",
+                   help="enable the scanned/image-only tier: pages without "
+                        "a text layer go through rasterize+recognize. Uses "
+                        "the deterministic recognizer (the sandbox "
+                        "stand-in); a real deployment passes its own "
+                        "factory via the library API "
+                        "(run_extraction(recognizer_factory=...)).")
     args = p.parse_args(argv)
 
     from pdf_ocr_engine_spark.core.extract_doc import ExtractOptions
@@ -62,6 +69,12 @@ def main(argv: list[str]) -> int:
                                            or asset_name is not None),
                           hyphen_asset=asset_name)
     pages = read_pages(spark, args.input)  # parquet path or iceberg:db.table
+    recognizer_factory = None
+    if args.ocr:
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        recognizer_factory = deterministic_recognizer
 
     if args.resume:
         df = pages
@@ -69,7 +82,8 @@ def main(argv: list[str]) -> int:
             df = salted_repartition(df, args.partitions, args.salt_buckets)
         report = run_resumable(spark, df, args.output,
                                n_buckets=args.buckets, options=opts,
-                               run_id=args.run_id)
+                               run_id=args.run_id,
+                               recognizer_factory=recognizer_factory)
         print(f"processed={len(report.processed_buckets)} "
               f"skipped={len(report.skipped_buckets)} "
               f"docs={report.docs_written}")
@@ -77,7 +91,8 @@ def main(argv: list[str]) -> int:
         write_extraction(spark, pages, args.output, options=opts,
                          num_partitions=args.partitions,
                          salt_buckets=args.salt_buckets,
-                         run_id=args.run_id)
+                         run_id=args.run_id,
+                         recognizer_factory=recognizer_factory)
     return 0
 
 
