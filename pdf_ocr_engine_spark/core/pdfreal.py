@@ -853,10 +853,22 @@ def _load_font(doc: _Doc, font_obj: Any,
     if afm:
         f.widths.update(afm)
         f.default_w = float(FALLBACK_UNITS)
+    # Type3 widths live in GLYPH space scaled by /FontMatrix (usually
+    # [0.001 ...], which coincides with the /1000 text-space convention
+    # every other simple font uses); normalize non-standard matrices so
+    # advance_units/1000 semantics hold for all fonts
+    wscale = 1.0
+    if subtype == "Type3":
+        fm = doc.resolve(fd.get("FontMatrix"))
+        if isinstance(fm, list) and len(fm) == 6:
+            try:
+                wscale = float(doc.resolve(fm[0])) * 1000.0
+            except (TypeError, ValueError):
+                wscale = 1.0
     if isinstance(widths, list) and first is not None:
         for i, w in enumerate(widths):
             try:
-                f.widths[int(first) + i] = float(doc.resolve(w))
+                f.widths[int(first) + i] = float(doc.resolve(w)) * wscale
             except (TypeError, ValueError):
                 pass
     descr = doc.resolve(fd.get("FontDescriptor"))

@@ -1185,3 +1185,38 @@ class TestInlineImageBoundary:
         content = b"BT /F1 12 Tf 72 720 Td (pre) Tj ET\nBI /W 1 ID \x00 EI"
         pdf = _foreign_pdf([content])
         assert _tokens(pdf) == ["pre"]
+
+
+class TestType3Fonts:
+    @staticmethod
+    def _t3_pdf(font_matrix: bytes, widths: bytes) -> bytes:
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>"),
+            (b"<< /Type /Font /Subtype /Type3 /FontMatrix " + font_matrix
+             + b" /FirstChar 97 /LastChar 98 /Widths " + widths
+             + b" /Encoding << /Differences [97 /a /b] >> "
+             b"/CharProcs << >> >>"),
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Length 34 >>\nstream\n"
+            b"BT /F1 12 Tf 72 720 Td (ab) Tj ET\nendstream",
+        ]
+        return _assemble(objs)
+
+    def test_standard_matrix(self):
+        doc = parse_real_pdf(self._t3_pdf(b"[0.001 0 0 0.001 0 0]",
+                                          b"[500 600]"))
+        p = doc["pages"][0]
+        assert p["texts"] == ["ab"]
+        # (500+600)/1000 * 12pt = 13.2
+        assert p["coords"][0][2] - p["coords"][0][0] == pytest.approx(13.2)
+
+    def test_nonstandard_matrix_scales_widths(self):
+        # glyph space at 0.01: widths [50 60] mean the same advances
+        doc = parse_real_pdf(self._t3_pdf(b"[0.01 0 0 0.01 0 0]",
+                                          b"[50 60]"))
+        p = doc["pages"][0]
+        assert p["texts"] == ["ab"]
+        assert p["coords"][0][2] - p["coords"][0][0] == pytest.approx(13.2)
