@@ -180,9 +180,12 @@ def _parse_hex_string(d: bytes, p: int) -> tuple[bytes, int]:
     return bytes.fromhex(hx), end + 1
 
 
-#: inline-image terminator: EI delimited by whitespace on both sides (or
-#: end of stream) — bare 'EI' bytes appear inside binary image data
-_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|\Z)")
+#: inline-image terminator: EI followed by whitespace/EOF — the byte-after
+#: check pdf.js's findDefaultInlineStreamEnd applies.  The spec doesn't
+#: mandate LEADING whitespace (real encoders emit data abutting EI), and
+#: requiring it can overshoot past the true terminator; the trailing check
+#: alone already rejects the common 'EI' byte-pairs inside binary data.
+_EI_TRAIL_RE = re.compile(rb"EI(?=[\x00\t\n\x0c\r ]|\Z)")
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _REF_RE = re.compile(
@@ -874,7 +877,9 @@ def _load_font(doc: _Doc, font_obj: Any,
     descr = doc.resolve(fd.get("FontDescriptor"))
     if isinstance(descr, dict) and "MissingWidth" in descr:
         try:
-            f.default_w = float(doc.resolve(descr["MissingWidth"]))
+            # MissingWidth lives in the same glyph space as /Widths — the
+            # Type3 FontMatrix normalization applies to it too
+            f.default_w = float(doc.resolve(descr["MissingWidth"])) * wscale
         except (TypeError, ValueError):
             pass
     return f
@@ -928,13 +933,15 @@ def _tokenize_content(d: bytes):
                 continue
             op = d[start:p].decode("latin-1", errors="replace")
             if op == "BI":
-                # inline image: skip to EI — but only an EI at a WHITESPACE
-                # boundary ends the image; the two bytes 'EI' occur freely
-                # inside binary image data and a bare find() would cut the
-                # image short and desync the whole stream (pdf.js applies
-                # the same boundary heuristic)
-                m = _EI_RE.search(d, p)
-                p = n if m is None else m.end()
+                # inline image: skip to the first EI at a trailing
+                # whitespace/EOF boundary (see _EI_TRAIL_RE); bare-find
+                # fallback so a boundary-less terminator still ends the scan
+                m = _EI_TRAIL_RE.search(d, p)
+                if m is not None:
+                    p = m.end()
+                else:
+                    e = d.find(b"EI", p)
+                    p = n if e < 0 else e + 2
                 continue
             yield ("op", op)
 

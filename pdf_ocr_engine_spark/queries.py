@@ -1174,7 +1174,11 @@ def _emb_with_twins(spark, sf_dir, max_id: int = 250):
     planted ground truth that makes the LSH recall property NON-vacuous:
     the corpus's natural pairs top out at cosine ≈ 0.55, so every ≥ 0.9
     pair is a planted twin the LSH tier must find."""
-    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < max_id)
+    # single-file source: spread before the signature UDF stages (same
+    # rationale as _docs_parallel — production inputs are many files)
+    emb = (_read(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < max_id)
+           .repartition(spark.sparkContext.defaultParallelism))
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))

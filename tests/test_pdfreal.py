@@ -1220,3 +1220,12 @@ class TestType3Fonts:
         p = doc["pages"][0]
         assert p["texts"] == ["ab"]
         assert p["coords"][0][2] - p["coords"][0][0] == pytest.approx(13.2)
+
+    def test_data_abutting_ei_not_lost(self):
+        """The spec doesn't mandate whitespace BEFORE EI — data abutting
+        the terminator must not swallow the rest of the page (fourth-
+        review regression)."""
+        content = (b"BI /W 1 /H 1 /BPC 8 /CS /G ID \xffEI\n"
+                   b"BT /F1 12 Tf 72 720 Td (kept) Tj ET")
+        pdf = _foreign_pdf([content])
+        assert _tokens(pdf) == ["kept"]
