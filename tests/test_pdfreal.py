@@ -1229,3 +1229,97 @@ class TestType3Fonts:
                    b"BT /F1 12 Tf 72 720 Td (kept) Tj ET")
         pdf = _foreign_pdf([content])
         assert _tokens(pdf) == ["kept"]
+
+
+class TestProbeParserAgreement:
+    """Router safety invariant: the cheap probe and the full parser must
+    agree on has-text per page — a probe false-POSITIVE on an image-only
+    page would route the doc to the cheap branch and lose its content
+    (the one direction the router cannot tolerate); sweep random
+    structures including forms, rotations, and image-only pages."""
+
+    def test_fuzz_agreement(self):
+        import random
+        import zlib as _z
+
+        from pdf_ocr_engine_spark.core.pdfreal import detect_pages_text
+        from pdf_ocr_engine_spark.core.pdfscan import encode_page_raster
+
+        rng = random.Random(424242)
+        vocab = "red green blue cyan teal plum gold gray".split()
+        for trial in range(30):
+            n_pages = rng.randint(1, 4)
+            page_objs = []
+            extra_objs = []
+            # object layout: 1 catalog, 2 pages, 3 font; pages from 4
+            next_num = 4 + 2 * n_pages
+            kinds = []
+            contents = []
+            for _p in range(n_pages):
+                kind = rng.choice(["text", "blank", "image", "form_text"])
+                kinds.append(kind)
+                if kind == "text":
+                    toks = " ".join(rng.choice(vocab)
+                                    for _ in range(rng.randint(1, 6)))
+                    contents.append(
+                        b"BT /F1 11 Tf 72 700 Td (%s) Tj ET"
+                        % toks.encode())
+                elif kind == "blank":
+                    contents.append(b"0.5 w 10 10 m 90 90 l S")
+                elif kind == "image":
+                    raster = _z.compress(encode_page_raster(
+                        612.0, 792.0, [("img", 1.0, 1.0, 20.0, 13.0)]))
+                    img_num = next_num
+                    next_num += 1
+                    extra_objs.append(
+                        (img_num,
+                         b"<< /Type /XObject /Subtype /Image /Width 612 "
+                         b"/Height 792 /Filter /FlateDecode /Length "
+                         + str(len(raster)).encode() + b" >>\nstream\n"
+                         + raster + b"\nendstream"))
+                    contents.append(
+                        b"q 612 0 0 792 0 0 cm /X%d Do Q" % img_num)
+                else:  # form_text
+                    body = b"BT /F1 9 Tf 30 30 Td (formtok) Tj ET"
+                    form_num = next_num
+                    next_num += 1
+                    extra_objs.append(
+                        (form_num,
+                         b"<< /Type /XObject /Subtype /Form /Resources "
+                         b"<< /Font << /F1 3 0 R >> >> /Length "
+                         + str(len(body)).encode() + b" >>\nstream\n"
+                         + body + b"\nendstream"))
+                    contents.append(b"/X%d Do" % form_num)
+            # assemble with per-page XObject resources naming every extra
+            xres = b" ".join(b"/X%d %d 0 R" % (n, n) for n, _ in extra_objs)
+            rot = rng.choice([b"", b" /Rotate 90", b" /Rotate 180"])
+            objs = {}
+            objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+            kids = b" ".join(b"%d 0 R" % (4 + 2 * i)
+                             for i in range(n_pages))
+            objs[2] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                       + str(n_pages).encode()
+                       + b" /MediaBox [0 0 612 792]" + rot
+                       + b" /Resources << /Font << /F1 3 0 R >> /XObject "
+                       b"<< " + xres + b" >> >> >>")
+            objs[3] = (b"<< /Type /Font /Subtype /Type1 "
+                       b"/BaseFont /Helvetica >>")
+            for i, c in enumerate(contents):
+                objs[4 + 2 * i] = (b"<< /Type /Page /Parent 2 0 R "
+                                   b"/Contents %d 0 R >>" % (5 + 2 * i))
+                objs[5 + 2 * i] = (b"<< /Length " + str(len(c)).encode()
+                                   + b" >>\nstream\n" + c + b"\nendstream")
+            for n, body in extra_objs:
+                objs[n] = body
+            buf = bytearray(b"%PDF-1.4\n")
+            for num in sorted(objs):
+                buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+            buf += b"trailer\n<< /Size %d /Root 1 0 R >>\n%%%%EOF" \
+                % (max(objs) + 1)
+            pdf = bytes(buf)
+
+            parsed = [p["has_text"] for p in parse_real_pdf(pdf)["pages"]]
+            probed = detect_pages_text(pdf)
+            expected = [k in ("text", "form_text") for k in kinds]
+            assert parsed == expected, (trial, kinds, parsed)
+            assert probed == expected, (trial, kinds, probed)
