@@ -145,6 +145,9 @@ def write_extraction(
         F.sum("n_words").alias("words"),
         F.sum("n_bytes").alias("bytes_in"),
         F.sum(F.length("text")).alias("bytes_out"),
+        # decoder silent-substitution total — job-level twin of the
+        # per-partition `fallbacks` metric (corpus-quality drift signal)
+        F.sum("n_fallbacks").alias("fallbacks"),
     )
     observed.write.mode("overwrite").parquet(f"{output_dir}/data")
     if "://" not in output_dir:  # local fs only; object stores skip the json
