@@ -155,3 +155,66 @@ class TestReviewRegressions:
 
         xref_sections = re.findall(rb"(?:^|[\r\n])xref\b", enc)
         assert len(xref_sections) == 1
+
+
+class TestCompositions:
+    def test_encrypted_scanned_pdf_ocr_roundtrip(self):
+        """Decryption composes with the OCR tier: an AES-encrypted
+        image-only PDF decrypts its image stream, recognizes, and yields
+        the exact text."""
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_scanned_pdf_payload,
+        )
+
+        enc = encrypt_pdf(
+            text_to_scanned_pdf_payload("secret scanned words here"),
+            "aes-128")
+        r = extract_document(enc, "eng",
+                             recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["text"] == "secret scanned words here"
+        # without the decryptor the raster must be unreadable
+        r2 = extract_document(enc, "eng")
+        assert r2["status"] == "empty"
+
+    def test_encrypted_object_streams(self):
+        """Per ISO 32000 §7.6.2, objects inside an ObjStm are protected by
+        encrypting the ObjStm STREAM itself — the parser must decrypt the
+        container and then read the catalog/pages out of it."""
+        import zlib
+
+        inner_objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        ]
+        header, body = [], b""
+        for num, data in inner_objs:
+            header.append(f"{num} {len(body)}".encode())
+            body += data + b" "
+        head = b" ".join(header) + b" "
+        stm = zlib.compress(head + body)
+        content = b"BT /F1 12 Tf 72 720 Td (packed) Tj ET"
+        buf = bytearray(b"%PDF-1.5\n")
+        for num, b_ in (
+            (4, b"<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream"),
+            (6, (f"<< /Type /ObjStm /N {len(inner_objs)} /First "
+                 f"{len(head)} /Filter /FlateDecode /Length {len(stm)} "
+                 f">>\nstream\n").encode() + stm + b"\nendstream"),
+        ):
+            buf += f"{num} 0 obj\n".encode() + b_ + b"\nendobj\n"
+        buf += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF"
+        plain = bytes(buf)
+        assert extract_document(plain, "eng")["text"] == "packed"
+        for scheme in ("rc4-128", "aes-128"):
+            enc = encrypt_pdf(plain, scheme)
+            r = extract_document(enc, "eng")
+            assert r["status"] == "ok", scheme
+            assert r["text"] == "packed", scheme
