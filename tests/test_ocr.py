@@ -217,3 +217,64 @@ class TestRouter:
             .collect()
         assert out[0].status == "ok"  # never touched the exploding branch
         assert out[0].route == "text"  # plan gate kept it on the cheap side
+
+
+def _hybrid_pdf(text_tokens, scan_tokens):
+    """One genuine PDF: page 1 carries a text layer, page 2 is image-only
+    (raster of scan_tokens) — the per-PAGE F6 predicate inside one doc."""
+    import zlib
+
+    from pdf_ocr_engine_spark.core.pdfscan import encode_page_raster
+    from pdf_ocr_engine_spark.core.pdfwrite import _page_content
+
+    spans = [(t, x0, y0, x1, y1)
+             for t, x0, y0, x1, y1 in layout_words(text_tokens)]
+    c1 = _page_content(spans, 612.0, 792.0, None, None)
+    raster = zlib.compress(encode_page_raster(
+        612.0, 792.0, layout_words(scan_tokens)))
+    c2 = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        (b"<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 "
+         b"/MediaBox [0 0 612 792] "
+         b"/Resources << /Font << /F1 3 0 R >> "
+         b"/XObject << /Im0 8 0 R >> >> >>"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        b"<< /Length " + str(len(c1)).encode() + b" >>\nstream\n" + c1
+        + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        b"<< /Length " + str(len(c2)).encode() + b" >>\nstream\n" + c2
+        + b"\nendstream",
+        (b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+         b"/Filter /FlateDecode /Length " + str(len(raster)).encode()
+         + b" >>\nstream\n" + raster + b"\nendstream"),
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    buf += b"trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF"
+    return bytes(buf)
+
+
+class TestHybridDocument:
+    def test_per_page_routing_inside_one_doc(self):
+        """Page 1 extracts from its text layer, page 2 through the
+        recognizer — in the same document, separated by form-feed."""
+        pdf = _hybrid_pdf(["digital", "page"], ["scanned", "page"])
+        r = extract_document(pdf, "eng",
+                             recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["text"].split("\f") == ["digital page", "scanned page"]
+        assert r["n_pages"] == 2
+        # without a recognizer the scanned page contributes empty
+        r2 = extract_document(pdf, "eng")
+        assert r2["text"].split("\f") == ["digital page", ""]
+
+    def test_hybrid_doc_routes_to_ocr_branch(self, spark):
+        from pdf_ocr_engine_spark.operators.ocr import with_needs_ocr
+
+        df = spark.createDataFrame(
+            [("u", _hybrid_pdf(["a", "b"], ["c", "d"]))],
+            "url string, html binary")
+        assert with_needs_ocr(df).collect()[0].needs_ocr is True
