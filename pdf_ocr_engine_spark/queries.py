@@ -805,6 +805,49 @@ FROM s
 """
 
 
+def q_host_top_terms(spark, sf_dir):
+    """Per-host top-5 terms by raw frequency — the corpus-exploration
+    staple (what is this domain about / is it boilerplate-dominated).
+    Scale shape: token explode (row expansion, unavoidable) → two-phase
+    hash agg on (host, token) with map-side combine → per-host top-k
+    window (TakeOrdered semantics inside each host partition).  Exact
+    counts with deterministic (count desc, token asc) tie-break, so the
+    oracle value-checks every kept term."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"),
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+    counts = docs.groupBy("host", "token").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("token"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("host", "rank", "token", "n"))
+
+
+_SQL_HOST_TOP_TERMS = r"""
+WITH t AS (
+  SELECT source AS host,
+         unnest(CASE WHEN trim(lower(text)) = ''
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                END) AS token
+  FROM documents
+), c AS (
+  SELECT host, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY host, token
+), r AS (
+  SELECT host, token, n,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n DESC, token ASC) AS rank
+  FROM c
+)
+SELECT host, CAST(rank AS INTEGER) AS rank, token, n
+FROM r WHERE rank <= 5
+"""
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host corpus lineage (the north_rule's host-prefix concern as an
     analytics query): host extracted from the url with a regex (pure
@@ -2069,6 +2112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "repetition": q_repetition,
     "host_stats": q_host_stats,
+    "host_top_terms": q_host_top_terms,
     "pii_scrub": q_pii_scrub,
     "sample_split": q_sample_split,
     "host_cap": q_host_cap,
@@ -2130,6 +2174,7 @@ ORACLES: dict[str, str] = {
     "quality_score": _SQL_QUALITY_SCORE,
     "repetition": _SQL_REPETITION,
     "host_stats": _SQL_HOST_STATS,
+    "host_top_terms": _SQL_HOST_TOP_TERMS,
     "pii_scrub": _SQL_PII_SCRUB,
     "sample_split": _SQL_SAMPLE_SPLIT,
     "host_cap": _SQL_HOST_CAP,
