@@ -816,7 +816,9 @@ def q_host_top_terms(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir).select(
-        F.col("source").alias("host"),
+        # same host domain as host_stats/host_cap (source + '.example') so
+        # the host-keyed outputs join against each other
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
         F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
     counts = docs.groupBy("host", "token").agg(
         F.count(F.lit(1)).alias("n"))
@@ -828,7 +830,7 @@ def q_host_top_terms(spark, sf_dir):
 
 _SQL_HOST_TOP_TERMS = r"""
 WITH t AS (
-  SELECT source AS host,
+  SELECT source || '.example' AS host,
          unnest(CASE WHEN trim(lower(text)) = ''
                      THEN CAST([] AS VARCHAR[])
                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')

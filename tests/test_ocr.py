@@ -227,9 +227,7 @@ def _hybrid_pdf(text_tokens, scan_tokens):
     from pdf_ocr_engine_spark.core.pdfscan import encode_page_raster
     from pdf_ocr_engine_spark.core.pdfwrite import _page_content
 
-    spans = [(t, x0, y0, x1, y1)
-             for t, x0, y0, x1, y1 in layout_words(text_tokens)]
-    c1 = _page_content(spans, 612.0, 792.0, None, None)
+    c1 = _page_content(layout_words(text_tokens), 612.0, 792.0, None, None)
     raster = zlib.compress(encode_page_raster(
         612.0, 792.0, layout_words(scan_tokens)))
     c2 = b"q 612 0 0 792 0 0 cm /Im0 Do Q"

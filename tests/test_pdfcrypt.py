@@ -176,7 +176,8 @@ class TestCompositions:
                              recognizer=deterministic_recognizer())
         assert r["status"] == "ok"
         assert r["text"] == "secret scanned words here"
-        # without the decryptor the raster must be unreadable
+        # without a recognizer the (transparently decrypted) image-only
+        # page contributes no text — never an error
         r2 = extract_document(enc, "eng")
         assert r2["status"] == "empty"
 
