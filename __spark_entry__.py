@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin per query — EVERY registry entry has
-    one (54/54).  The LSH tiers (dedup_minhash, dedup_simhash,
+    one (55/55).  The LSH tiers (dedup_minhash, dedup_simhash,
     dedup_embedding_lsh, ann_lsh) are value-checked via their
     containment/recall property: the oracle recomputes all above-threshold
     pairs (or the true top-k over planted near-duplicates) from scratch,

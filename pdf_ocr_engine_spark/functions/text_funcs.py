@@ -111,3 +111,34 @@ def top_ngram_stats(df, n: int = 1, text_col: str = "text",
     return per.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),
         F.max("c").alias("top_cnt"))
+
+
+def canonical_url(col: Column) -> Column:
+    """Crawl-grade URL canonicalization — the dedup PRE-key (the same page
+    arrives as ``HTTP://Example.com:80/a`` and ``http://example.com/a``;
+    exact-dedup on raw urls misses them all).  Deliberately conservative —
+    only transformations that never change which resource is addressed:
+
+    * scheme and host lowercased (path/query case preserved — servers may
+      be case-sensitive there);
+    * default ports stripped (``:80`` for http, ``:443`` for https);
+    * fragment removed (never sent to the server);
+    * trailing ``?`` (empty query) removed;
+    * trailing slash collapsed on the bare-authority form only
+      (``http://h/`` → ``http://h``).
+
+    Pure column expressions (simple regexes shared verbatim with the
+    DuckDB oracle — no dialect-divergent constructs)."""
+    u = col
+    # lowercase scheme://host[:port] (group 1), keep the rest (group 2)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)",
+                                 1)),
+        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+    u = F.regexp_replace(u, r"#.*$", "")               # fragment
+    # lookahead-free (RE2-portable) default-port strip
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443($|[/?#].*)", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80($|[/?#].*)", r"$1$2")
+    u = F.regexp_replace(u, r"\?$", "")                # empty query
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u

@@ -850,6 +850,71 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_canonical_url(spark, sf_dir):
+    """URL canonicalization (``functions.text_funcs.canonical_url``) — the
+    dedup pre-key.  Messy variants are minted deterministically per doc
+    (uppercase scheme/host, default ports, fragments, empty queries,
+    trailing slash on bare authority) and must all normalize to the clean
+    form; the oracle recomputes the same conservative transformations."""
+    raw = F.concat(
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTP://"), F.upper("source"),
+                        F.lit(".Example:80/doc/"),
+                        F.col("doc_id").cast("string"), F.lit("#frag")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example:443/doc/"),
+                        F.col("doc_id").cast("string"), F.lit("?")))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("https://"), F.upper("source"),
+                        F.lit(".EXAMPLE/")))
+         .otherwise(
+               F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example/doc/"),
+                        F.col("doc_id").cast("string"))))
+    return _docs(spark, sf_dir).select(
+        "doc_id", raw.alias("raw_url"),
+        T.canonical_url(raw).alias("canon_url"))
+
+
+_SQL_CANONICAL_URL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTP://' || upper(source) || '.Example:80/doc/'
+                       || doc_id || '#frag'
+           WHEN 1 THEN 'https://' || source || '.example:443/doc/'
+                       || doc_id || '?'
+           WHEN 2 THEN 'https://' || upper(source) || '.EXAMPLE/'
+           ELSE 'https://' || source || '.example/doc/' || doc_id
+         END AS raw_url
+  FROM documents
+), c AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(raw_url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+         || regexp_replace(raw_url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u1
+  FROM raw
+), c2 AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(u1, '#.*$', '') AS u2 FROM c
+), c3 AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(regexp_replace(u2,
+             '^(https://[^/?#:]*):443($|[/?#].*)', '\1\2'),
+             '^(http://[^/?#:]*):80($|[/?#].*)', '\1\2') AS u3
+  FROM c2
+), c4 AS (
+  SELECT doc_id, raw_url, regexp_replace(u3, '\?$', '') AS u4 FROM c3
+)
+SELECT doc_id, raw_url,
+       regexp_replace(u4, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1')
+         AS canon_url
+FROM c4
+"""
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host corpus lineage (the north_rule's host-prefix concern as an
     analytics query): host extracted from the url with a regex (pure
@@ -2115,6 +2180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "host_stats": q_host_stats,
     "host_top_terms": q_host_top_terms,
+    "canonical_url": q_canonical_url,
     "pii_scrub": q_pii_scrub,
     "sample_split": q_sample_split,
     "host_cap": q_host_cap,
@@ -2177,6 +2243,7 @@ ORACLES: dict[str, str] = {
     "repetition": _SQL_REPETITION,
     "host_stats": _SQL_HOST_STATS,
     "host_top_terms": _SQL_HOST_TOP_TERMS,
+    "canonical_url": _SQL_CANONICAL_URL,
     "pii_scrub": _SQL_PII_SCRUB,
     "sample_split": _SQL_SAMPLE_SPLIT,
     "host_cap": _SQL_HOST_CAP,

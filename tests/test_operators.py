@@ -709,3 +709,25 @@ class TestSnapshotDelta:
             "url string, text string")
         got = {r.url: r.change for r in snapshot_delta(old, new).collect()}
         assert got == {"u1": "changed", "u2": "changed", "u3": "unchanged"}
+
+
+class TestCanonicalUrl:
+    def test_variants_collapse(self, spark):
+        from pdf_ocr_engine_spark.functions.text_funcs import canonical_url
+
+        cases = {
+            "HTTP://Example.COM:80/a#frag": "http://example.com/a",
+            "https://example.com:443/a?x=1": "https://example.com/a?x=1",
+            "https://Example.com/": "https://example.com",
+            "https://example.com/Path/Is/CaseSensitive":
+                "https://example.com/Path/Is/CaseSensitive",
+            "http://h.example/a?": "http://h.example/a",
+            # non-default port survives; deep trailing slash survives
+            "http://h.example:8080/a": "http://h.example:8080/a",
+            "http://h.example/a/": "http://h.example/a/",
+        }
+        df = spark.createDataFrame([(k,) for k in cases], ["url"])
+        got = {r.url: r.c for r in
+               df.select("url", canonical_url(F.col("url")).alias("c"))
+               .collect()}
+        assert got == cases
