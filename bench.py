@@ -78,7 +78,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from pdf_ocr_engine_spark.plans.pipeline import build_session, run_extraction
-    from pdf_ocr_engine_spark.queries import QUERIES
+    from pdf_ocr_engine_spark.queries import DEMO_QUERIES, QUERIES
 
     spark = build_session(f"bench-{cpus}", master=f"local[{cpus}]",
                           shuffle_partitions=max(cpus, 8))
@@ -142,7 +142,7 @@ def main() -> int:
         "pricing_summary", "nation_revenue", "event_windows", "event_gaps",
     ]
     for name in bench_queries:
-        fn = QUERIES[name]
+        fn = {**QUERIES, **DEMO_QUERIES}[name]
         # xxhash64 over every output column forces FULL evaluation JVM-side
         # (a bare count(*) would let Catalyst prune the projections, timing
         # nothing but the scan) without shipping rows to the driver;

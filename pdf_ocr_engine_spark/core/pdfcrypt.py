@@ -386,6 +386,18 @@ class StandardDecryptor:
                 length_bits = 128
             elif cfm == "V2":
                 self.aes = False
+                # ISO 32000 §7.6.5: a V4 crypt filter carries its own
+                # /Length (in BYTES, per the spec's table; Acrobat also
+                # emits bits — accept both).  A document that states the
+                # key width only in /CF .../Length would otherwise derive
+                # a wrong-width key from the top-level default (40) and be
+                # refused as status='encrypted' despite being decryptable.
+                if isinstance(cfd, dict) and cfd.get("Length") is not None:
+                    try:
+                        cl = int(cfd["Length"])
+                        length_bits = cl * 8 if cl <= 40 else cl
+                    except (TypeError, ValueError):
+                        pass
             elif cfm == "Identity":
                 self.identity = True
             else:
@@ -438,6 +450,13 @@ def encrypt_pdf(data: bytes, scheme: str = "rc4-128",
         v, r, bits = 2, 3, 128
     elif scheme == "aes-128":
         v, r, bits = 4, 4, 128
+    elif scheme == "rc4-128-cf":
+        # V4 crypt-filter RC4 whose key width is stated ONLY in the crypt
+        # filter's /Length (bytes) — no top-level /Length.  Seen in the
+        # wild; regression fixture for the CF-Length-preference rule in
+        # _StandardDecryptor (a reader that ignores /CF .../Length derives
+        # a 40-bit key and refuses a decryptable document).
+        v, r, bits = 4, 4, 128
     else:
         raise ValueError(f"unknown scheme {scheme}")
     p = -44  # typical permissions: print allowed, modify/copy denied
@@ -481,12 +500,24 @@ def encrypt_pdf(data: bytes, scheme: str = "rc4-128",
 
     # 2. append the /Encrypt object and rebuild trailer + xref
     enc_num = last_num + 1
-    cf = (b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 "
-          b">> >> /StmF /StdCF /StrF /StdCF" if scheme == "aes-128" else b"")
+    if scheme == "aes-128":
+        cf = (b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+              b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF")
+    elif scheme == "rc4-128-cf":
+        cf = (b" /CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen "
+              b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF")
+    else:
+        cf = b""
+    # rc4-128-cf deliberately omits the top-level /Length: the key width
+    # travels only in the crypt filter dict (the case the decryptor's
+    # CF-Length-preference rule exists for)
+    length_part = (b"" if scheme == "rc4-128-cf"
+                   else b" /Length %d" % bits)
     enc_obj_body = (
-        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> "
+        b"<< /Filter /Standard /V %d /R %d%s /P %d /O <%s> "
         b"/U <%s>%s >>"
-        % (v, r, bits, p, o.hex().encode(), u[:32].hex().encode(), cf))
+        % (v, r, length_part, p, o.hex().encode(), u[:32].hex().encode(),
+           cf))
     # strip the old xref/trailer, keep objects — match the xref SECTION
     # keyword at line start, not the 'xref' inside 'startxref' (which
     # would leave the old cleartext trailer + a dangling 'start' behind)

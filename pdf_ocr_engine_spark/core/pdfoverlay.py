@@ -142,8 +142,14 @@ def overlay_text_layer(original: bytes,
         # extended, /Resources/Font gains the namespaced overlay font
         upd = {k: v for k, v in page.items() if k != "__num__"}
         contents = upd.get("Contents")
-        if isinstance(contents, list):
-            upd["Contents"] = list(contents) + [_Ref((content_num, 0))]
+        # /Contents may be an indirect ref TO AN ARRAY of streams (legal,
+        # seen in the wild).  Treating that ref as a single stream would
+        # emit [ref-to-array, new-ref] — an invalid Contents array whose
+        # first element silently drops the original page content.  Resolve
+        # first; if it resolves to a list, splice its ELEMENT refs.
+        resolved = doc.resolve(contents) if contents is not None else None
+        if isinstance(resolved, list):
+            upd["Contents"] = list(resolved) + [_Ref((content_num, 0))]
         elif contents is None:
             upd["Contents"] = [_Ref((content_num, 0))]
         else:

@@ -1378,25 +1378,87 @@ def extract_page_images(data: bytes) -> list[dict[str, Any]]:
             mx0, my0, mx1, my1 = 0.0, 0.0, 612.0, 792.0
         images: list[dict[str, Any]] = []
         resources = doc.resolve(pd.get("Resources")) or {}
-        for subtype, obj in _walk_xobjects(doc, resources):
-            if subtype != "Image":
-                continue
-            sd = obj.dict
-            try:
-                blob = obj.decoded(doc)
-            except Exception:  # noqa: BLE001 - one bad image ≠ bad page
-                continue
-            w = doc.resolve(sd.get("Width"))
-            h = doc.resolve(sd.get("Height"))
-            images.append({
-                "data": blob,
-                "width": int(w) if isinstance(w, (int, float)) else None,
-                "height": int(h) if isinstance(h, (int, float)) else None,
-            })
+        # Walk only the images this page actually PAINTS (Do operands in
+        # its content streams, descending into drawn forms) — never every
+        # XObject merely *reachable* from Resources: pages routinely
+        # inherit one shared /Resources dict from the Pages node, and the
+        # reachable-set walk would attribute every sibling page's raster
+        # to every page (the OCR tier would then recognize the whole
+        # document's pixels once per page — duplicated text).
+        contents = doc.resolve(pd.get("Contents"))
+        chunks: list[bytes] = []
+        if isinstance(contents, _Stream):
+            chunks.append(contents.decoded(doc))
+        elif isinstance(contents, list):
+            for c in contents:
+                cs = doc.resolve(c)
+                if isinstance(cs, _Stream):
+                    chunks.append(cs.decoded(doc))
+        _collect_drawn_images(doc, b"\n".join(chunks), resources,
+                              0, set(), images)
         out.append({"page_no": i + 1,
                     "width": abs(mx1 - mx0), "height": abs(my1 - my0),
                     "images": images})
     return out
+
+
+def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
+                          depth: int, seen: set[int],
+                          images: list[dict[str, Any]]) -> None:
+    """Append (in paint order) every Image XObject the ``content`` stream
+    draws via ``Do``, recursing into drawn Form XObjects — the image-side
+    twin of ``detect_pages_text``'s drawn-forms-only discipline.  ``seen``
+    guards the current Do chain against form cycles; an image drawn twice
+    on one page is yielded twice (it is painted twice)."""
+    if depth >= _MAX_FORM_DEPTH or not isinstance(resources, dict):
+        return
+    pending: list = []
+    for kind, val in _tokenize_content(content):
+        if kind == "val":
+            pending.append(val)
+            if len(pending) > 8:
+                del pending[0]
+            continue
+        if val == "Do" and pending:
+            name = pending[-1]
+            xobjs = doc.resolve(resources.get("XObject"))
+            if isinstance(name, _Name) and isinstance(xobjs, dict) \
+                    and str(name) in xobjs:
+                try:
+                    obj = doc.resolve(xobjs[str(name)])
+                except ValueError:
+                    obj = None
+                if isinstance(obj, _Stream):
+                    subtype = str(doc.resolve(obj.dict.get("Subtype", "")))
+                    if subtype == "Image":
+                        try:
+                            blob = obj.decoded(doc)
+                        except Exception:  # noqa: BLE001 - bad image ≠ bad page
+                            blob = None
+                        if blob is not None:
+                            w = doc.resolve(obj.dict.get("Width"))
+                            h = doc.resolve(obj.dict.get("Height"))
+                            images.append({
+                                "data": blob,
+                                "width": int(w)
+                                if isinstance(w, (int, float)) else None,
+                                "height": int(h)
+                                if isinstance(h, (int, float)) else None,
+                            })
+                    elif subtype == "Form" and id(obj) not in seen:
+                        seen.add(id(obj))
+                        sub_res = doc.resolve(obj.dict.get("Resources"))
+                        if not isinstance(sub_res, dict):
+                            sub_res = resources
+                        try:
+                            body = obj.decoded(doc)
+                        except Exception:  # noqa: BLE001 - bad form
+                            body = b""
+                        if body:
+                            _collect_drawn_images(doc, body, sub_res,
+                                                  depth + 1, seen, images)
+                        seen.discard(id(obj))
+        pending.clear()
 
 
 def detect_pages_text(data: bytes) -> list[bool]:

@@ -461,14 +461,16 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     # ids stay their source type: the algorithm needs only a total order
     # (least/greatest/min work on strings and numerics alike) — a cast
     # would silently NULL non-numeric ids and no-op the whole dedup
-    e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-         .where(F.col("a") != F.col("b")).distinct()
-         .localCheckpoint(eager=True))
-    # all original nodes (isolated-after-canonicalization safety) — the
-    # star iterations rewire edges, so node identity must be captured once
-    nodes = (e.select(F.col("a").alias("node"))
-             .union(e.select(F.col("b").alias("node"))).distinct()
+    raw = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # node identity is captured from the RAW pairs, before self-loops are
+    # dropped: a node appearing only as (x, x) must still get its
+    # (node, component=node) row — filtering first would silently drop it
+    # from the output (a contract change vs min-label propagation)
+    nodes = (raw.select(F.col("a").alias("node"))
+             .union(raw.select(F.col("b").alias("node"))).distinct()
              .localCheckpoint(eager=True))
+    e = (raw.where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
 
     def _sig(df: DataFrame) -> tuple:
         # order-insensitive checksum; hashes are bucketed mod a prime so

@@ -447,6 +447,20 @@ class TestConnectedComponents:
         assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                          20: 20, 21: 20, 22: 20}
 
+    def test_self_loop_only_node_labels_itself(self, spark):
+        """ADVICE r3: a node appearing ONLY as a reflexive pair (x, x) must
+        still get its (node, component=node) row — node identity is
+        captured before self-loops are dropped."""
+        from pdf_ocr_engine_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(7, 7),              # self-loop-only node
+             (1, 2), (2, 2)],     # pair + reflexive noise on a member
+            ["id_a", "id_b"])
+        comps = {r.node: r.component
+                 for r in connected_components(pairs).collect()}
+        assert comps == {7: 7, 1: 1, 2: 1}
+
     def test_pathological_chain_converges_in_log_rounds(self, spark):
         """A 10k-node path graph has diameter 10k — min-label propagation
         needs 10k rounds; large-star/small-star must finish in ~log₂(n).

@@ -57,7 +57,8 @@ class TestPrimitives:
 
 
 class TestRoundTrip:
-    @pytest.mark.parametrize("scheme", ["rc4-40", "rc4-128", "aes-128"])
+    @pytest.mark.parametrize("scheme", ["rc4-40", "rc4-128", "aes-128",
+                                        "rc4-128-cf"])
     def test_extracts_identically(self, scheme):
         plain = text_to_real_pdf_payload(TEXT)
         enc = text_to_encrypted_pdf_payload(TEXT, scheme)
@@ -77,6 +78,23 @@ class TestRoundTrip:
         r = extract_document(enc, "eng")
         assert r["status"] == "ok"
         assert r["n_pages"] == 3
+
+    def test_v4_v2_key_width_only_in_crypt_filter(self):
+        # ADVICE r3: V4 /CFM /V2 whose key width is stated ONLY in
+        # /CF .../Length (bytes) — no top-level /Length.  A decryptor that
+        # falls back to the 40-bit default derives the wrong key, fails /U
+        # verification and misroutes the document as status='encrypted'.
+        enc = text_to_encrypted_pdf_payload(TEXT, "rc4-128-cf")
+        assert b"/CFM /V2" in enc and b"/Length 16" in enc
+        # the /Encrypt dict really carries no top-level /Length
+        start = enc.rindex(b"/Filter /Standard")
+        enc_dict = enc[start:enc.index(b">>", enc.index(
+            b">> >>", start) + 5) + 2]
+        assert b"/CF <<" in enc_dict
+        assert enc_dict.count(b"/Length") == 1  # only the CF one
+        r = extract_document(enc, "eng")
+        assert r["status"] == "ok"
+        assert r["text"] == expected_text(TEXT.split())
 
     def test_empty_document(self):
         enc = text_to_encrypted_pdf_payload("", "rc4-128")

@@ -88,6 +88,49 @@ class TestOverlayCore:
         with pytest.raises(ValueError, match="pages"):
             overlay_text_layer(orig, [[], []])
 
+    def test_contents_indirect_ref_to_array_preserved(self):
+        # ADVICE r3: /Contents may be an indirect ref TO AN ARRAY of
+        # streams.  The overlay must splice the array's ELEMENT refs plus
+        # the new stream — emitting [ref-to-array, new-ref] silently drops
+        # the original page content on re-parse.
+        def _assemble(objects):
+            buf = bytearray(b"%PDF-1.5\n")
+            offsets = []
+            for i, body in enumerate(objects, start=1):
+                offsets.append(len(buf))
+                buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+            xref_at = len(buf)
+            buf += f"xref\n0 {len(objects) + 1}\n".encode()
+            buf += b"0000000000 65535 f \n"
+            for off in offsets:
+                buf += f"{off:010d} 00000 n \n".encode()
+            buf += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>"
+                    f"\nstartxref\n{xref_at}\n%%EOF").encode()
+            return bytes(buf)
+
+        c1 = b"BT /F1 12 Tf 72 720 Td (legacy) Tj ET"
+        c2 = b"BT /F1 12 Tf 72 700 Td (prose) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] >>"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources "
+             b"<< /Font << /F1 3 0 R >> >> >>"),
+            b"[6 0 R 7 0 R]",  # <-- indirect object that IS the array
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2),
+        ]
+        orig = _assemble(objs)
+        before = parse_real_pdf(orig)
+        assert before["pages"][0]["texts"] == ["legacy", "prose"]
+        out = overlay_text_layer(orig, [_spans_for(["overlaid"])])
+        assert out[:len(orig)] == orig
+        after = parse_real_pdf(out)
+        # original streams survive in order, overlay appended
+        assert after["pages"][0]["texts"][:2] == ["legacy", "prose"]
+        assert any("overlaid" in t for t in after["pages"][0]["texts"][2:])
+
     def test_overlay_parses_with_incremental_trailer(self):
         orig = text_to_scanned_pdf_payload(TEXT)
         out = overlay_text_layer(orig, [_spans_for(TEXT.split())])

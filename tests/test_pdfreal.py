@@ -902,6 +902,75 @@ class TestFormXObjects:
         _w, _h, words = decode_page_raster(pages[0]["images"][0]["data"])
         assert words[0][0] == "wrapped"
 
+    def test_shared_resources_images_not_duplicated(self):
+        # ADVICE r3: pages inheriting ONE /Resources dict from the Pages
+        # node must each receive only the image(s) their own content
+        # stream draws via Do — not every sibling's raster (which would
+        # duplicate the whole document's text on every page in the OCR
+        # tier).
+        import zlib as _z
+
+        from pdf_ocr_engine_spark.core.pdfreal import extract_page_images
+        from pdf_ocr_engine_spark.core.pdfscan import (
+            decode_page_raster,
+            encode_page_raster,
+        )
+
+        imgs = []
+        for word in ("alpha", "bravo"):
+            raster = _z.compress(encode_page_raster(
+                612.0, 792.0, [(word, 1.0, 1.0, 40.0, 13.0)]))
+            imgs.append(raster)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            # shared Resources at the Pages node exposes BOTH images to
+            # BOTH pages; content streams each draw exactly one
+            (b"<< /Type /Pages /Kids [5 0 R 6 0 R] /Count 2 "
+             b"/MediaBox [0 0 612 792] /Resources "
+             b"<< /XObject << /ImA 3 0 R /ImB 4 0 R >> >> >>"),
+            (b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+             b"/Filter /FlateDecode /Length " + str(len(imgs[0])).encode()
+             + b" >>\nstream\n" + imgs[0] + b"\nendstream"),
+            (b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+             b"/Filter /FlateDecode /Length " + str(len(imgs[1])).encode()
+             + b" >>\nstream\n" + imgs[1] + b"\nendstream"),
+            b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>",
+            b"<< /Length 31 >>\nstream\nq 612 0 0 792 0 0 cm /ImA Do Q"
+            b"\nendstream",
+            b"<< /Length 31 >>\nstream\nq 612 0 0 792 0 0 cm /ImB Do Q"
+            b"\nendstream",
+        ]
+        pages = extract_page_images(_assemble(objs))
+        assert [len(p["images"]) for p in pages] == [1, 1]
+        got = []
+        for p in pages:
+            _w, _h, words = decode_page_raster(p["images"][0]["data"])
+            got.append(words[0][0])
+        assert got == ["alpha", "bravo"]
+
+    def test_undrawn_image_yields_no_images(self):
+        import zlib as _z
+
+        from pdf_ocr_engine_spark.core.pdfreal import extract_page_images
+        from pdf_ocr_engine_spark.core.pdfscan import encode_page_raster
+
+        img = _z.compress(encode_page_raster(
+            612.0, 792.0, [("ghost", 1.0, 1.0, 40.0, 13.0)]))
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] >>"),
+            (b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+             b"/Filter /FlateDecode /Length " + str(len(img)).encode()
+             + b" >>\nstream\n" + img + b"\nendstream"),
+            (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources "
+             b"<< /XObject << /Im0 3 0 R >> >> >>"),
+            b"<< /Length 8 >>\nstream\nq 1 0 0 1 0 0 cm Q\nendstream",
+        ]
+        pages = extract_page_images(_assemble(objs))
+        assert pages[0]["images"] == []
+
 
 class TestPageRotation:
     """/Rotate is routine on scans; word boxes must land in the DISPLAYED
