@@ -211,7 +211,7 @@ def _extract_pdf(html: bytes, options: ExtractOptions,
             rec_words: list[tuple] = []
             for img in imgs:
                 try:
-                    rec_words.extend(recognizer(img["data"]))
+                    rec_words.extend(recognizer(img))
                 except ValueError as exc:
                     return {"status": "decode_error",
                             "error": f"recognizer: {exc}",

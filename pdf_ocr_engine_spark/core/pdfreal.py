@@ -1438,12 +1438,19 @@ def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
                         if blob is not None:
                             w = doc.resolve(obj.dict.get("Width"))
                             h = doc.resolve(obj.dict.get("Height"))
+                            cs = doc.resolve(obj.dict.get("ColorSpace"))
+                            bpc = doc.resolve(
+                                obj.dict.get("BitsPerComponent"))
                             images.append({
                                 "data": blob,
                                 "width": int(w)
                                 if isinstance(w, (int, float)) else None,
                                 "height": int(h)
                                 if isinstance(h, (int, float)) else None,
+                                "colorspace": str(cs)
+                                if isinstance(cs, _Name) else None,
+                                "bpc": int(bpc)
+                                if isinstance(bpc, (int, float)) else None,
                             })
                     elif subtype == "Form" and id(obj) not in seen:
                         seen.add(id(obj))

@@ -31,6 +31,7 @@ import zlib
 
 __all__ = [
     "RASTER_MAGIC",
+    "build_pixel_scanned_pdf",
     "build_scanned_pdf",
     "decode_page_raster",
     "encode_page_raster",
@@ -127,6 +128,81 @@ def build_scanned_pdf(pages: list[dict]) -> bytes:
     for i, body in enumerate(objects, start=1):
         offsets.append(len(buf))
         buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF").encode()
+    return bytes(buf)
+
+
+def build_pixel_scanned_pdf(pages: list[dict]) -> bytes:
+    """Image-only PDF whose page images are *genuine rasters* — 8-bit
+    ``/DeviceGray`` samples of the word grid printed with the 5×7 bitmap
+    font (``core/rasterfont``), not the FAKERAST container.  Recognition
+    must therefore run real pixel OCR (projection segmentation + template
+    classification), the closest sandbox analog of the reference's
+    pdf.js-render → tesseract pipeline (``extractor.ts:12-37`` →
+    ``ocr.ts:50-110``).
+
+    The document structure is deliberately *foreign* to this repo's other
+    writers — shapes in-the-wild scanners emit that the fixture writers
+    don't, so the parser is exercised off its own round-trip path:
+
+    * one shared ``/MediaBox`` INHERITED from the Pages node (pages carry
+      none; every page raster is rendered at that one size),
+    * ``/Contents`` is an indirect reference to an ARRAY of two content
+      streams (the ``q cm`` prefix and ``/Px Do Q`` are split),
+    * per-page image names (``/Px0``, ``/Px1``, …),
+    * bodies are emitted in reverse object order (the xref, not layout
+      order, maps ids to offsets).
+
+    Page dicts are ``{"width", "height", "words": [(text, x0, y0, x1,
+    y1)]}`` like :func:`build_scanned_pdf`; the shared MediaBox is the
+    per-axis max so every page's ink fits.  Raises ``ValueError`` (from
+    the renderer) on characters outside the 5×7 font.
+    """
+    from .rasterfont import render_words_gray
+
+    n_pages = len(pages)
+    w = max((float(p.get("width") or 612.0) for p in pages), default=612.0)
+    h = max((float(p.get("height") or 792.0) for p in pages), default=792.0)
+    # 1=catalog, 2=pages; per page i: page, contents-array, stream a,
+    # stream b, image (5 objects)
+    first = 3
+    kids = " ".join(f"{first + 5 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+         f"/MediaBox [0 0 {_fmt(w)} {_fmt(h)}] >>").encode(),
+    ]
+    for i, page in enumerate(pages):
+        samples = render_words_gray(int(w), int(h), page.get("words") or [])
+        img = zlib.compress(samples)
+        o = first + 5 * i
+        part_a = f"q {_fmt(w)} 0 0 {_fmt(h)} 0 0 cm".encode("latin-1")
+        part_b = f"/Px{i} Do Q".encode("latin-1")
+        objects.append(
+            (f"<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+             f"<< /Px{i} {o + 4} 0 R >> >> /Contents {o + 1} 0 R >>"
+             ).encode())
+        objects.append(f"[{o + 2} 0 R {o + 3} 0 R]".encode())
+        for part in (part_a, part_b):
+            objects.append(b"<< /Length " + str(len(part)).encode()
+                           + b" >>\nstream\n" + part + b"\nendstream")
+        objects.append(
+            (f"<< /Type /XObject /Subtype /Image /Width {int(w)} "
+             f"/Height {int(h)} /ColorSpace /DeviceGray /BitsPerComponent 8 "
+             f"/Filter /FlateDecode /Length {len(img)} >>\nstream\n").encode()
+            + img + b"\nendstream")
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0] * (len(objects) + 1)
+    for i in range(len(objects), 0, -1):  # reverse layout order
+        offsets[i] = len(buf)
+        buf += f"{i} 0 obj\n".encode() + objects[i - 1] + b"\nendobj\n"
     xref_at = len(buf)
     buf += f"xref\n0 {len(objects) + 1}\n".encode()
     buf += b"0000000000 65535 f \n"

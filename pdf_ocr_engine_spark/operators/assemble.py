@@ -123,7 +123,7 @@ def _overlay_one(payload: bytes, doc: dict, recognizer) -> dict:
         imgs = (page_images[idx]["images"]
                 if idx < len(page_images) else [])
         for img in imgs:
-            words.extend(recognizer(img["data"]))
+            words.extend(recognizer(img))
         texts, coords = words_to_arrays(words)
         _text, nw, spans = page_layout_fast(texts, coords, want_spans=True)
         n_words += nw

@@ -65,7 +65,33 @@ _HASH_A_SEED = 0x9E3779B97F4A7C15
 _HASH_B_SEED = 0xC2B2AE3D27D4EB4F
 
 
-def _minhash_udf(n_hashes: int, shingle_k: int):
+def shingle_hash_expr(text_col, shingle_k: int):
+    """ARRAY<LONG> of 64-bit k-token-shingle hashes, built ENTIRELY
+    JVM-side (tokenize → sliding shingles → per-shingle ``xxhash64``, all
+    inside whole-stage codegen).  This replaces a per-shingle Python
+    blake2b loop that was "per-row Python in all but name" at ~10²
+    shingles/doc — the measured cost center of the whole MinHash stage
+    (VERDICT r3).  Duplicates are kept: the downstream min is idempotent,
+    and deduplicating would cost an extra array pass for nothing.
+
+    Texts shorter than ``shingle_k`` tokens hash as one whole-text
+    shingle; NULL/empty text hashes as the empty string — both match the
+    previous Python tier's semantics."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"),
+                    lambda t: t != F.lit(""))
+    n = F.size(toks)
+    whole = F.array(F.concat_ws(" ", toks))  # n < k (incl. NULL/empty)
+    shingles = F.when(
+        n >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(0), n - shingle_k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1),
+                                               F.lit(shingle_k))))
+    ).otherwise(whole)
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _minhash_mix_udf(n_hashes: int):
     import numpy as np
     import pandas as pd  # noqa: F401 - executor-side dependency
 
@@ -81,42 +107,31 @@ def _minhash_udf(n_hashes: int, shingle_k: int):
     _C = np.uint64(0x9E3779B97F4A7C15)
     _S = np.uint64(33)
 
-    def sig_of(text: str) -> list[int]:
-        toks = (text or "").lower().split()
-        if len(toks) < shingle_k:
-            shingles = {" ".join(toks)} if toks else {""}
-        else:
-            shingles = {" ".join(toks[i:i + shingle_k])
-                        for i in range(len(toks) - shingle_k + 1)}
-        h = np.fromiter((hash_shingle(s) for s in shingles),
-                        dtype=np.uint64, count=len(shingles))
+    def sig_of(hashes) -> list[int]:
+        # int64 xxhash64 values reinterpreted as uint64 lanes — no copy
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
         v = (a[:, None] ^ h[None, :]) * _C + b[:, None]   # uint64 wraparound
         v ^= v >> _S
         # >>1 keeps the min in int64 range (Spark LongType, non-negative)
         return (v.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
 
-    def fn(texts):
-        return texts.map(sig_of)
+    def fn(hash_arrays):
+        return hash_arrays.map(sig_of)
 
     return F.pandas_udf(fn, ArrayType(LongType()))
-
-
-def hash_shingle(s: str) -> int:
-    """Deterministic 64-bit shingle hash (process-independent, unlike
-    Python's salted ``hash()``).  blake2b runs in C — a pure-Python
-    byte-loop hash here dominated the whole MinHash stage."""
-    import hashlib
-
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 64,
                        shingle_k: int = 3) -> DataFrame:
-    """(id, sig ARRAY<LONG>[n_hashes]) — narrow, Arrow-batched."""
-    udf = _minhash_udf(n_hashes, shingle_k)
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+    """(id, sig ARRAY<LONG>[n_hashes]) — narrow, Arrow-batched.  Shingle
+    hashing runs JVM-side (:func:`shingle_hash_expr`); only the n_hashes-way
+    uint64 mixing crosses into Python, as one vectorized numpy op over an
+    already-hashed int64 array."""
+    udf = _minhash_mix_udf(n_hashes)
+    return df.select(
+        F.col(id_col),
+        udf(shingle_hash_expr(F.col(text_col), shingle_k)).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -192,36 +207,42 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def _simhash_udf():
+def _simhash_mix_udf():
     import numpy as np
-    import pandas as pd
+    import pandas as pd  # noqa: F401 - executor-side dependency
 
     shifts = np.arange(64, dtype=np.uint64)
     weights = (np.uint64(1) << shifts).astype(np.uint64)
 
-    def sim_of(text: str) -> int:
-        toks = (text or "").lower().split()
-        if not toks:
+    def sim_of(hashes) -> int:
+        # token hashing already happened JVM-side (xxhash64); this is one
+        # vectorized pass: (n_tokens, 64) bit matrix -> +/-1 vote sums
+        if hashes is None or len(hashes) == 0:
             return 0
-        # one vectorized pass: (n_tokens, 64) bit matrix -> +/-1 vote sums
-        h = np.fromiter(map(hash_shingle, toks), dtype=np.uint64,
-                        count=len(toks))
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
         bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
         acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         out = int((weights * (acc > 0)).sum(dtype=np.uint64))
         # map to signed int64 for Spark LongType
         return out - (1 << 64) if out >= (1 << 63) else out
 
-    def fn(texts):
-        return texts.map(sim_of)
+    def fn(hash_arrays):
+        return hash_arrays.map(sim_of)
 
     return F.pandas_udf(fn, LongType())
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
+    """Per-token hashing runs JVM-side (the k=1 case of
+    :func:`shingle_hash_expr` minus the shingle concat); only the 64-lane
+    bit voting crosses into Python as one numpy op — same split as
+    :func:`minhash_signatures`."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return df.select(F.col(id_col),
-                     _simhash_udf()(F.col(text_col)).alias("simhash"))
+                     _simhash_mix_udf()(tok_hashes).alias("simhash"))
 
 
 def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",

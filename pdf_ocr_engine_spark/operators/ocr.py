@@ -48,16 +48,43 @@ __all__ = [
 
 
 def deterministic_recognizer():
-    """Factory → recognizer for the deterministic FAKERAST page raster.
-    The stand-in for a real OCR model (tesseract is not in this sandbox);
-    same signature a model adapter implements: ``image_bytes → [(text,
-    x0, y0, x1, y1)]`` in top-origin image coords, raising ``ValueError``
-    on undecodable pixels (mapped to ``status='decode_error'``)."""
-    from ..core.pdfscan import decode_page_raster
+    """Factory → the sandbox's deterministic recognizer.  Same signature a
+    real model adapter implements: ``image dict → [(text, x0, y0, x1,
+    y1)]`` in top-origin image coords, raising ``ValueError`` on
+    undecodable pixels (mapped to ``status='decode_error'``).  The image
+    dict is one entry of :func:`core.pdfreal.extract_page_images` —
+    ``data`` (decoded stream bytes) plus the XObject's declared ``width``
+    / ``height`` / ``colorspace`` / ``bpc``, everything needed to
+    interpret raw samples (a real OCR model needs exactly the same).
 
-    def recognize(image_bytes: bytes):
-        _w, _h, words = decode_page_raster(image_bytes)
-        return words
+    Dispatches on the pixel container:
+
+    * ``FAKERAST`` header → the struct-packed word-record container
+      (``core/pdfscan.decode_page_raster``) — the "pixels" of this repo's
+      own scanned fixtures;
+    * 8-bit ``/DeviceGray`` raster of declared size → real pixel OCR
+      (``core/rasterfont.recognize_gray``: projection segmentation +
+      5×7 template classification) — genuine grayscale page images, as a
+      foreign scanner would embed;
+    * anything else → ``ValueError`` (undecodable pixels).
+    """
+    from ..core.pdfscan import RASTER_MAGIC, decode_page_raster
+    from ..core.rasterfont import recognize_gray
+
+    def recognize(image: dict):
+        data = image["data"]
+        if data[:8] == RASTER_MAGIC:
+            _w, _h, words = decode_page_raster(data)
+            return words
+        w, h = image.get("width"), image.get("height")
+        if (image.get("colorspace") == "DeviceGray"
+                and image.get("bpc") == 8
+                and w and h and len(data) == w * h):
+            return recognize_gray(w, h, data)
+        raise ValueError(
+            f"undecodable page image ({image.get('colorspace')}, "
+            f"{image.get('bpc')} bpc, {len(data)} bytes for "
+            f"{w}x{h})")
 
     return recognize
 

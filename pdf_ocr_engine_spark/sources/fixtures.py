@@ -119,6 +119,32 @@ def text_to_scanned_pdf_payload(text: str,
     return build_scanned_pdf(pages)
 
 
+def text_to_pixel_scanned_pdf_payload(text: str,
+                                      words_per_line: int = WORDS_PER_LINE,
+                                      words_per_page: int | None = None,
+                                      ) -> bytes:
+    """Image-only PDF whose pages embed *genuine grayscale rasters* of the
+    word grid (5×7 bitmap font) inside a foreign document structure —
+    extraction must run real pixel OCR (``core/rasterfont``), not the
+    FAKERAST container decode.  Paginated identically to
+    :func:`text_to_scanned_pdf_payload` so all scanned flavors share one
+    oracle; page size is computed from the ink extent (the fixed 612-pt
+    sheet can overflow: 12 max-width corpus words span 630 pt)."""
+    from ..core.pdfscan import build_pixel_scanned_pdf
+
+    tokens = text.split()
+    per_page = words_per_page or max(len(tokens), 1)
+    pages = []
+    for i in range(0, len(tokens), per_page):
+        words = layout_words(tokens[i:i + per_page], words_per_line)
+        w = max((x1 for _, _, _, x1, _ in words), default=602.0) + MARGIN
+        h = max((y1 for *_, y1 in words), default=782.0) + MARGIN
+        pages.append({"width": w, "height": h, "words": words})
+    if not pages:
+        pages = [{"width": 612.0, "height": 792.0, "words": []}]
+    return build_pixel_scanned_pdf(pages)
+
+
 # --------------------------------------------------------------------------
 # Self-contained fixture corpus (FIXTURES.md §1)
 # --------------------------------------------------------------------------

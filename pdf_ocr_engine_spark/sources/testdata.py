@@ -99,14 +99,21 @@ def scanned_pages_from_documents(spark: SparkSession,
 
 @F.pandas_udf(BinaryType())
 def _text_to_mixed_payload(text, doc_id):
-    """Even doc_ids → born-digital PDF (text layer); odd → scanned
-    image-only PDF (raster pages, OCR tier required).  Both paginate at
-    REAL_PDF_WORDS_PER_PAGE so one oracle covers the whole corpus."""
+    """Even doc_ids → born-digital PDF (text layer); doc_id % 4 == 3 →
+    scanned image-only PDF with FAKERAST rasters; doc_id % 4 == 1 →
+    scanned image-only PDF with *genuine DeviceGray pixel* rasters in a
+    foreign document structure (real OCR segmentation+classification must
+    run).  All paginate at REAL_PDF_WORDS_PER_PAGE so one oracle covers
+    the whole corpus."""
     import pandas as pd
+
+    from .fixtures import text_to_pixel_scanned_pdf_payload
 
     out = []
     for t, d in zip(text, doc_id):
-        fn = (text_to_real_pdf_payload if int(d) % 2 == 0
+        d = int(d)
+        fn = (text_to_real_pdf_payload if d % 2 == 0
+              else text_to_pixel_scanned_pdf_payload if d % 4 == 1
               else text_to_scanned_pdf_payload)
         out.append(fn(t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE))
     return pd.Series(out)

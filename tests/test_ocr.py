@@ -276,3 +276,124 @@ class TestHybridDocument:
             [("u", _hybrid_pdf(["a", "b"], ["c", "d"]))],
             "url string, html binary")
         assert with_needs_ocr(df).collect()[0].needs_ocr is True
+
+
+class TestPixelRaster:
+    """Genuine-pixel tier (core/rasterfont.py + build_pixel_scanned_pdf):
+    real DeviceGray samples, real projection/template OCR — the closest
+    sandbox analog of extractor.ts:12-37 -> ocr.ts:50-110."""
+
+    def test_render_recognize_roundtrip(self):
+        from pdf_ocr_engine_spark.core.rasterfont import (
+            recognize_gray,
+            render_words_gray,
+        )
+
+        words = layout_words(TOKENS)
+        w = max(x1 for *_, x1, _ in words) + 10
+        h = max(y1 for *_, y1 in words) + 10
+        out = recognize_gray(w, h, render_words_gray(w, h, words))
+        assert [t for t, *_ in out] == [t for t, *_ in words]
+        for (t, x0, y0, x1, y1), (_, rx0, ry0, rx1, ry1) in zip(words, out):
+            # recognized box = ink extent, inside the layout box
+            assert x0 <= rx0 < rx1 <= x1 and y0 <= ry0 < ry1 <= y1
+
+    def test_every_glyph_pair_segments(self):
+        """Exhaustive: for every ordered glyph pair, a 2-char word stays
+        one word and two 1-char words stay separate — the geometry the
+        segmenter's 4-column threshold rests on, proven over the whole
+        font, not just corpus text."""
+        from pdf_ocr_engine_spark.core.rasterfont import (
+            FONT_5X7,
+            recognize_gray,
+            render_words_gray,
+        )
+
+        chars = sorted(FONT_5X7)
+        joined, split = [], []
+        x = 10.0
+        for a in chars:
+            for b in chars:
+                joined.append((a + b, x, 10.0, x + 12.0, 22.0))
+                split.append((a, x, 30.0, x + 6.0, 42.0))
+                split.append((b, x + 10.0, 30.0, x + 16.0, 42.0))
+                x += 22.0
+        w = int(x) + 10
+        out = recognize_gray(
+            w, 52, render_words_gray(w, 52, joined + split))
+        texts = [t for t, *_ in out]
+        n = len(chars) ** 2
+        assert texts[:n] == [t for t, *_ in joined]
+        assert texts[n:] == [t for t, *_ in split]
+
+    def test_unknown_char_raises(self):
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+        with pytest.raises(ValueError, match="not in the 5x7"):
+            render_words_gray(100, 40, [("café", 10.0, 10.0, 34.0, 22.0)])
+
+    def test_foreign_structure_parses(self):
+        """Inherited /MediaBox, /Contents ref->array-of-streams, reversed
+        object order, per-page image names — none of which this repo's
+        other writers emit."""
+        from pdf_ocr_engine_spark.core.pdfreal import detect_pages_text
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_pixel_scanned_pdf_payload,
+        )
+
+        text = " ".join(TOKENS * 5)
+        pdf = text_to_pixel_scanned_pdf_payload(text, 12, 36)
+        assert pdf.count(b"/MediaBox") == 1          # inherited, once
+        assert b"[3 0 R" not in pdf[:20]             # sanity
+        assert detect_pages_text(pdf) == [False, False, False]
+        doc = parse_real_pdf(pdf)
+        assert len(doc["pages"]) == 3
+        imgs = extract_page_images(pdf)
+        assert [len(p["images"]) for p in imgs] == [1, 1, 1]
+        assert all(i["colorspace"] == "DeviceGray" and i["bpc"] == 8
+                   for p in imgs for i in p["images"])
+
+    def test_pixel_pdf_extracts_to_grid_text(self):
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_pixel_scanned_pdf_payload,
+        )
+
+        text = " ".join(TOKENS * 5)
+        pdf = text_to_pixel_scanned_pdf_payload(text, 12, 36)
+        r = extract_document(pdf, "eng",
+                             recognizer=deterministic_recognizer())
+        toks = text.split()
+        exp = "\f".join(expected_text(toks[i:i + 36])
+                        for i in range(0, len(toks), 36))
+        assert r["status"] == "ok"
+        assert r["text"] == exp
+        assert r["n_words"] == len(toks)
+
+    def test_garbage_pixels_fail_loud(self, monkeypatch):
+        """Valid zlib, unrecognizable ink: recognition must FAIL (the
+        recognizer has no access to any word list), mapping to
+        status='decode_error' upstream."""
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core import rasterfont
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+
+        blob = np.full((40, 100), 255, dtype=np.uint8)
+        blob[12:19, 10:18] = 0  # 8px-wide ink run: wider than any glyph
+        monkeypatch.setattr(rasterfont, "render_words_gray",
+                            lambda w, h, words: blob.tobytes())
+        pdf = build_pixel_scanned_pdf(
+            [{"width": 100, "height": 40, "words": []}])
+        r = extract_document(pdf, "eng",
+                             recognizer=deterministic_recognizer())
+        assert r["status"] == "decode_error"
+        assert "recognizer" in r["error"]
+
+    def test_blank_page_is_empty(self):
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_pixel_scanned_pdf_payload,
+        )
+
+        r = extract_document(text_to_pixel_scanned_pdf_payload(""), "eng",
+                             recognizer=deterministic_recognizer())
+        assert (r["status"], r["n_pages"], r["n_words"]) == ("empty", 1, 0)
