@@ -18,9 +18,14 @@ Two codec tiers:
   magic ``FAKEIMG1``/``FAKEAUD1``/``FAKEVID1`` carry a tiny header and a
   well-defined pixel model (payload bytes row-major, formula-filled past
   the payload), so decode / resize / frame-grab / embed run END TO END —
-  real plans, real numpy math, oracle-checkable outputs.  Real-format
-  *pixel* decode (PIL/pyav) still raises ``NotImplementedError`` at one
-  clearly-marked point per function; swapping it in changes nothing else.
+  real plans, real numpy math, oracle-checkable outputs.
+
+Real-format *pixel* decode is tiered: PNG decodes for real via the
+pure-stdlib codec in ``core/pngcodec.py`` (zlib inflate + the five spec
+filters — no library needed); JPEG/GIF and exotic PNGs (Adam7) go through
+an optional-PIL adapter that activates when ``PIL`` is importable and
+otherwise raises ``NotImplementedError`` at one clearly-marked point per
+function.  Swapping a codec in changes nothing downstream.
 """
 
 from __future__ import annotations
@@ -154,31 +159,76 @@ def decode_media_header(data: bytes | None) -> tuple[str, int | None, int | None
     return ("unknown", None, None, None)
 
 
-def decode_image_pixels(data: bytes):
-    """Fake-codec pixel decode → ``uint8 ndarray (h, w)``.
+def _pil_image_module():
+    """Guarded PIL import — ``PIL.Image`` when installed, else ``None``.
+    The sandbox ships no PIL; real deployments drop it in and the JPEG/GIF
+    tier activates with no other change."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+        return Image
+    except ImportError:
+        return None
 
-    Pixel model (deterministic, shared with the DuckDB oracles): row-major
-    payload bytes fill the image; cells past the payload take the formula
-    ``(flat_index*31 + w*7 + h*13) % 256``.  Real image formats (PNG/JPEG
-    detected by :func:`decode_media_header`) still need a codec library —
-    that, and only that, raises ``NotImplementedError`` here; plug
-    ``PIL.Image.open`` in at this point and every downstream operator
-    (resize / embed) works unchanged."""
+
+def _pil_decode_gray(data: bytes):
+    """PIL adapter: any PIL-readable format → uint8 luma ndarray (h, w)."""
+    import io
+
     import numpy as np
 
-    if not data or data[:8] != IMG_MAGIC:
-        raise NotImplementedError(
-            "real-format pixel decode requires an image codec (PIL); this "
-            "environment ships none — plug it in here (header probing and "
-            "the fake-codec path work without it)")
-    w, h = struct.unpack("<HH", data[8:12])
-    n = w * h
-    idx = np.arange(n, dtype=np.int64)
-    arr = (idx * 31 + w * 7 + h * 13) % 256
-    payload = data[12:12 + n]
-    if payload:
-        arr[:len(payload)] = np.frombuffer(payload, dtype=np.uint8)
-    return arr.reshape(h, w).astype(np.uint8)
+    image_mod = _pil_image_module()
+    if image_mod is None:
+        return None
+    with image_mod.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
+
+
+def decode_image_pixels(data: bytes):
+    """Pixel decode → ``uint8 ndarray (h, w)`` grayscale.
+
+    Three tiers, most-deterministic first:
+
+    * fake codec (``FAKEIMG1``): row-major payload bytes fill the image;
+      cells past the payload take the formula ``(flat_index*31 + w*7 +
+      h*13) % 256`` — deterministic and shared with the DuckDB oracles;
+    * PNG: real decode via the pure-stdlib codec
+      (:mod:`..core.pngcodec` — zlib + spec filters, luma via integer
+      BT.601), falling back to PIL only for the one unsupported feature
+      (Adam7 interlace);
+    * everything else (JPEG, GIF, …): the optional-PIL adapter — raises
+      ``NotImplementedError`` when PIL is absent, so callers treat the
+      row as undecodable DATA, never a task failure."""
+    import numpy as np
+
+    data = bytes(data) if data else b""
+    if data[:8] == IMG_MAGIC:
+        w, h = struct.unpack("<HH", data[8:12])
+        n = w * h
+        idx = np.arange(n, dtype=np.int64)
+        arr = (idx * 31 + w * 7 + h * 13) % 256
+        payload = data[12:12 + n]
+        if payload:
+            arr[:len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+        return arr.reshape(h, w).astype(np.uint8)
+    if data[:8] == _PNG_MAGIC:
+        from ..core import pngcodec
+
+        try:
+            px, color = pngcodec.decode_png(data)
+            return pngcodec.to_gray(px, color)
+        except pngcodec.PngError as exc:
+            gray = _pil_decode_gray(data)
+            if gray is not None:
+                return gray
+            raise ValueError(f"undecodable PNG: {exc}") from exc
+    gray = _pil_decode_gray(data) if data[:2] == b"\xFF\xD8" or \
+        data[:6] in (b"GIF87a", b"GIF89a") else None
+    if gray is not None:
+        return gray
+    raise NotImplementedError(
+        "pixel decode for this format requires an image codec (PIL); "
+        "this environment ships none — PNG (stdlib codec) and the fake "
+        "codec decode without it")
 
 
 def media_metadata(df: DataFrame, media_col: str = "media",
