@@ -1,0 +1,679 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81) — luma decode + encoder.
+
+The reference delegates all raster decode to ``sharp``/``pdf.js``
+(``/root/reference/src/lib/ocr/ocr.ts:67-71``, ``extractor.ts:12-37``);
+this sandbox ships no image library, and PDF scanned pages in the wild
+overwhelmingly embed **DCTDecode (JPEG) image XObjects**.  Baseline
+sequential JPEG is fully specified in the public T.81 spec (Annex F for
+the decoder, Annex K for the standard tables), so the decoder here is
+real: marker parse → canonical Huffman → dequant → batched 8×8 IDCT.
+
+Scope (everything baseline PDF scanners actually emit):
+
+* baseline sequential DCT (SOF0; SOF1 accepted — same coded form),
+  8-bit samples, 1-4 components, any sampling factors ≤ 4 (4:4:4,
+  4:2:2, 4:2:0 included), restart intervals (DRI / RSTn), multi-table
+  DQT/DHT segments, 16-bit quantizer entries;
+* output is the **luma plane** (:func:`decode_jpeg_gray`) — JPEG's Y
+  channel *is* BT.601 luma, which is exactly what OCR and the grayscale
+  multimodal tier consume, and skipping chroma IDCT halves the work;
+* progressive (SOF2), lossless, arithmetic-coded and 12-bit streams
+  raise :class:`JpegUnsupported` — the caller's optional-PIL tier takes
+  those when PIL exists, else the row is undecodable data.
+
+The encoder (:func:`encode_jpeg_gray` / :func:`encode_jpeg_rgb`) is the
+fixture-authoring side: standard Annex K tables, quality scaling per the
+common IJG formula, optional 4:2:0 subsampling and restart intervals.
+At ``quality=100`` every quantizer entry is 1, so a decoded binary page
+raster stays within ±2 of the source — far inside the OCR tier's
+128-threshold margin, keeping recognition deterministic and exact.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "JpegError",
+    "JpegUnsupported",
+    "decode_jpeg_gray",
+    "encode_jpeg_gray",
+    "encode_jpeg_rgb",
+]
+
+
+class JpegError(ValueError):
+    """Malformed JPEG — a data problem, never a task crash."""
+
+
+class JpegUnsupported(JpegError):
+    """Valid JPEG using a coding process outside baseline sequential."""
+
+
+#: zigzag position → natural (row-major) coefficient index (T.81 fig. 5)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8×8 DCT basis ``C`` with ``C[u, x] = c(u)/2 · cos((2x+1)uπ/16)``:
+    forward transform is ``C @ X @ C.T``, inverse is ``C.T @ S @ C``."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * 0.5
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+# --------------------------------------------------------------------------
+# Huffman
+# --------------------------------------------------------------------------
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoder (T.81 Annex F.2.2.3: MINCODE/MAXCODE/
+    VALPTR) — decode walks one bit per code length."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "symbols")
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        if len(counts) != 16 or sum(counts) != len(symbols):
+            raise JpegError("bad Huffman table lengths")
+        self.symbols = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if counts[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += counts[length - 1]
+                k += counts[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            if code <= self.maxcode[length]:
+                return self.symbols[
+                    self.valptr[length] + code - self.mincode[length]]
+        raise JpegError("invalid Huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-stuffing removal.  A non-RST marker mid-scan is a hard error
+    (truncated/corrupt data must not silently decode as zeros)."""
+
+    __slots__ = ("data", "pos", "buf", "cnt")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.cnt = 0
+
+    def bit(self) -> int:
+        if self.cnt == 0:
+            if self.pos >= len(self.data):
+                raise JpegError("entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise JpegError("entropy data exhausted")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise JpegError(
+                        f"marker 0xFF{nxt:02X} inside entropy data")
+            self.buf = b
+            self.cnt = 8
+        self.cnt -= 1
+        return (self.buf >> self.cnt) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, expect: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 F.2.1.3.1)."""
+        self.cnt = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise JpegError("expected restart marker")
+        got = self.data[self.pos + 1]
+        if got != 0xD0 + expect:
+            raise JpegError(
+                f"restart marker out of order: 0xFF{got:02X}, "
+                f"expected 0xFFD{expect}")
+        self.pos += 2
+
+
+def _receive_extend(br: _BitReader, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: t-bit magnitude → signed coefficient."""
+    if t == 0:
+        return 0
+    v = br.bits(t)
+    if v < (1 << (t - 1)):
+        v -= (1 << t) - 1
+    return v
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Baseline JPEG → luma plane as ``uint8 ndarray (h, w)``.
+
+    Decodes the full interleaved scan (all components' entropy data must
+    be walked to stay in sync) but runs IDCT only for the luma component.
+    Raises :class:`JpegUnsupported` for non-baseline coding processes and
+    :class:`JpegError` for malformed data.
+    """
+    if len(data) < 4 or data[:2] != b"\xFF\xD8":
+        raise JpegError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None       # (h, w, [(cid, hs, vs, tq), ...])
+    dri = 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > n:
+            raise JpegError("truncated marker segment")
+        (seg_len,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise JpegError("truncated marker segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq_id = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(
+                        body[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    vals = np.frombuffer(
+                        body[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                if vals.size != 64:
+                    raise JpegError("short DQT")
+                qt[tq_id] = vals
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                counts = list(body[p + 1:p + 17])
+                total = sum(counts)
+                syms = body[p + 17:p + 17 + total]
+                p += 17 + total
+                table = _HuffDecoder(counts, syms)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise JpegUnsupported(f"{prec}-bit samples")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if not (1 <= ncomp <= 4):
+                raise JpegError(f"bad component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegUnsupported(
+                f"coding process SOF{marker - 0xC0} is not baseline")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            return _decode_scan(data, pos + seg_len, frame, body,
+                                qt, huff_dc, huff_ac, dri)
+        elif marker == 0xD9:
+            raise JpegError("EOI before scan data")
+        # APPn / COM / others: skipped
+        pos += seg_len
+    raise JpegError("no SOS marker")
+
+
+def _decode_scan(data: bytes, pos: int, frame, sos_body: bytes,
+                 qt, huff_dc, huff_ac, dri: int) -> np.ndarray:
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise JpegError(f"bad dimensions {w}x{h}")
+    ns = sos_body[0]
+    if ns != len(comps):
+        raise JpegUnsupported("non-interleaved scan")
+    scan_tables = {}
+    for i in range(ns):
+        cid = sos_body[1 + 2 * i]
+        td_ta = sos_body[2 + 2 * i]
+        scan_tables[cid] = (td_ta >> 4, td_ta & 15)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise JpegError("bad sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    luma = comps[0]  # first frame component is Y by convention
+    lum_cid, lh, lv = luma[0], luma[1], luma[2]
+    lum_qt = qt.get(luma[3])
+    if lum_qt is None:
+        raise JpegError(f"missing quant table {luma[3]}")
+    lum_qt_nat_order = lum_qt  # stored in zigzag order, applied in zigzag
+
+    # per-component scan state
+    state = []
+    for cid, hs, vs, tq in comps:
+        if cid not in scan_tables:
+            raise JpegError(f"component {cid} missing from scan")
+        td, ta = scan_tables[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise JpegError("missing Huffman table")
+        state.append({
+            "cid": cid, "hs": hs, "vs": vs,
+            "dc": huff_dc[td], "ac": huff_ac[ta],
+            "qz": qt.get(tq), "pred": 0,
+            "is_luma": cid == lum_cid,
+        })
+        if state[-1]["qz"] is None:
+            raise JpegError(f"missing quant table {tq}")
+
+    br = _BitReader(data, pos)
+    # luma blocks accumulate for one batched IDCT at the end
+    lum_coefs = np.zeros((mcuy * lv * mcux * lh, 64), dtype=np.float64)
+    lum_slots: list[tuple[int, int]] = []  # (block_row, block_col)
+    zig_buf = np.zeros(64, dtype=np.int64)
+    rst_id = 0
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            br.restart(rst_id)
+            rst_id = (rst_id + 1) & 7
+            for st in state:
+                st["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for st in state:
+            for by in range(st["vs"]):
+                for bx in range(st["hs"]):
+                    zig_buf[:] = 0
+                    t = st["dc"].decode(br)
+                    if t > 15:
+                        raise JpegError("bad DC magnitude")
+                    st["pred"] += _receive_extend(br, t)
+                    zig_buf[0] = st["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = st["ac"].decode(br)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegError("AC run past block end")
+                        zig_buf[k] = _receive_extend(br, s)
+                        k += 1
+                    if st["is_luma"]:
+                        idx = len(lum_slots)
+                        dq = zig_buf * st["qz"]
+                        lum_coefs[idx, ZIGZAG] = dq
+                        lum_slots.append((my * st["vs"] + by,
+                                          mx * st["hs"] + bx))
+    # batched IDCT over every luma block: C.T @ S @ C, level shift, clip
+    n_blocks = len(lum_slots)
+    coefs = lum_coefs[:n_blocks].reshape(n_blocks, 8, 8)
+    spatial = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C,
+                        optimize=True) + 128.0
+    blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+    plane_h, plane_w = mcuy * lv * 8, mcux * lh * 8
+    plane = np.zeros((plane_h, plane_w), dtype=np.uint8)
+    for i, (brow, bcol) in enumerate(lum_slots):
+        plane[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = blocks[i]
+    # luma plane resolution vs frame: ceil(w*lh/hmax) — crop, then
+    # upsample if luma itself is subsampled (unusual but legal)
+    comp_w = (w * lh + hmax - 1) // hmax
+    comp_h = (h * lv + vmax - 1) // vmax
+    plane = plane[:comp_h, :comp_w]
+    if comp_w != w or comp_h != h:
+        ys = (np.arange(h, dtype=np.int64) * comp_h) // h
+        xs = (np.arange(w, dtype=np.int64) * comp_w) // w
+        plane = plane[ys][:, xs]
+    return plane
+
+
+# --------------------------------------------------------------------------
+# Encoder (fixture authoring; standard Annex K tables)
+# --------------------------------------------------------------------------
+
+#: T.81 Annex K.1 luminance quantization table, zigzag order
+_STD_LUM_QT = np.array([
+    16, 11, 12, 14, 12, 10, 16, 14,
+    13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37,
+    29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68,
+    87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113,
+    121, 112, 100, 120, 92, 101, 103, 99], dtype=np.int64)
+
+#: Annex K.1 chrominance table, zigzag order
+_STD_CHR_QT = np.array([
+    17, 18, 18, 24, 21, 24, 47, 26,
+    26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 standard Huffman tables: (BITS[1..16], HUFFVAL)
+_STD_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               bytes(range(12)))
+_STD_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+               bytes(range(12)))
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 100 → all-ones (near-lossless), 50 → base."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality {quality} outside [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_encode_table(counts: list[int], symbols: bytes) -> dict:
+    """(BITS, HUFFVAL) → symbol → (code, length) per canonical ordering."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "cnt")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.cnt += 1
+            if self.cnt == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.cnt = 0
+
+    def pad(self) -> None:
+        while self.cnt:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value → (category t, t-bit code)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    code = v if v > 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _encode_block(bw: _BitWriter, coefs_zig: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    dc = int(coefs_zig[0])
+    t, code = _magnitude(dc - pred)
+    c, ln = dc_tab[t]
+    bw.write(c, ln)
+    if t:
+        bw.write(code, t)
+    run = 0
+    last_nz = int(np.max(np.flatnonzero(coefs_zig), initial=0))
+    for k in range(1, 64):
+        v = int(coefs_zig[k])
+        if v == 0:
+            if k > last_nz:
+                c, ln = ac_tab[0x00]  # EOB
+                bw.write(c, ln)
+                break
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        t, code = _magnitude(v)
+        c, ln = ac_tab[(run << 4) | t]
+        bw.write(c, ln)
+        bw.write(code, t)
+        run = 0
+    return dc
+
+
+def _fdct_quant(plane: np.ndarray, qt_zig: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 (H, W multiples of 8) → per-block quantized zigzag
+    coefficients, shape (blocks_y, blocks_x, 64)."""
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+        .astype(np.float64) - 128.0
+    coefs = np.einsum("ux,byxw,vw->byuv", _C, blocks, _C, optimize=True)
+    # natural→zigzag: zig[k] = natural[ZIGZAG[k]]
+    zig = coefs.reshape(by, bx, 64)[:, :, ZIGZAG]
+    return np.rint(zig / qt_zig).astype(np.int64)
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Edge-replicate pad up to multiples of (bh, bw_)."""
+    h, w = plane.shape
+    ph = (-h) % bh
+    pw = (-w) % bw_
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _dqt_segment(tid: int, qt_zig: np.ndarray) -> bytes:
+    body = bytes([tid]) + qt_zig.astype(np.uint8).tobytes()
+    return b"\xFF\xDB" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht_segment(tc: int, th: int, table: tuple) -> bytes:
+    counts, syms = table
+    body = bytes([(tc << 4) | th]) + bytes(counts) + syms
+    return b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray(px: np.ndarray, quality: int = 90,
+                     restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) → single-component baseline JPEG."""
+    arr = np.ascontiguousarray(px, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg_gray wants (h, w)")
+    h, w = arr.shape
+    qt_zig = _scaled_qt(_STD_LUM_QT, quality)
+    coefs = _fdct_quant(_pad_to_blocks(arr, 8, 8), qt_zig)
+    by, bx = coefs.shape[:2]
+    dc_tab = _huff_encode_table(*_STD_DC_LUM)
+    ac_tab = _huff_encode_table(*_STD_AC_LUM)
+    bw = _BitWriter()
+    pred = 0
+    rst = 0
+    ecs = bytearray()
+    n_done = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                bw.pad()
+                ecs += bw.out
+                ecs += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                pred = 0
+            pred = _encode_block(bw, coefs[yb, xb], pred, dc_tab, ac_tab)
+            n_done += 1
+    bw.pad()
+    ecs += bw.out
+    sof = b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + \
+        bytes([1, 0x11, 0])
+    sos = b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    dri = (b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+           if restart_interval else b"")
+    return b"\xFF\xD8" + _dqt_segment(0, qt_zig) + \
+        _dht_segment(0, 0, _STD_DC_LUM) + _dht_segment(1, 0, _STD_AC_LUM) + \
+        dri + sof + sos + bytes(ecs) + b"\xFF\xD9"
+
+
+def encode_jpeg_rgb(px: np.ndarray, quality: int = 90,
+                    subsample: bool = True) -> bytes:
+    """uint8 (h, w, 3) RGB → 3-component YCbCr baseline JPEG
+    (4:2:0 when ``subsample``, else 4:4:4) — exercises the decoder's
+    interleaved multi-component MCU path."""
+    arr = np.ascontiguousarray(px, dtype=np.uint8).astype(np.float64)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb wants (h, w, 3)")
+    h, w = arr.shape[:2]
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.rint(p), 0, 255).astype(np.uint8)
+              for p in (y, cb, cr)]
+    sh = sv = 2 if subsample else 1
+    # luma padded to MCU multiples; chroma averaged down then padded
+    yp = _pad_to_blocks(planes[0], 8 * sv, 8 * sh)
+    if subsample:
+        ch, cw = yp.shape[0] // 2, yp.shape[1] // 2
+        chroma = []
+        for p in planes[1:]:
+            pp = _pad_to_blocks(p, 2, 2).astype(np.float64)
+            down = (pp[0::2, 0::2] + pp[1::2, 0::2] +
+                    pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+            down = np.clip(np.rint(down), 0, 255).astype(np.uint8)
+            chroma.append(_pad_to_blocks(down, 8, 8)[:ch, :cw])
+    else:
+        chroma = [_pad_to_blocks(p, 8, 8) for p in planes[1:]]
+    lum_qt = _scaled_qt(_STD_LUM_QT, quality)
+    chr_qt = _scaled_qt(_STD_CHR_QT, quality)
+    lum_coefs = _fdct_quant(yp, lum_qt)
+    chr_coefs = [_fdct_quant(c, chr_qt) for c in chroma]
+    tabs = {
+        "dcl": _huff_encode_table(*_STD_DC_LUM),
+        "acl": _huff_encode_table(*_STD_AC_LUM),
+        "dcc": _huff_encode_table(*_STD_DC_CHR),
+        "acc": _huff_encode_table(*_STD_AC_CHR),
+    }
+    mcux = yp.shape[1] // (8 * sh)
+    mcuy = yp.shape[0] // (8 * sv)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by_ in range(sv):
+                for bx_ in range(sh):
+                    preds[0] = _encode_block(
+                        bw, lum_coefs[my * sv + by_, mx * sh + bx_],
+                        preds[0], tabs["dcl"], tabs["acl"])
+            for ci, cc in enumerate(chr_coefs):
+                preds[ci + 1] = _encode_block(
+                    bw, cc[my, mx], preds[ci + 1],
+                    tabs["dcc"], tabs["acc"])
+    bw.pad()
+    hv_l = (sh << 4) | sv
+    sof = b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + \
+        bytes([1, hv_l, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = b"\xFF\xDA" + struct.pack(">HB", 12, 3) + \
+        bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return b"\xFF\xD8" + _dqt_segment(0, lum_qt) + _dqt_segment(1, chr_qt) + \
+        _dht_segment(0, 0, _STD_DC_LUM) + _dht_segment(1, 0, _STD_AC_LUM) + \
+        _dht_segment(0, 1, _STD_DC_CHR) + _dht_segment(1, 1, _STD_AC_CHR) + \
+        sof + sos + bytes(bw.out) + b"\xFF\xD9"

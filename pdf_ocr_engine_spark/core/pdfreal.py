@@ -332,6 +332,17 @@ def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
     raise ValueError(f"unsupported stream filter {name}")
 
 
+#: trailing filters whose "decoded" form is an image interchange format —
+#: a stream-filter pass must NOT try to expand them (abbreviated names per
+#: ISO 32000 table 6 included)
+_IMAGE_FILTERS = {
+    "DCTDecode": "DCTDecode", "DCT": "DCTDecode",
+    "JPXDecode": "JPXDecode",
+    "CCITTFaxDecode": "CCITTFaxDecode", "CCF": "CCITTFaxDecode",
+    "JBIG2Decode": "JBIG2Decode",
+}
+
+
 def _rle_decode(data: bytes) -> bytes:
     """RunLengthDecode (ISO 32000 §7.4.5): length byte L — L<128 copies the
     next L+1 bytes literally, L>128 repeats the next byte 257−L times,
@@ -568,27 +579,53 @@ class _Stream:
         self.gen = gen
         self._decoded: bytes | None = None
 
+    def _filter_chain(self, doc: _Doc) -> list[tuple[str, dict | None]]:
+        """Normalized ``(filter_name, decode_parms)`` pairs."""
+        filters = doc.resolve(self.dict.get("Filter"))
+        parms = doc.resolve(self.dict.get("DecodeParms"))
+        if filters is None:
+            filters, parms = [], []
+        elif not isinstance(filters, list):
+            filters, parms = [filters], [parms]
+        elif not isinstance(parms, list):
+            parms = [parms] * len(filters)
+        out: list[tuple[str, dict | None]] = []
+        for i, f in enumerate(filters):
+            pp = doc.resolve(parms[i]) if i < len(parms) else None
+            out.append((str(doc.resolve(f)),
+                        pp if isinstance(pp, dict) else None))
+        return out
+
+    def _decrypted_raw(self, doc: _Doc) -> bytes:
+        data = self.raw
+        if doc.decryptor is not None:
+            # Algorithm-1 per-object decryption before any filter;
+            # XRef streams are spec-exempt but never decoded here
+            data = doc.decryptor.decrypt(self.num, self.gen, data)
+        return data
+
     def decoded(self, doc: _Doc) -> bytes:
         if self._decoded is None:
-            data = self.raw
-            if doc.decryptor is not None:
-                # Algorithm-1 per-object decryption before any filter;
-                # XRef streams are spec-exempt but never decoded here
-                data = doc.decryptor.decrypt(self.num, self.gen, data)
-            filters = doc.resolve(self.dict.get("Filter"))
-            parms = doc.resolve(self.dict.get("DecodeParms"))
-            if filters is None:
-                filters, parms = [], []
-            elif not isinstance(filters, list):
-                filters, parms = [filters], [parms]
-            elif not isinstance(parms, list):
-                parms = [parms] * len(filters)
-            for i, f in enumerate(filters):
-                pp = doc.resolve(parms[i]) if i < len(parms) else None
-                data = _apply_filter(str(doc.resolve(f)), data,
-                                     pp if isinstance(pp, dict) else None)
+            data = self._decrypted_raw(doc)
+            for name, pp in self._filter_chain(doc):
+                data = _apply_filter(name, data, pp)
             self._decoded = data
         return self._decoded
+
+    def decoded_image(self, doc: _Doc) -> tuple[bytes, str | None]:
+        """Decoded bytes of an image XObject: every stream filter applied
+        EXCEPT a trailing image-codec filter (DCTDecode et al.), whose
+        canonical name is returned — per ISO 32000 those bytes are the
+        image interchange format itself (JPEG/JPEG2000/CCITT), consumed
+        by an image codec rather than a stream filter."""
+        data = self._decrypted_raw(doc)
+        chain = self._filter_chain(doc)
+        for i, (name, pp) in enumerate(chain):
+            canon = _IMAGE_FILTERS.get(name)
+            if canon is not None and i == len(chain) - 1:
+                return data, canon
+            data = _apply_filter(name, data, pp)
+        return data, None
 
 
 # --------------------------------------------------------------------------
@@ -1432,9 +1469,9 @@ def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
                     subtype = str(doc.resolve(obj.dict.get("Subtype", "")))
                     if subtype == "Image":
                         try:
-                            blob = obj.decoded(doc)
+                            blob, img_filter = obj.decoded_image(doc)
                         except Exception:  # noqa: BLE001 - bad image ≠ bad page
-                            blob = None
+                            blob, img_filter = None, None
                         if blob is not None:
                             w = doc.resolve(obj.dict.get("Width"))
                             h = doc.resolve(obj.dict.get("Height"))
@@ -1443,6 +1480,10 @@ def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
                                 obj.dict.get("BitsPerComponent"))
                             images.append({
                                 "data": blob,
+                                # trailing image-codec filter (DCTDecode …)
+                                # whose bytes `data` still are, or None when
+                                # fully decoded to raw samples
+                                "filter": img_filter,
                                 "width": int(w)
                                 if isinstance(w, (int, float)) else None,
                                 "height": int(h)

@@ -138,7 +138,7 @@ def build_scanned_pdf(pages: list[dict]) -> bytes:
     return bytes(buf)
 
 
-def build_pixel_scanned_pdf(pages: list[dict]) -> bytes:
+def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     """Image-only PDF whose page images are *genuine rasters* — 8-bit
     ``/DeviceGray`` samples of the word grid printed with the 5×7 bitmap
     font (``core/rasterfont``), not the FAKERAST container.  Recognition
@@ -163,8 +163,18 @@ def build_pixel_scanned_pdf(pages: list[dict]) -> bytes:
     y1)]}`` like :func:`build_scanned_pdf`; the shared MediaBox is the
     per-axis max so every page's ink fits.  Raises ``ValueError`` (from
     the renderer) on characters outside the 5×7 font.
+
+    ``codec`` picks the raster container: ``"flate"`` embeds raw
+    DeviceGray samples behind FlateDecode; ``"jpeg"`` embeds a baseline
+    JPEG (``core/jpegcodec``, quality 100 — quantizers all 1, pixel error
+    ≤ 2, far inside the recognizer's 128-ink-threshold margin) behind
+    **DCTDecode**, the raster format real scanners actually emit, so the
+    OCR tier exercises the JPEG decode path end to end.
     """
     from .rasterfont import render_words_gray
+
+    if codec not in ("flate", "jpeg"):
+        raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
     w = max((float(p.get("width") or 612.0) for p in pages), default=612.0)
@@ -180,7 +190,17 @@ def build_pixel_scanned_pdf(pages: list[dict]) -> bytes:
     ]
     for i, page in enumerate(pages):
         samples = render_words_gray(int(w), int(h), page.get("words") or [])
-        img = zlib.compress(samples)
+        if codec == "jpeg":
+            import numpy as np
+
+            from .jpegcodec import encode_jpeg_gray
+            img = encode_jpeg_gray(
+                np.frombuffer(samples, dtype=np.uint8)
+                .reshape(int(h), int(w)), quality=100)
+            filter_name = "DCTDecode"
+        else:
+            img = zlib.compress(samples)
+            filter_name = "FlateDecode"
         o = first + 5 * i
         part_a = f"q {_fmt(w)} 0 0 {_fmt(h)} 0 0 cm".encode("latin-1")
         part_b = f"/Px{i} Do Q".encode("latin-1")
@@ -195,8 +215,8 @@ def build_pixel_scanned_pdf(pages: list[dict]) -> bytes:
         objects.append(
             (f"<< /Type /XObject /Subtype /Image /Width {int(w)} "
              f"/Height {int(h)} /ColorSpace /DeviceGray /BitsPerComponent 8 "
-             f"/Filter /FlateDecode /Length {len(img)} >>\nstream\n").encode()
-            + img + b"\nendstream")
+             f"/Filter /{filter_name} /Length {len(img)} >>\nstream\n"
+             ).encode() + img + b"\nendstream")
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0] * (len(objects) + 1)

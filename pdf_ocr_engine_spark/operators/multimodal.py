@@ -22,10 +22,12 @@ Two codec tiers:
 
 Real-format *pixel* decode is tiered: PNG decodes for real via the
 pure-stdlib codec in ``core/pngcodec.py`` (zlib inflate + the five spec
-filters — no library needed); JPEG/GIF and exotic PNGs (Adam7) go through
-an optional-PIL adapter that activates when ``PIL`` is importable and
-otherwise raises ``NotImplementedError`` at one clearly-marked point per
-function.  Swapping a codec in changes nothing downstream.
+filters) and baseline JPEG via ``core/jpegcodec.py`` (T.81 Huffman +
+batched IDCT, luma plane out) — no library needed for either; GIF and
+exotic streams (Adam7 PNG, progressive JPEG) go through an optional-PIL
+adapter that activates when ``PIL`` is importable and otherwise raises
+``NotImplementedError`` at one clearly-marked point per function.
+Swapping a codec in changes nothing downstream.
 """
 
 from __future__ import annotations
@@ -221,14 +223,30 @@ def decode_image_pixels(data: bytes):
             if gray is not None:
                 return gray
             raise ValueError(f"undecodable PNG: {exc}") from exc
-    gray = _pil_decode_gray(data) if data[:2] == b"\xFF\xD8" or \
-        data[:6] in (b"GIF87a", b"GIF89a") else None
+    if data[:2] == b"\xFF\xD8":
+        from ..core import jpegcodec
+
+        try:
+            return jpegcodec.decode_jpeg_gray(data)
+        except jpegcodec.JpegUnsupported as exc:
+            gray = _pil_decode_gray(data)
+            if gray is not None:
+                return gray
+            raise NotImplementedError(
+                f"JPEG coding process needs PIL: {exc}") from exc
+        except jpegcodec.JpegError as exc:
+            gray = _pil_decode_gray(data)
+            if gray is not None:
+                return gray
+            raise ValueError(f"undecodable JPEG: {exc}") from exc
+    gray = _pil_decode_gray(data) if data[:6] in (b"GIF87a", b"GIF89a") \
+        else None
     if gray is not None:
         return gray
     raise NotImplementedError(
         "pixel decode for this format requires an image codec (PIL); "
-        "this environment ships none — PNG (stdlib codec) and the fake "
-        "codec decode without it")
+        "this environment ships none — PNG and baseline JPEG (stdlib "
+        "codecs) and the fake codec decode without it")
 
 
 def media_metadata(df: DataFrame, media_col: str = "media",

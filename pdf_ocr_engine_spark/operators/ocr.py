@@ -62,12 +62,17 @@ def deterministic_recognizer():
     * ``FAKERAST`` header → the struct-packed word-record container
       (``core/pdfscan.decode_page_raster``) — the "pixels" of this repo's
       own scanned fixtures;
+    * **DCTDecode** image XObjects (``filter == 'DCTDecode'`` from
+      ``decoded_image``, or raw JPEG magic) → baseline JPEG decode via
+      the pure-stdlib codec (``core/jpegcodec``), luma plane into the
+      same pixel OCR — the dominant raster format real scanners embed;
     * 8-bit ``/DeviceGray`` raster of declared size → real pixel OCR
       (``core/rasterfont.recognize_gray``: projection segmentation +
       5×7 template classification) — genuine grayscale page images, as a
       foreign scanner would embed;
     * anything else → ``ValueError`` (undecodable pixels).
     """
+    from ..core.jpegcodec import JpegError, decode_jpeg_gray
     from ..core.pdfscan import RASTER_MAGIC, decode_page_raster
     from ..core.rasterfont import recognize_gray
 
@@ -76,6 +81,14 @@ def deterministic_recognizer():
         if data[:8] == RASTER_MAGIC:
             _w, _h, words = decode_page_raster(data)
             return words
+        if image.get("filter") == "DCTDecode" or data[:2] == b"\xFF\xD8":
+            try:
+                gray = decode_jpeg_gray(data)
+            except JpegError as exc:
+                raise ValueError(
+                    f"undecodable JPEG page image: {exc}") from exc
+            gh, gw = gray.shape
+            return recognize_gray(gw, gh, gray.tobytes())
         w, h = image.get("width"), image.get("height")
         if (image.get("colorspace") == "DeviceGray"
                 and image.get("bpc") == 8

@@ -122,14 +122,17 @@ def text_to_scanned_pdf_payload(text: str,
 def text_to_pixel_scanned_pdf_payload(text: str,
                                       words_per_line: int = WORDS_PER_LINE,
                                       words_per_page: int | None = None,
+                                      codec: str = "flate",
                                       ) -> bytes:
     """Image-only PDF whose pages embed *genuine grayscale rasters* of the
     word grid (5×7 bitmap font) inside a foreign document structure —
     extraction must run real pixel OCR (``core/rasterfont``), not the
-    FAKERAST container decode.  Paginated identically to
-    :func:`text_to_scanned_pdf_payload` so all scanned flavors share one
-    oracle; page size is computed from the ink extent (the fixed 612-pt
-    sheet can overflow: 12 max-width corpus words span 630 pt)."""
+    FAKERAST container decode.  ``codec="jpeg"`` embeds the raster as a
+    baseline JPEG behind **DCTDecode** (what real scanners emit), so the
+    stdlib JPEG decoder sits in the OCR path too.  Paginated identically
+    to :func:`text_to_scanned_pdf_payload` so all scanned flavors share
+    one oracle; page size is computed from the ink extent (the fixed
+    612-pt sheet can overflow: 12 max-width corpus words span 630 pt)."""
     from ..core.pdfscan import build_pixel_scanned_pdf
 
     tokens = text.split()
@@ -142,7 +145,7 @@ def text_to_pixel_scanned_pdf_payload(text: str,
         pages.append({"width": w, "height": h, "words": words})
     if not pages:
         pages = [{"width": 612.0, "height": 792.0, "words": []}]
-    return build_pixel_scanned_pdf(pages)
+    return build_pixel_scanned_pdf(pages, codec=codec)
 
 
 # --------------------------------------------------------------------------

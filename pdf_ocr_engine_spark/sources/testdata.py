@@ -103,8 +103,10 @@ def _text_to_mixed_payload(text, doc_id):
     scanned image-only PDF with FAKERAST rasters; doc_id % 4 == 1 →
     scanned image-only PDF with *genuine DeviceGray pixel* rasters in a
     foreign document structure (real OCR segmentation+classification must
-    run).  All paginate at REAL_PDF_WORDS_PER_PAGE so one oracle covers
-    the whole corpus."""
+    run) — half of those (doc_id % 8 == 5) compressed as baseline JPEG
+    behind DCTDecode, so the stdlib JPEG decoder is in the checked path.
+    All paginate at REAL_PDF_WORDS_PER_PAGE so one oracle covers the
+    whole corpus."""
     import pandas as pd
 
     from .fixtures import text_to_pixel_scanned_pdf_payload
@@ -112,10 +114,17 @@ def _text_to_mixed_payload(text, doc_id):
     out = []
     for t, d in zip(text, doc_id):
         d = int(d)
-        fn = (text_to_real_pdf_payload if d % 2 == 0
-              else text_to_pixel_scanned_pdf_payload if d % 4 == 1
-              else text_to_scanned_pdf_payload)
-        out.append(fn(t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE))
+        if d % 2 == 0:
+            payload = text_to_real_pdf_payload(
+                t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE)
+        elif d % 4 == 1:
+            payload = text_to_pixel_scanned_pdf_payload(
+                t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE,
+                codec="jpeg" if d % 8 == 5 else "flate")
+        else:
+            payload = text_to_scanned_pdf_payload(
+                t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE)
+        out.append(payload)
     return pd.Series(out)
 
 
