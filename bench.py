@@ -191,9 +191,18 @@ def main() -> int:
     )
 
     def aux_runs():
+        # mixed corpus materialized ONCE (like the encrypted corpus below):
+        # fixture ENCODING — JPEG/raster synthesis — is writer-side test
+        # infrastructure; the production direction this number measures is
+        # probe → route → decode pixels → recognize → layout
+        mix_path = os.path.join(build_dir, f"bench_mixed_v1_sf{sf}.parquet")
+        if not os.path.exists(os.path.join(mix_path, "_SUCCESS")):
+            mixed_scan_pages_from_documents(spark, sf_dir) \
+                .repartition(cpus * 2).write.mode("overwrite") \
+                .parquet(mix_path)
+        mixed_pages = spark.read.parquet(mix_path)
         yield "ocr_scanned", lambda: extract_with_ocr(
-            mixed_scan_pages_from_documents(spark, sf_dir)
-            .repartition(cpus * 2), cache_probe=True) \
+            mixed_pages, cache_probe=True) \
             .agg(F.sum("n_words"), F.count("*")).collect()
         # encrypted corpus materialized ONCE (like the headline pages):
         # fixture ENCRYPTION is writer-side test infrastructure; the

@@ -82,100 +82,92 @@ _C = _dct_matrix()
 # --------------------------------------------------------------------------
 
 
-class _HuffDecoder:
-    """Canonical Huffman decoder (T.81 Annex F.2.2.3: MINCODE/MAXCODE/
-    VALPTR) — decode walks one bit per code length."""
-
-    __slots__ = ("mincode", "maxcode", "valptr", "symbols")
-
-    def __init__(self, counts: list[int], symbols: bytes) -> None:
-        if len(counts) != 16 or sum(counts) != len(symbols):
-            raise JpegError("bad Huffman table lengths")
-        self.symbols = symbols
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            if counts[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += counts[length - 1]
-                k += counts[length - 1]
-                self.maxcode[length] = code - 1
-            code <<= 1
-
-    def decode(self, br: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.bit()
-            if code <= self.maxcode[length]:
-                return self.symbols[
-                    self.valptr[length] + code - self.mincode[length]]
-        raise JpegError("invalid Huffman code")
+#: (BITS bytes + HUFFVAL bytes) → 65536-entry flat LUT; a handful of
+#: tables (usually the Annex K standard four) recur across a whole corpus,
+#: so the one-time LUT build amortizes to zero per image.
+_LUT_CACHE: dict[bytes, list[int]] = {}
 
 
-class _BitReader:
-    """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    byte-stuffing removal.  A non-RST marker mid-scan is a hard error
-    (truncated/corrupt data must not silently decode as zeros)."""
+def _huff_lut(counts: list[int], symbols: bytes) -> list[int]:
+    """Canonical Huffman table → flat 16-bit-lookahead LUT.
 
-    __slots__ = ("data", "pos", "buf", "cnt")
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.buf = 0
-        self.cnt = 0
-
-    def bit(self) -> int:
-        if self.cnt == 0:
-            if self.pos >= len(self.data):
-                raise JpegError("entropy data exhausted")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise JpegError("entropy data exhausted")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise JpegError(
-                        f"marker 0xFF{nxt:02X} inside entropy data")
-            self.buf = b
-            self.cnt = 8
-        self.cnt -= 1
-        return (self.buf >> self.cnt) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def restart(self, expect: int) -> None:
-        """Byte-align and consume the RSTn marker (T.81 F.2.1.3.1)."""
-        self.cnt = 0
-        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
-            raise JpegError("expected restart marker")
-        got = self.data[self.pos + 1]
-        if got != 0xD0 + expect:
-            raise JpegError(
-                f"restart marker out of order: 0xFF{got:02X}, "
-                f"expected 0xFFD{expect}")
-        self.pos += 2
+    ``lut[peek16]`` packs ``(code_length << 8) | symbol``; 0 marks an
+    invalid prefix.  One list index replaces the per-bit MINCODE/MAXCODE
+    walk of T.81 F.2.2.3 — same codes, same symbols, ~20× fewer Python
+    operations on the scan's hot path."""
+    if len(counts) != 16 or sum(counts) != len(symbols):
+        raise JpegError("bad Huffman table lengths")
+    key = bytes(counts) + symbols
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lo = code << (16 - length)
+            if lo >= (1 << 16) or code >= (1 << length):
+                raise JpegError("overlong Huffman code space")
+            lut[lo:lo + (1 << (16 - length))] = (length << 8) | symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    if len(_LUT_CACHE) >= 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
 
-def _receive_extend(br: _BitReader, t: int) -> int:
-    """T.81 F.2.2.1 EXTEND: t-bit magnitude → signed coefficient."""
-    if t == 0:
-        return 0
-    v = br.bits(t)
-    if v < (1 << (t - 1)):
-        v -= (1 << t) - 1
-    return v
+def _entropy_stream(data: bytes, pos: int,
+                    ) -> tuple[list[int], int, list[tuple[int, int]]]:
+    """Unstuff the entropy-coded segment starting at ``pos``.
+
+    Returns ``(look, nbits, restarts)`` where ``look[i]`` is the 32-bit
+    big-endian word of clean bytes ``i..i+3`` (zero-padded past the end —
+    every decode checks ``nbits`` at block granularity), ``nbits`` the
+    clean bit count, and ``restarts`` the ``(clean_byte_offset, rst_id)``
+    of each RSTn marker removed from the stream.  A non-RST marker inside
+    the scan is a hard error (truncated/corrupt data must not silently
+    decode as zeros); EOI ends the segment."""
+    arr = np.frombuffer(data, np.uint8)[pos:]
+    segments: list[np.ndarray] = []
+    restarts: list[tuple[int, int]] = []
+    clean_len = 0
+    start = 0
+    for i in np.flatnonzero(arr == 0xFF).tolist():
+        if i < start:
+            continue
+        if i + 1 >= arr.size:
+            raise JpegError("entropy data exhausted")
+        nxt = int(arr[i + 1])
+        if nxt == 0x00:                      # stuffed data byte 0xFF
+            segments.append(arr[start:i + 1])
+            clean_len += i + 1 - start
+            start = i + 2
+        elif 0xD0 <= nxt <= 0xD7:            # restart marker
+            segments.append(arr[start:i])
+            clean_len += i - start
+            restarts.append((clean_len, nxt - 0xD0))
+            start = i + 2
+        elif nxt == 0xD9:                    # EOI — end of scan
+            segments.append(arr[start:i])
+            clean_len += i - start
+            start = -1
+            break
+        else:
+            raise JpegError(f"marker 0xFF{nxt:02X} inside entropy data")
+    if start >= 0:
+        segments.append(arr[start:])
+        clean_len += arr.size - start
+    clean = (np.concatenate(segments) if segments
+             else np.empty(0, np.uint8))
+    padded = np.concatenate([clean, np.zeros(4, np.uint8)])
+    p32 = padded.astype(np.uint32)
+    look = ((p32[:-3] << 24) | (p32[1:-2] << 16)
+            | (p32[2:-1] << 8) | p32[3:]).tolist()
+    return look, clean_len * 8, restarts
 
 
 # --------------------------------------------------------------------------
@@ -239,7 +231,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 total = sum(counts)
                 syms = body[p + 17:p + 17 + total]
                 p += 17 + total
-                table = _HuffDecoder(counts, syms)
+                table = _huff_lut(counts, syms)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
             prec = body[0]
@@ -317,52 +309,161 @@ def _decode_scan(data: bytes, pos: int, frame, sos_body: bytes,
         if state[-1]["qz"] is None:
             raise JpegError(f"missing quant table {tq}")
 
-    br = _BitReader(data, pos)
-    # luma blocks accumulate for one batched IDCT at the end
-    lum_coefs = np.zeros((mcuy * lv * mcux * lh, 64), dtype=np.float64)
+    look, nbits, restarts = _entropy_stream(data, pos)
+    bitpos = 0
+    rst_i = 0
+    # luma blocks accumulate (in zigzag order) for one batched dequant +
+    # IDCT at the end
+    lum_zig = np.zeros((mcuy * lv * mcux * lh, 64), dtype=np.int64)
     lum_slots: list[tuple[int, int]] = []  # (block_row, block_col)
-    zig_buf = np.zeros(64, dtype=np.int64)
-    rst_id = 0
     n_mcu = mcux * mcuy
+    if len(state) == 1 and lh == 1 and lv == 1:
+        # single-component 1×1 sampling (every grayscale scanner page):
+        # flat loop, all-local state — ~30% fewer Python ops per block
+        dc_lut = state[0]["dc"]
+        ac_lut = state[0]["ac"]
+        pred = 0
+        rst_next = 0
+        for m in range(n_mcu):
+            if dri and m and m % dri == 0:
+                if rst_next >= len(restarts):
+                    raise JpegError("expected restart marker")
+                off, rid = restarts[rst_next]
+                rst_next += 1
+                if rid != (rst_next - 1) & 7:
+                    raise JpegError(
+                        f"restart marker out of order: 0xFFD{rid}, "
+                        f"expected 0xFFD{(rst_next - 1) & 7}")
+                if bitpos > off * 8:
+                    raise JpegError("entropy data overran restart marker")
+                bitpos = off * 8
+                pred = 0
+            row = lum_zig[m]
+            e = dc_lut[(look[bitpos >> 3]
+                        >> (16 - (bitpos & 7))) & 0xFFFF]
+            if e == 0:
+                raise JpegError("invalid Huffman code")
+            bitpos += e >> 8
+            t = e & 0xFF
+            if t > 15:
+                raise JpegError("bad DC magnitude")
+            if t:
+                v = (look[bitpos >> 3]
+                     >> (32 - (bitpos & 7) - t)) & ((1 << t) - 1)
+                bitpos += t
+                if v < (1 << (t - 1)):
+                    v -= (1 << t) - 1
+                pred += v
+            row[0] = pred
+            k = 1
+            while k < 64:
+                e = ac_lut[(look[bitpos >> 3]
+                            >> (16 - (bitpos & 7))) & 0xFFFF]
+                if e == 0:
+                    raise JpegError("invalid Huffman code")
+                bitpos += e >> 8
+                rs = e & 0xFF
+                s = rs & 15
+                if s == 0:
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise JpegError("AC run past block end")
+                v = (look[bitpos >> 3]
+                     >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
+                bitpos += s
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                row[k] = v
+                k += 1
+            if bitpos > nbits:
+                raise JpegError("entropy data exhausted")
+        lum_slots = [divmod(m, mcux) for m in range(n_mcu)]
+        n_mcu = 0  # interleaved loop below skipped
     for m in range(n_mcu):
         if dri and m and m % dri == 0:
-            br.restart(rst_id)
-            rst_id = (rst_id + 1) & 7
+            # byte-align onto the next RSTn removed by _entropy_stream
+            if rst_i >= len(restarts):
+                raise JpegError("expected restart marker")
+            off, rid = restarts[rst_i]
+            rst_i += 1
+            if rid != (rst_i - 1) & 7:
+                raise JpegError(
+                    f"restart marker out of order: 0xFFD{rid}, "
+                    f"expected 0xFFD{(rst_i - 1) & 7}")
+            if bitpos > off * 8:
+                raise JpegError("entropy data overran restart marker")
+            bitpos = off * 8
             for st in state:
                 st["pred"] = 0
         my, mx = divmod(m, mcux)
         for st in state:
+            dc_lut = st["dc"]
+            ac_lut = st["ac"]
+            is_luma = st["is_luma"]
             for by in range(st["vs"]):
                 for bx in range(st["hs"]):
-                    zig_buf[:] = 0
-                    t = st["dc"].decode(br)
+                    if is_luma:
+                        idx = len(lum_slots)
+                        row = lum_zig[idx]
+                        lum_slots.append((my * st["vs"] + by,
+                                          mx * st["hs"] + bx))
+                    else:
+                        row = None
+                    e = dc_lut[(look[bitpos >> 3]
+                                >> (16 - (bitpos & 7))) & 0xFFFF]
+                    if e == 0:
+                        raise JpegError("invalid Huffman code")
+                    bitpos += e >> 8
+                    t = e & 0xFF
                     if t > 15:
                         raise JpegError("bad DC magnitude")
-                    st["pred"] += _receive_extend(br, t)
-                    zig_buf[0] = st["pred"]
+                    if t:
+                        v = (look[bitpos >> 3]
+                             >> (32 - (bitpos & 7) - t)) & ((1 << t) - 1)
+                        bitpos += t
+                        if v < (1 << (t - 1)):
+                            v -= (1 << t) - 1
+                        st["pred"] += v
+                    if row is not None:
+                        row[0] = st["pred"]
                     k = 1
                     while k < 64:
-                        rs = st["ac"].decode(br)
-                        r, s = rs >> 4, rs & 15
+                        e = ac_lut[(look[bitpos >> 3]
+                                    >> (16 - (bitpos & 7))) & 0xFFFF]
+                        if e == 0:
+                            raise JpegError("invalid Huffman code")
+                        bitpos += e >> 8
+                        rs = e & 0xFF
+                        s = rs & 15
                         if s == 0:
-                            if r == 15:
+                            if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise JpegError("AC run past block end")
-                        zig_buf[k] = _receive_extend(br, s)
+                        v = (look[bitpos >> 3]
+                             >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
+                        bitpos += s
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        if row is not None:
+                            row[k] = v
                         k += 1
-                    if st["is_luma"]:
-                        idx = len(lum_slots)
-                        dq = zig_buf * st["qz"]
-                        lum_coefs[idx, ZIGZAG] = dq
-                        lum_slots.append((my * st["vs"] + by,
-                                          mx * st["hs"] + bx))
-    # batched IDCT over every luma block: C.T @ S @ C, level shift, clip
+                    if bitpos > nbits:
+                        raise JpegError("entropy data exhausted")
+    # batched dequant + zigzag→natural + IDCT over every luma block:
+    # C.T @ S @ C, level shift, clip
     n_blocks = len(lum_slots)
-    coefs = lum_coefs[:n_blocks].reshape(n_blocks, 8, 8)
+    dq = lum_zig[:n_blocks] * lum_qt_nat_order  # still zigzag order
+    nat = np.zeros((n_blocks, 64), dtype=np.float64)
+    nat[:, ZIGZAG] = dq
+    coefs = nat.reshape(n_blocks, 8, 8)
     spatial = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C,
                         optimize=True) + 128.0
     blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
@@ -538,6 +639,123 @@ def _encode_block(bw: _BitWriter, coefs_zig: np.ndarray, pred: int,
     return dc
 
 
+def _tab_arrays(tab: dict) -> tuple[np.ndarray, np.ndarray]:
+    """symbol → (code, length) dict → dense arrays for vectorized lookup."""
+    code = np.zeros(256, dtype=np.int64)
+    ln = np.zeros(256, dtype=np.int64)
+    for s, (c, length) in tab.items():
+        code[s] = c
+        ln[s] = length
+    return code, ln
+
+
+def _bitsize(a: np.ndarray) -> np.ndarray:
+    """Vectorized T.81 magnitude category: |v| → bit length (0 for 0).
+    Exact for all int magnitudes here (≪ 2^53): log2 is monotonic and
+    only powers of two land on representable boundaries."""
+    return np.where(
+        a == 0, 0,
+        np.floor(np.log2(np.maximum(a, 1))).astype(np.int64) + 1)
+
+
+def _pack_bits(lens: np.ndarray, vals: np.ndarray) -> bytes:
+    """(bit-length, value) emission arrays → padded, 0xFF-stuffed entropy
+    bytes — the vectorized replacement for the per-bit ``_BitWriter``."""
+    j = np.arange(16, dtype=np.int64)
+    shifts = np.maximum(lens[:, None] - 1 - j[None, :], 0)
+    bitmat = ((vals[:, None] >> shifts) & 1).astype(np.uint8)
+    bits = bitmat[j[None, :] < lens[:, None]]
+    pad = (-bits.size) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])  # 1-pad (spec)
+    packed = np.packbits(bits)
+    ff = np.flatnonzero(packed == 0xFF)
+    if ff.size:
+        packed = np.insert(packed, ff + 1, 0)  # byte stuffing
+    return packed.tobytes()
+
+
+def _encode_gray_segment(zz: np.ndarray, dc_code: np.ndarray,
+                         dc_len: np.ndarray, ac_code: np.ndarray,
+                         ac_len: np.ndarray) -> bytes:
+    """One entropy segment (DC pred starts at 0) of single-component
+    blocks ``zz (N, 64)`` — fully vectorized: every Huffman symbol and
+    magnitude-extra emission is computed as numpy arrays, ordered by a
+    ``(block, zigzag_pos, sub)`` lexsort, and bit-packed in one pass."""
+    n = zz.shape[0]
+    recs_b: list[np.ndarray] = []
+    recs_k: list[np.ndarray] = []
+    recs_s: list[np.ndarray] = []
+    recs_l: list[np.ndarray] = []
+    recs_v: list[np.ndarray] = []
+
+    def emit(b, k, s, ln, v):
+        recs_b.append(np.asarray(b, dtype=np.int64))
+        recs_k.append(np.broadcast_to(
+            np.asarray(k, dtype=np.int64), recs_b[-1].shape).copy())
+        recs_s.append(np.broadcast_to(
+            np.asarray(s, dtype=np.int64), recs_b[-1].shape).copy())
+        recs_l.append(np.asarray(ln, dtype=np.int64))
+        recs_v.append(np.asarray(v, dtype=np.int64))
+
+    # DC: symbol (sub 0) + magnitude extra (sub 1) at zigzag pos 0
+    diff = np.diff(zz[:, 0], prepend=0)
+    t_dc = _bitsize(np.abs(diff))
+    if np.any(dc_len[t_dc] == 0):
+        raise ValueError("DC category outside Huffman table")
+    emit(np.arange(n), 0, 0, dc_len[t_dc], dc_code[t_dc])
+    m = t_dc > 0
+    if m.any():
+        mag = np.where(diff > 0, diff,
+                       diff + np.left_shift(1, t_dc) - 1)
+        emit(np.flatnonzero(m), 0, 1, t_dc[m], mag[m])
+
+    # AC: ZRLs (sub 0-2), (run, size) symbol (sub 3), extra (sub 4)
+    b_idx, k0 = np.nonzero(zz[:, 1:])
+    k = k0 + 1
+    if b_idx.size:
+        vals = zz[b_idx, k]
+        first = np.ones(b_idx.size, dtype=bool)
+        first[1:] = b_idx[1:] != b_idx[:-1]
+        prevk = np.empty_like(k)
+        prevk[1:] = k[:-1]
+        prevk[first] = 0
+        run = k - prevk - 1
+        nzrl = run >> 4
+        t_ac = _bitsize(np.abs(vals))
+        sym = ((run & 15) << 4) | t_ac
+        if np.any(ac_len[sym] == 0):
+            raise ValueError("AC (run, size) outside Huffman table")
+        zrl_c, zrl_l = int(ac_code[0xF0]), int(ac_len[0xF0])
+        for zi in range(1, 4):  # run ≤ 62 → at most 3 ZRLs
+            zm = nzrl >= zi
+            if zm.any():
+                emit(b_idx[zm], k[zm], zi - 1,
+                     np.full(int(zm.sum()), zrl_l),
+                     np.full(int(zm.sum()), zrl_c))
+        emit(b_idx, k, 3, ac_len[sym], ac_code[sym])
+        mag = np.where(vals > 0, vals, vals + np.left_shift(1, t_ac) - 1)
+        emit(b_idx, k, 4, t_ac, mag)
+
+    # EOB (zigzag pos 64) for every block whose last AC nonzero is < 63
+    last = np.zeros(n, dtype=np.int64)
+    if b_idx.size:
+        last[b_idx] = k  # k ascends within a block: final write is max
+    eob = np.flatnonzero(last < 63)
+    if eob.size:
+        emit(eob, 64, 0,
+             np.full(eob.size, int(ac_len[0x00])),
+             np.full(eob.size, int(ac_code[0x00])))
+
+    bb = np.concatenate(recs_b)
+    kk = np.concatenate(recs_k)
+    ss = np.concatenate(recs_s)
+    ll = np.concatenate(recs_l)
+    vv = np.concatenate(recs_v)
+    order = np.lexsort((ss, kk, bb))
+    return _pack_bits(ll[order], vv[order])
+
+
 def _fdct_quant(plane: np.ndarray, qt_zig: np.ndarray) -> np.ndarray:
     """(H, W) uint8 (H, W multiples of 8) → per-block quantized zigzag
     coefficients, shape (blocks_y, blocks_x, 64)."""
@@ -582,27 +800,21 @@ def encode_jpeg_gray(px: np.ndarray, quality: int = 90,
     qt_zig = _scaled_qt(_STD_LUM_QT, quality)
     coefs = _fdct_quant(_pad_to_blocks(arr, 8, 8), qt_zig)
     by, bx = coefs.shape[:2]
-    dc_tab = _huff_encode_table(*_STD_DC_LUM)
-    ac_tab = _huff_encode_table(*_STD_AC_LUM)
-    bw = _BitWriter()
-    pred = 0
-    rst = 0
+    zz = coefs.reshape(by * bx, 64)
+    dc_code, dc_len = _tab_arrays(_huff_encode_table(*_STD_DC_LUM))
+    ac_code, ac_len = _tab_arrays(_huff_encode_table(*_STD_AC_LUM))
+    ri = restart_interval
     ecs = bytearray()
-    n_done = 0
-    for yb in range(by):
-        for xb in range(bx):
-            if restart_interval and n_done and \
-                    n_done % restart_interval == 0:
-                bw.pad()
-                ecs += bw.out
-                ecs += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) & 7
-                bw = _BitWriter()
-                pred = 0
-            pred = _encode_block(bw, coefs[yb, xb], pred, dc_tab, ac_tab)
-            n_done += 1
-    bw.pad()
-    ecs += bw.out
+    if ri:
+        # each restart segment is an independent entropy stream (pred
+        # reset, byte-aligned), joined by cycling RSTn markers
+        for si, s in enumerate(range(0, len(zz), ri)):
+            if si:
+                ecs += bytes([0xFF, 0xD0 + ((si - 1) & 7)])
+            ecs += _encode_gray_segment(zz[s:s + ri], dc_code, dc_len,
+                                        ac_code, ac_len)
+    else:
+        ecs += _encode_gray_segment(zz, dc_code, dc_len, ac_code, ac_len)
     sof = b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + \
         bytes([1, 0x11, 0])
     sos = b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
