@@ -612,20 +612,22 @@ class _Stream:
             self._decoded = data
         return self._decoded
 
-    def decoded_image(self, doc: _Doc) -> tuple[bytes, str | None]:
+    def decoded_image(self, doc: _Doc,
+                      ) -> tuple[bytes, str | None, dict | None]:
         """Decoded bytes of an image XObject: every stream filter applied
         EXCEPT a trailing image-codec filter (DCTDecode et al.), whose
-        canonical name is returned — per ISO 32000 those bytes are the
-        image interchange format itself (JPEG/JPEG2000/CCITT), consumed
-        by an image codec rather than a stream filter."""
+        canonical name and DecodeParms are returned — per ISO 32000 those
+        bytes are the image interchange format itself (JPEG/JPEG2000/
+        CCITT), consumed by an image codec rather than a stream filter
+        (CCITTFaxDecode needs /K, /Columns, /Rows from the parms)."""
         data = self._decrypted_raw(doc)
         chain = self._filter_chain(doc)
         for i, (name, pp) in enumerate(chain):
             canon = _IMAGE_FILTERS.get(name)
             if canon is not None and i == len(chain) - 1:
-                return data, canon
+                return data, canon, pp
             data = _apply_filter(name, data, pp)
-        return data, None
+        return data, None, None
 
 
 # --------------------------------------------------------------------------
@@ -1469,21 +1471,29 @@ def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
                     subtype = str(doc.resolve(obj.dict.get("Subtype", "")))
                     if subtype == "Image":
                         try:
-                            blob, img_filter = obj.decoded_image(doc)
+                            blob, img_filter, img_parms = \
+                                obj.decoded_image(doc)
                         except Exception:  # noqa: BLE001 - bad image ≠ bad page
-                            blob, img_filter = None, None
+                            blob, img_filter, img_parms = None, None, None
                         if blob is not None:
                             w = doc.resolve(obj.dict.get("Width"))
                             h = doc.resolve(obj.dict.get("Height"))
                             cs = doc.resolve(obj.dict.get("ColorSpace"))
                             bpc = doc.resolve(
                                 obj.dict.get("BitsPerComponent"))
+                            if isinstance(img_parms, dict):
+                                img_parms = {
+                                    str(k): doc.resolve(v)
+                                    for k, v in img_parms.items()}
                             images.append({
                                 "data": blob,
                                 # trailing image-codec filter (DCTDecode …)
                                 # whose bytes `data` still are, or None when
                                 # fully decoded to raw samples
                                 "filter": img_filter,
+                                # its DecodeParms (CCITT needs /K /Columns
+                                # /Rows /EncodedByteAlign to interpret data)
+                                "decode_parms": img_parms,
                                 "width": int(w)
                                 if isinstance(w, (int, float)) else None,
                                 "height": int(h)

@@ -168,12 +168,16 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     DeviceGray samples behind FlateDecode; ``"jpeg"`` embeds a baseline
     JPEG (``core/jpegcodec``, quality 100 — quantizers all 1, pixel error
     ≤ 2, far inside the recognizer's 128-ink-threshold margin) behind
-    **DCTDecode**, the raster format real scanners actually emit, so the
-    OCR tier exercises the JPEG decode path end to end.
+    **DCTDecode**, the raster format real scanners actually emit;
+    ``"ccitt"`` embeds a 1-bit Group 4 bitmap (``core/ccittcodec``,
+    lossless threshold at 128) behind **CCITTFaxDecode** with real
+    ``/DecodeParms`` (``/K -1 /Columns /Rows``), the dominant
+    black-and-white fax/TIFF-style scan encoding — so the OCR tier
+    exercises all three decode paths end to end.
     """
     from .rasterfont import render_words_gray
 
-    if codec not in ("flate", "jpeg"):
+    if codec not in ("flate", "jpeg", "ccitt"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -190,6 +194,8 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     ]
     for i, page in enumerate(pages):
         samples = render_words_gray(int(w), int(h), page.get("words") or [])
+        extra = ""
+        bpc = 8
         if codec == "jpeg":
             import numpy as np
 
@@ -198,6 +204,17 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                 np.frombuffer(samples, dtype=np.uint8)
                 .reshape(int(h), int(w)), quality=100)
             filter_name = "DCTDecode"
+        elif codec == "ccitt":
+            import numpy as np
+
+            from .ccittcodec import encode_g4
+            img = encode_g4(
+                np.frombuffer(samples, dtype=np.uint8)
+                .reshape(int(h), int(w)) < 128)
+            filter_name = "CCITTFaxDecode"
+            extra = (f" /DecodeParms << /K -1 /Columns {int(w)} "
+                     f"/Rows {int(h)} >>")
+            bpc = 1
         else:
             img = zlib.compress(samples)
             filter_name = "FlateDecode"
@@ -214,9 +231,10 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                            + b" >>\nstream\n" + part + b"\nendstream")
         objects.append(
             (f"<< /Type /XObject /Subtype /Image /Width {int(w)} "
-             f"/Height {int(h)} /ColorSpace /DeviceGray /BitsPerComponent 8 "
-             f"/Filter /{filter_name} /Length {len(img)} >>\nstream\n"
-             ).encode() + img + b"\nendstream")
+             f"/Height {int(h)} /ColorSpace /DeviceGray "
+             f"/BitsPerComponent {bpc} "
+             f"/Filter /{filter_name}{extra} /Length {len(img)} "
+             f">>\nstream\n").encode() + img + b"\nendstream")
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0] * (len(objects) + 1)

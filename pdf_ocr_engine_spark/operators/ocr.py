@@ -66,12 +66,17 @@ def deterministic_recognizer():
       ``decoded_image``, or raw JPEG magic) → baseline JPEG decode via
       the pure-stdlib codec (``core/jpegcodec``), luma plane into the
       same pixel OCR — the dominant raster format real scanners embed;
+    * **CCITTFaxDecode** image XObjects → Group 4 decode via the
+      pure-stdlib T.6 codec (``core/ccittcodec``; /K, /Columns, /Rows,
+      /EncodedByteAlign honoured from the DecodeParms carried on the
+      image dict) — the dominant 1-bit fax/TIFF-style scan encoding;
     * 8-bit ``/DeviceGray`` raster of declared size → real pixel OCR
       (``core/rasterfont.recognize_gray``: projection segmentation +
       5×7 template classification) — genuine grayscale page images, as a
       foreign scanner would embed;
     * anything else → ``ValueError`` (undecodable pixels).
     """
+    from ..core.ccittcodec import CcittError, decode_g4
     from ..core.jpegcodec import JpegError, decode_jpeg_gray
     from ..core.pdfscan import RASTER_MAGIC, decode_page_raster
     from ..core.rasterfont import recognize_gray
@@ -87,6 +92,25 @@ def deterministic_recognizer():
             except JpegError as exc:
                 raise ValueError(
                     f"undecodable JPEG page image: {exc}") from exc
+            gh, gw = gray.shape
+            return recognize_gray(gw, gh, gray.tobytes())
+        if image.get("filter") == "CCITTFaxDecode":
+            parms = image.get("decode_parms") or {}
+            k = parms.get("K", 0)
+            if not isinstance(k, (int, float)) or k >= 0:
+                raise ValueError(
+                    f"unsupported CCITT K={k} (only G4/K<0 decodes)")
+            cols = parms.get("Columns", 1728)
+            rows = parms.get("Rows", image.get("height"))
+            try:
+                gray = decode_g4(
+                    data, int(cols),
+                    int(rows) if rows is not None else None,
+                    encoded_byte_align=bool(
+                        parms.get("EncodedByteAlign", False)))
+            except CcittError as exc:
+                raise ValueError(
+                    f"undecodable CCITT page image: {exc}") from exc
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         w, h = image.get("width"), image.get("height")

@@ -101,12 +101,14 @@ def scanned_pages_from_documents(spark: SparkSession,
 def _text_to_mixed_payload(text, doc_id):
     """Even doc_ids → born-digital PDF (text layer); doc_id % 4 == 3 →
     scanned image-only PDF with FAKERAST rasters; doc_id % 4 == 1 →
-    scanned image-only PDF with *genuine DeviceGray pixel* rasters in a
-    foreign document structure (real OCR segmentation+classification must
-    run) — half of those (doc_id % 8 == 5) compressed as baseline JPEG
-    behind DCTDecode, so the stdlib JPEG decoder is in the checked path.
-    All paginate at REAL_PDF_WORDS_PER_PAGE so one oracle covers the
-    whole corpus."""
+    scanned image-only PDF with *genuine pixel* rasters in a foreign
+    document structure (real OCR segmentation+classification must run),
+    split across the three raster codecs real scanners emit: baseline
+    JPEG behind DCTDecode (doc_id % 8 == 5), 1-bit Group 4 behind
+    CCITTFaxDecode (doc_id % 16 == 9), raw DeviceGray behind FlateDecode
+    (doc_id % 16 == 1) — so the stdlib JPEG and T.6 decoders are both in
+    the checked path.  All paginate at REAL_PDF_WORDS_PER_PAGE so one
+    oracle covers the whole corpus."""
     import pandas as pd
 
     from .fixtures import text_to_pixel_scanned_pdf_payload
@@ -118,9 +120,11 @@ def _text_to_mixed_payload(text, doc_id):
             payload = text_to_real_pdf_payload(
                 t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE)
         elif d % 4 == 1:
+            codec = ("jpeg" if d % 8 == 5
+                     else "ccitt" if d % 16 == 9 else "flate")
             payload = text_to_pixel_scanned_pdf_payload(
                 t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE,
-                codec="jpeg" if d % 8 == 5 else "flate")
+                codec=codec)
         else:
             payload = text_to_scanned_pdf_payload(
                 t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE)
