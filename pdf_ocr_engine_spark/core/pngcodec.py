@@ -16,9 +16,9 @@ Decoder coverage (PNG spec, third edition):
 * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
 * scanline filters 0-4 (None / Sub / Up / Average / Paeth); Sub is
   vectorized as a per-byte-class cumulative sum, Up as one vector add
-* Adam7 interlace is *rejected* with :class:`PngError` — the caller
-  (``operators/multimodal.decode_image_pixels``) falls back to PIL when
-  present, else surfaces the row as undecodable data
+* Adam7 interlace: each of the seven passes is an independently
+  filtered sub-image (PNG spec §8.2), unfiltered with the same kernel
+  and scattered into the full grid by strided assignment
 
 The encoder is deliberately minimal (8-bit gray / RGB / RGBA, selectable
 filter) — enough to author test fixtures and to re-emit rasters, with
@@ -137,13 +137,48 @@ def _unpack_samples(row_bytes: np.ndarray, w: int, depth: int,
     return (groups * weights).sum(axis=2).astype(np.uint8)
 
 
+#: Adam7 pass origins and strides: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_samples(raw: bytes, w: int, h: int, depth: int,
+                    channels: int, interlace: int) -> np.ndarray:
+    """Inflated IDAT → (h, w*channels) uint8 samples, both interlace
+    methods.  Adam7 passes are consumed in spec order, each with its own
+    scanline filtering, and scattered by strided assignment."""
+    bpp_bits = depth * channels
+    fu = max(1, bpp_bits // 8)
+    if interlace == 0:
+        stride = (w * bpp_bits + 7) // 8
+        recon = _unfilter(raw, h, stride, fu)
+        return _unpack_samples(recon, w, depth, channels)
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass contributes zero bytes (spec §8.2)
+        stride_p = (wp * bpp_bits + 7) // 8
+        need = (stride_p + 1) * hp
+        recon = _unfilter(raw[pos:pos + need], hp, stride_p, fu)
+        pos += need
+        sp = _unpack_samples(recon, wp, depth, channels) \
+            .reshape(hp, wp, channels)
+        out[y0::dy, x0::dx] = sp
+    return out.reshape(h, w * channels)
+
+
 def decode_png(data: bytes) -> tuple[np.ndarray, int]:
     """PNG bytes → ``(pixels, color_type)``.
 
     ``pixels`` is uint8 with shape ``(h, w, channels)``; palette images are
     expanded to RGB (channels=3); sub-8-bit gray is scaled to full 8-bit
-    range.  Raises :class:`PngError` on malformed input or the one
-    unsupported feature (Adam7 interlace).
+    range; both interlace methods (none / Adam7) decode.  Raises
+    :class:`PngError` on malformed input.
     """
     ihdr = plte = None
     idat: list[bytes] = []
@@ -160,9 +195,7 @@ def decode_png(data: bytes) -> tuple[np.ndarray, int]:
         ">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise PngError(f"unknown compression/filter method {comp}/{filt}")
-    if interlace == 1:
-        raise PngError("Adam7 interlace unsupported")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise PngError(f"unknown interlace method {interlace}")
     if color not in _CHANNELS or depth not in _VALID_DEPTHS[color]:
         raise PngError(f"bad color/depth {color}/{depth}")
@@ -175,11 +208,7 @@ def decode_png(data: bytes) -> tuple[np.ndarray, int]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise PngError(f"IDAT inflate failed: {exc}") from exc
-    bpp_bits = depth * channels
-    stride = (w * bpp_bits + 7) // 8
-    fu = max(1, bpp_bits // 8)
-    recon = _unfilter(raw, h, stride, fu)
-    samples = _unpack_samples(recon, w, depth, channels)
+    samples = _decode_samples(raw, w, h, depth, channels, interlace)
     if color == 3:  # palette → RGB
         if plte is None or len(plte) % 3:
             raise PngError("palette image without valid PLTE")
@@ -238,11 +267,13 @@ def _filter_row(cur: np.ndarray, prev: np.ndarray, fu: int,
     return (out & 255).astype(np.uint8)
 
 
-def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(px: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """uint8 array (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA → PNG bytes
-    (8-bit, non-interlaced, one IDAT).  ``filter_type`` selects the same
-    scanline filter for every row — 0 for plain fixtures, 1-4 to exercise
-    the decoder's unfilter paths."""
+    (8-bit, one IDAT).  ``filter_type`` selects the same scanline filter
+    for every row — 0 for plain fixtures, 1-4 to exercise the decoder's
+    unfilter paths; ``interlace`` emits Adam7 (each pass filtered
+    independently, per spec)."""
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"bad filter_type {filter_type}")
     arr = np.ascontiguousarray(px, dtype=np.uint8)
@@ -252,14 +283,27 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     color = {1: 0, 3: 2, 4: 6}.get(channels)
     if color is None:
         raise ValueError(f"unsupported channel count {channels}")
-    flat = arr.reshape(h, w * channels)
     fu = channels
-    prev = np.zeros(w * channels, dtype=np.uint8)
     body = bytearray()
-    for y in range(h):
-        body.append(filter_type)
-        body += _filter_row(flat[y], prev, fu, filter_type).tobytes()
-        prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def filter_rows(sub: np.ndarray) -> None:
+        hp, wp = sub.shape[:2]
+        flat = np.ascontiguousarray(sub).reshape(hp, wp * channels)
+        prev = np.zeros(wp * channels, dtype=np.uint8)
+        for y in range(hp):
+            body.append(filter_type)
+            body.extend(_filter_row(flat[y], prev, fu,
+                                    filter_type).tobytes())
+            prev = flat[y]
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                filter_rows(sub)
+    else:
+        filter_rows(arr)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
     return PNG_MAGIC + _chunk(b"IHDR", ihdr) + \
         _chunk(b"IDAT", zlib.compress(bytes(body), 6)) + _chunk(b"IEND", b"")

@@ -22,9 +22,9 @@ Two codec tiers:
 
 Real-format *pixel* decode is tiered: PNG decodes for real via the
 pure-stdlib codec in ``core/pngcodec.py`` (zlib inflate + the five spec
-filters) and baseline JPEG via ``core/jpegcodec.py`` (T.81 Huffman +
-batched IDCT, luma plane out) — no library needed for either; GIF and
-exotic streams (Adam7 PNG, progressive JPEG) go through an optional-PIL
+filters, Adam7 included) and baseline JPEG via ``core/jpegcodec.py``
+(T.81 Huffman + batched IDCT, luma plane out) — no library needed for
+either; GIF and exotic streams (progressive JPEG) go through an optional-PIL
 adapter that activates when ``PIL`` is importable and otherwise raises
 ``NotImplementedError`` at one clearly-marked point per function.
 Swapping a codec in changes nothing downstream.
@@ -194,9 +194,8 @@ def decode_image_pixels(data: bytes):
       cells past the payload take the formula ``(flat_index*31 + w*7 +
       h*13) % 256`` — deterministic and shared with the DuckDB oracles;
     * PNG: real decode via the pure-stdlib codec
-      (:mod:`..core.pngcodec` — zlib + spec filters, luma via integer
-      BT.601), falling back to PIL only for the one unsupported feature
-      (Adam7 interlace);
+      (:mod:`..core.pngcodec` — zlib + spec filters, Adam7 interlace,
+      luma via integer BT.601);
     * everything else (JPEG, GIF, …): the optional-PIL adapter — raises
       ``NotImplementedError`` when PIL is absent, so callers treat the
       row as undecodable DATA, never a task failure."""

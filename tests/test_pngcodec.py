@@ -99,10 +99,51 @@ class TestDecodeRejections:
         with pytest.raises(PngError):
             decode_png(b"GIF89a" + b"\x00" * 20)
 
-    def test_interlace_rejected(self):
-        png = _manual_png(2, 1, 8, 0, b"\x00\x01\x02", interlace=1)
+    def test_unknown_interlace_rejected(self):
+        png = _manual_png(2, 1, 8, 0, b"\x00\x01\x02", interlace=2)
         with pytest.raises(PngError, match="interlace"):
             decode_png(png)
+
+
+class TestAdam7:
+    def test_round_trip_gray_rgb_rgba(self):
+        rng = np.random.default_rng(11)
+        for ch in (1, 3, 4):
+            shape = (21, 13) if ch == 1 else (21, 13, ch)
+            src = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            px, _color = decode_png(encode_png(src, interlace=True))
+            assert (px.reshape(src.shape) == src).all()
+
+    def test_matches_noninterlaced_decode(self):
+        rng = np.random.default_rng(12)
+        src = rng.integers(0, 256, size=(40, 33, 3), dtype=np.uint8)
+        a, _ = decode_png(encode_png(src, interlace=True, filter_type=4))
+        b, _ = decode_png(encode_png(src, filter_type=2))
+        assert (a == b).all()
+
+    def test_tiny_images_with_empty_passes(self):
+        rng = np.random.default_rng(13)
+        for h, w in ((1, 1), (1, 2), (2, 1), (3, 2), (8, 8), (9, 9)):
+            src = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            px, _ = decode_png(encode_png(src, interlace=True))
+            assert (px.reshape(h, w) == src).all(), (h, w)
+
+    def test_truncated_interlaced_idat(self):
+        src = np.zeros((16, 16), dtype=np.uint8)
+        png = bytearray(encode_png(src, interlace=True))
+        # rebuild with an IDAT inflating to fewer bytes than pass 7 needs
+        import struct as _s
+        import zlib as _z
+        from binascii import crc32 as _crc
+        ihdr = _s.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 1)
+
+        def chunk(t, b):
+            return _s.pack(">I", len(b)) + t + b + \
+                _s.pack(">I", _crc(t + b) & 0xFFFFFFFF)
+        short = PNG_MAGIC + chunk(b"IHDR", ihdr) + \
+            chunk(b"IDAT", _z.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+        with pytest.raises(PngError, match="IDAT too short"):
+            decode_png(short)
 
     def test_truncated_idat(self):
         png = _manual_png(4, 4, 8, 0, b"\x00\x01\x02")  # far too short
