@@ -65,73 +65,102 @@ _HASH_A_SEED = 0x9E3779B97F4A7C15
 _HASH_B_SEED = 0xC2B2AE3D27D4EB4F
 
 
-def shingle_hash_expr(text_col, shingle_k: int):
-    """ARRAY<LONG> of 64-bit k-token-shingle hashes, built ENTIRELY
-    JVM-side (tokenize → sliding shingles → per-shingle ``xxhash64``, all
-    inside whole-stage codegen).  This replaces a per-shingle Python
-    blake2b loop that was "per-row Python in all but name" at ~10²
-    shingles/doc — the measured cost center of the whole MinHash stage
-    (VERDICT r3).  Duplicates are kept: the downstream min is idempotent,
-    and deduplicating would cost an extra array pass for nothing.
+def _minhash_sig_udf(n_hashes: int, shingle_k: int):
+    """text → ARRAY<LONG>[n_hashes] MinHash signature, one Arrow-batched
+    pandas UDF, everything inside C-vectorized kernels:
 
-    Texts shorter than ``shingle_k`` tokens hash as one whole-text
-    shingle; NULL/empty text hashes as the empty string — both match the
-    previous Python tier's semantics."""
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"),
-                    lambda t: t != F.lit(""))
-    n = F.size(toks)
-    whole = F.array(F.concat_ws(" ", toks))  # n < k (incl. NULL/empty)
-    shingles = F.when(
-        n >= shingle_k,
-        F.transform(
-            F.sequence(F.lit(0), n - shingle_k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1),
-                                               F.lit(shingle_k))))
-    ).otherwise(whole)
-    return F.transform(shingles, lambda s: F.xxhash64(s))
+    * tokenize: pandas ``str.lower().str.split()`` (whitespace, empties
+      dropped by split semantics);
+    * token hashing: ``pd.util.hash_pandas_object`` — pandas' cython
+      SipHash over the flattened token column, deterministic across
+      processes and platforms (fixed default key), ~170 ns/token;
+    * k-shingle hashes: position-salted xor-multiply mix of the k token
+      hashes, built from offset arithmetic over the flat hash array (no
+      per-shingle strings are ever materialized);
+    * n_hashes-way signature: xor-multiply-shift permutation family per
+      lane, per-doc min via ``np.minimum.reduceat`` on contiguous shingle
+      runs, lanes chunked to bound peak memory.
 
+    Texts with fewer than ``shingle_k`` tokens hash as one whole-text
+    shingle; NULL/empty text as the empty string.  All arithmetic stays
+    in uint64 with wraparound (a modular "(a·x+b) mod p" family silently
+    promotes to float64 in numpy and quantizes the hash space — measured).
 
-def _minhash_mix_udf(n_hashes: int):
+    History: r3 hashed shingles in a per-shingle Python loop (slow
+    everywhere); r4 first moved shingling into JVM higher-order functions
+    (``transform``/``sequence``/``slice``), which was fast steady-state
+    but paid ~2.5 s of one-time codegen+JIT per session for the exotic
+    expression classes — this formulation wins both regimes and keeps the
+    whole stage on the generic Arrow UDF path every Spark job already
+    warms."""
     import numpy as np
-    import pandas as pd  # noqa: F401 - executor-side dependency
+    import pandas as pd
 
-    # Per-row xor-multiply-shift mixers over the 64-bit shingle hash — the
-    # standard practical MinHash family (each row an independent 64-bit
-    # mixing permutation).  All arithmetic stays in uint64 with wraparound;
-    # a naive "(a*x + b) mod 2^61-1" in numpy silently promotes
-    # uint64+int64 → float64 and quantizes the hash space (measured), so the
-    # modular family is NOT expressible vectorized without 128-bit support.
     rng = np.random.RandomState(42)
     a = rng.randint(1, 1 << 62, size=n_hashes).astype(np.uint64) | np.uint64(1)
     b = rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64)
+    pos = rng.randint(1, 1 << 62,
+                      size=shingle_k).astype(np.uint64) | np.uint64(1)
     _C = np.uint64(0x9E3779B97F4A7C15)
     _S = np.uint64(33)
+    _LANE_CHUNK = 8  # bounds peak memory at chunk × n_shingles × 8 B
 
-    def sig_of(hashes) -> list[int]:
-        # int64 xxhash64 values reinterpreted as uint64 lanes — no copy
-        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
-        v = (a[:, None] ^ h[None, :]) * _C + b[:, None]   # uint64 wraparound
-        v ^= v >> _S
-        # >>1 keeps the min in int64 range (Spark LongType, non-negative)
-        return (v.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
+    def sigs_of(texts):
+        n_docs = len(texts)
+        out = np.zeros((n_docs, n_hashes), dtype=np.int64)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        toks = texts.fillna("").str.lower().str.split()
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        k = shingle_k
 
-    def fn(hash_arrays):
-        return hash_arrays.map(sig_of)
+        # whole-text shingle for short docs (count < k, incl. empty)
+        short = np.flatnonzero(counts < k)
+        if short.size:
+            joined = toks.iloc[short].str.join(" ")
+            hs = pd.util.hash_pandas_object(joined, index=False) \
+                .to_numpy()
+            v = (a[:, None] ^ hs[None, :]) * _C + b[:, None]
+            v ^= v >> _S
+            # >>1 keeps values in non-negative int64 (Spark LongType)
+            out[short, :] = (v >> np.uint64(1)).astype(np.int64).T
 
-    return F.pandas_udf(fn, ArrayType(LongType()))
+        long_docs = np.flatnonzero(counts >= k)
+        if long_docs.size:
+            flat = toks.iloc[long_docs].explode()
+            ht = pd.util.hash_pandas_object(flat, index=False).to_numpy()
+            cnt = counts[long_docs]
+            off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            sc = cnt - k + 1                      # shingles per doc (≥ 1)
+            bounds = np.concatenate(([0], np.cumsum(sc)[:-1]))
+            starts = np.repeat(off - bounds, sc) + np.arange(int(sc.sum()))
+            sh = np.zeros(starts.size, dtype=np.uint64)
+            for j in range(k):                    # position-salted combine
+                sh ^= ht[starts + j] * pos[j]
+            sh = (sh * _C) ^ (sh >> _S)
+            for c0 in range(0, n_hashes, _LANE_CHUNK):
+                ac = a[c0:c0 + _LANE_CHUNK, None]
+                bc = b[c0:c0 + _LANE_CHUNK, None]
+                v = (ac ^ sh[None, :]) * _C + bc
+                v ^= v >> _S
+                mins = np.minimum.reduceat(v, bounds, axis=1)
+                out[long_docs, c0:c0 + _LANE_CHUNK] = \
+                    (mins >> np.uint64(1)).astype(np.int64).T
+        return pd.Series(list(out))
+
+    return F.pandas_udf(sigs_of, ArrayType(LongType()))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 64,
                        shingle_k: int = 3) -> DataFrame:
-    """(id, sig ARRAY<LONG>[n_hashes]) — narrow, Arrow-batched.  Shingle
-    hashing runs JVM-side (:func:`shingle_hash_expr`); only the n_hashes-way
-    uint64 mixing crosses into Python, as one vectorized numpy op over an
-    already-hashed int64 array."""
-    udf = _minhash_mix_udf(n_hashes)
+    """(id, sig ARRAY<LONG>[n_hashes]) — narrow, Arrow-batched, zero
+    shuffle; the whole text→signature kernel is one vectorized pandas UDF
+    (:func:`_minhash_sig_udf`)."""
+    udf = _minhash_sig_udf(n_hashes, shingle_k)
     return df.select(
         F.col(id_col),
-        udf(shingle_hash_expr(F.col(text_col), shingle_k)).alias("sig"))
+        udf(F.col(text_col)).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -207,42 +236,49 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def _simhash_mix_udf():
+def _simhash_udf():
+    """text → 64-bit SimHash, one Arrow-batched pandas UDF: tokenize +
+    SipHash token hashing as in :func:`_minhash_sig_udf`, then the ±1 bit
+    vote computed per doc via ``np.add.reduceat`` over the flat token-hash
+    array (bit planes chunked to bound memory).  A doc with no tokens
+    votes nothing and hashes to 0 — same contract as before."""
     import numpy as np
-    import pandas as pd  # noqa: F401 - executor-side dependency
+    import pandas as pd
 
-    shifts = np.arange(64, dtype=np.uint64)
-    weights = (np.uint64(1) << shifts).astype(np.uint64)
+    def sim_of(texts):
+        n_docs = len(texts)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if n_docs == 0:
+            return pd.Series([], dtype="int64")
+        toks = texts.fillna("").str.lower().str.split()
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        nz = np.flatnonzero(counts > 0)
+        if nz.size:
+            flat = toks.iloc[nz].explode()
+            ht = pd.util.hash_pandas_object(flat, index=False).to_numpy()
+            cnt = counts[nz]
+            bounds = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            for b0 in range(0, 64, 16):  # 16 bit planes per pass
+                shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+                bits = ((ht[:, None] >> shifts[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                ones = np.add.reduceat(bits, bounds, axis=0)  # (nz, 16)
+                votes = 2 * ones - cnt[:, None]
+                plane = (votes > 0).astype(np.uint64)
+                out[nz] |= (plane << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
 
-    def sim_of(hashes) -> int:
-        # token hashing already happened JVM-side (xxhash64); this is one
-        # vectorized pass: (n_tokens, 64) bit matrix -> +/-1 vote sums
-        if hashes is None or len(hashes) == 0:
-            return 0
-        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
-        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out = int((weights * (acc > 0)).sum(dtype=np.uint64))
-        # map to signed int64 for Spark LongType
-        return out - (1 << 64) if out >= (1 << 63) else out
-
-    def fn(hash_arrays):
-        return hash_arrays.map(sim_of)
-
-    return F.pandas_udf(fn, LongType())
+    return F.pandas_udf(sim_of, LongType())
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """Per-token hashing runs JVM-side (the k=1 case of
-    :func:`shingle_hash_expr` minus the shingle concat); only the 64-lane
-    bit voting crosses into Python as one numpy op — same split as
-    :func:`minhash_signatures`."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != F.lit(""))
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    """(id, simhash LONG) — narrow, Arrow-batched, zero shuffle; the whole
+    text→signature kernel is one vectorized pandas UDF (same design and
+    rationale as :func:`_minhash_sig_udf`)."""
     return df.select(F.col(id_col),
-                     _simhash_mix_udf()(tok_hashes).alias("simhash"))
+                     _simhash_udf()(F.col(text_col)).alias("simhash"))
 
 
 def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
