@@ -70,6 +70,28 @@ def materialize_html_pages(spark, sf_dir: str, cache_path: str) -> None:
         .write.mode("overwrite").parquet(cache_path))
 
 
+def host_calibration() -> dict:
+    """Fixed-work probes so every recorded run carries a host-speed
+    reference: this shared VM shows multi-x run-to-run throughput swings
+    (BASELINE.md documents a measured ±30% band and worse days), so
+    absolute seconds are only comparable across rounds after dividing by
+    the calibration.  ``matmul2k`` exercises the BLAS thread pool (whole
+    host), ``sort5m`` one core."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2000, 2000))
+    t0 = time.perf_counter()
+    (x @ x).sum()
+    t1 = time.perf_counter()
+    y = rng.random(5_000_000)
+    t2 = time.perf_counter()
+    np.sort(y)
+    t3 = time.perf_counter()
+    return {"matmul2k_sec": round(t1 - t0, 3),
+            "sort5m_sec": round(t3 - t2, 3)}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -238,6 +260,7 @@ def main() -> int:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "calib": host_calibration(),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,

@@ -22,9 +22,10 @@ Two codec tiers:
 
 Real-format *pixel* decode is tiered: PNG decodes for real via the
 pure-stdlib codec in ``core/pngcodec.py`` (zlib inflate + the five spec
-filters, Adam7 included) and baseline JPEG via ``core/jpegcodec.py``
-(T.81 Huffman + batched IDCT, luma plane out) — no library needed for
-either; GIF and exotic streams (progressive JPEG) go through an optional-PIL
+filters, Adam7 included), baseline JPEG via ``core/jpegcodec.py``
+(T.81 Huffman + batched IDCT, luma plane out), and GIF via
+``core/gifcodec.py`` (LZW + color tables) — no library needed for any of
+them; exotic streams (progressive JPEG) go through an optional-PIL
 adapter that activates when ``PIL`` is importable and otherwise raises
 ``NotImplementedError`` at one clearly-marked point per function.
 Swapping a codec in changes nothing downstream.
@@ -238,14 +239,20 @@ def decode_image_pixels(data: bytes):
             if gray is not None:
                 return gray
             raise ValueError(f"undecodable JPEG: {exc}") from exc
-    gray = _pil_decode_gray(data) if data[:6] in (b"GIF87a", b"GIF89a") \
-        else None
-    if gray is not None:
-        return gray
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..core import gifcodec
+
+        try:
+            return gifcodec.decode_gif_gray(data)
+        except gifcodec.GifError as exc:
+            gray = _pil_decode_gray(data)
+            if gray is not None:
+                return gray
+            raise ValueError(f"undecodable GIF: {exc}") from exc
     raise NotImplementedError(
         "pixel decode for this format requires an image codec (PIL); "
-        "this environment ships none — PNG and baseline JPEG (stdlib "
-        "codecs) and the fake codec decode without it")
+        "this environment ships none — PNG, baseline JPEG, and GIF "
+        "(stdlib codecs) and the fake codec decode without it")
 
 
 def media_metadata(df: DataFrame, media_col: str = "media",

@@ -248,14 +248,17 @@ class TestMultimodal:
         assert px.shape == (2, 3)
         assert px[0, 0] == 5 and px[0, 1] == 6
         assert px[0, 2] == (2 * 31 + 3 * 7 + 2 * 13) % 256
-        # PNG/JPEG decode for real now — truncated ones are undecodable DATA
+        # PNG/JPEG/GIF decode for real now — truncated ones are
+        # undecodable DATA
         with pytest.raises(ValueError):
             decode_image_pixels(b"\x89PNG\r\n\x1a\nrest")
         with pytest.raises(ValueError):
             decode_image_pixels(b"\xFF\xD8\xFF\xE0rest")
-        # GIF still needs a codec library — only that path raises NIE
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_image_pixels(b"GIF89a rest")
+        # an unknown container is the one remaining NIE plug point
+        with pytest.raises(NotImplementedError):
+            decode_image_pixels(b"BM unknown bitmap format")
         assert px.dtype == np.uint8
 
     def test_resize_nearest_neighbour(self, spark):
