@@ -14,11 +14,16 @@ Scope (everything baseline PDF scanners actually emit):
   8-bit samples, 1-4 components, any sampling factors ≤ 4 (4:4:4,
   4:2:2, 4:2:0 included), restart intervals (DRI / RSTn), multi-table
   DQT/DHT segments, 16-bit quantizer entries;
+* **progressive DCT (SOF2, T.81 Annex G)** — the default for web JPEGs:
+  spectral selection, successive approximation (DC and AC refinement
+  scans with EOB runs and correction bits), interleaved DC scans;
+  single-component chroma scans are skipped without decoding (each
+  scan's entropy data is delimited by the next marker);
 * output is the **luma plane** (:func:`decode_jpeg_gray`) — JPEG's Y
   channel *is* BT.601 luma, which is exactly what OCR and the grayscale
   multimodal tier consume, and skipping chroma IDCT halves the work;
-* progressive (SOF2), lossless, arithmetic-coded and 12-bit streams
-  raise :class:`JpegUnsupported` — the caller's optional-PIL tier takes
+* lossless, arithmetic-coded and 12-bit streams raise
+  :class:`JpegUnsupported` — the caller's optional-PIL tier takes
   those when PIL exists, else the row is undecodable data.
 
 The encoder (:func:`encode_jpeg_gray` / :func:`encode_jpeg_rgb`) is the
@@ -40,6 +45,7 @@ __all__ = [
     "JpegUnsupported",
     "decode_jpeg_gray",
     "encode_jpeg_gray",
+    "encode_jpeg_gray_progressive",
     "encode_jpeg_rgb",
 ]
 
@@ -120,22 +126,27 @@ def _huff_lut(counts: list[int], symbols: bytes) -> list[int]:
     return out
 
 
-def _entropy_stream(data: bytes, pos: int,
-                    ) -> tuple[list[int], int, list[tuple[int, int]]]:
+def _entropy_stream(data: bytes, pos: int, any_marker: bool = False,
+                    ) -> tuple[list[int], int, list[tuple[int, int]], int]:
     """Unstuff the entropy-coded segment starting at ``pos``.
 
-    Returns ``(look, nbits, restarts)`` where ``look[i]`` is the 32-bit
-    big-endian word of clean bytes ``i..i+3`` (zero-padded past the end —
-    every decode checks ``nbits`` at block granularity), ``nbits`` the
-    clean bit count, and ``restarts`` the ``(clean_byte_offset, rst_id)``
-    of each RSTn marker removed from the stream.  A non-RST marker inside
-    the scan is a hard error (truncated/corrupt data must not silently
-    decode as zeros); EOI ends the segment."""
+    Returns ``(look, nbits, restarts, end)`` where ``look[i]`` is the
+    32-bit big-endian word of clean bytes ``i..i+3`` (zero-padded past the
+    end — every decode checks ``nbits`` at block granularity), ``nbits``
+    the clean bit count, ``restarts`` the ``(clean_byte_offset, rst_id)``
+    of each RSTn marker removed from the stream, and ``end`` the offset in
+    ``data`` of the terminating marker's 0xFF (``len(data)`` when the
+    stream runs out).  With ``any_marker=False`` (baseline: one scan,
+    nothing may follow but EOI) a non-RST, non-EOI marker is a hard error
+    — truncated/corrupt data must not silently decode as zeros; with
+    ``any_marker=True`` (progressive: DHT/SOS/EOI delimit scans) any
+    non-RST marker ends the segment."""
     arr = np.frombuffer(data, np.uint8)[pos:]
     segments: list[np.ndarray] = []
     restarts: list[tuple[int, int]] = []
     clean_len = 0
     start = 0
+    end = len(data)
     for i in np.flatnonzero(arr == 0xFF).tolist():
         if i < start:
             continue
@@ -151,10 +162,11 @@ def _entropy_stream(data: bytes, pos: int,
             clean_len += i - start
             restarts.append((clean_len, nxt - 0xD0))
             start = i + 2
-        elif nxt == 0xD9:                    # EOI — end of scan
+        elif nxt == 0xD9 or any_marker:      # marker ends the segment
             segments.append(arr[start:i])
             clean_len += i - start
             start = -1
+            end = pos + i
             break
         else:
             raise JpegError(f"marker 0xFF{nxt:02X} inside entropy data")
@@ -167,12 +179,280 @@ def _entropy_stream(data: bytes, pos: int,
     p32 = padded.astype(np.uint32)
     look = ((p32[:-3] << 24) | (p32[1:-2] << 16)
             | (p32[2:-1] << 8) | p32[3:]).tolist()
-    return look, clean_len * 8, restarts
+    return look, clean_len * 8, restarts, end
 
 
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
+
+
+def _luma_plane(lum_zig: np.ndarray, lum_slots: list, lum_qt: np.ndarray,
+                mcux: int, mcuy: int, lh: int, lv: int,
+                hmax: int, vmax: int, w: int, h: int) -> np.ndarray:
+    """Shared decode tail: batched dequant (zigzag order) + zigzag→natural
+    + IDCT (``C.T @ S @ C``), level shift, clip, crop/upsample to frame."""
+    n_blocks = len(lum_slots)
+    dq = lum_zig[:n_blocks] * lum_qt
+    nat = np.zeros((n_blocks, 64), dtype=np.float64)
+    nat[:, ZIGZAG] = dq
+    coefs = nat.reshape(n_blocks, 8, 8)
+    spatial = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C,
+                        optimize=True) + 128.0
+    blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+    plane_h, plane_w = mcuy * lv * 8, mcux * lh * 8
+    plane = np.zeros((plane_h, plane_w), dtype=np.uint8)
+    for i, (brow, bcol) in enumerate(lum_slots):
+        plane[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = blocks[i]
+    # luma plane resolution vs frame: ceil(w*lh/hmax) — crop, then
+    # upsample if luma itself is subsampled (unusual but legal)
+    comp_w = (w * lh + hmax - 1) // hmax
+    comp_h = (h * lv + vmax - 1) // vmax
+    plane = plane[:comp_h, :comp_w]
+    if comp_w != w or comp_h != h:
+        ys = (np.arange(h, dtype=np.int64) * comp_h) // h
+        xs = (np.arange(w, dtype=np.int64) * comp_w) // w
+        plane = plane[ys][:, xs]
+    return plane
+
+
+class _ProgState:
+    """Accumulated coefficient state across a progressive frame's scans
+    (T.81 Annex G): the luma component's full MCU-padded block grid in
+    zigzag order; successive scans refine it and ``finish`` runs the one
+    batched IDCT.  Chroma scans are parsed only as far as needed to stay
+    in sync (interleaved DC) or skipped wholesale (single-component
+    scans are delimited by the next marker)."""
+
+    def __init__(self, frame) -> None:
+        h, w, comps = frame
+        if h == 0 or w == 0:
+            raise JpegError(f"bad dimensions {w}x{h}")
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        if not (1 <= self.hmax <= 4 and 1 <= self.vmax <= 4):
+            raise JpegError("bad sampling factors")
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        _cid, self.lh, self.lv, self.ltq = comps[0]
+        self.gw = self.mcux * self.lh          # padded luma grid
+        self.gh = self.mcuy * self.lv
+        comp_w = (w * self.lh + self.hmax - 1) // self.hmax
+        comp_h = (h * self.lv + self.vmax - 1) // self.vmax
+        self.cbw = (comp_w + 7) // 8           # true luma block grid
+        self.cbh = (comp_h + 7) // 8
+        self.coef = np.zeros((self.gh * self.gw, 64), dtype=np.int64)
+        self.any_scan = False
+        #: (Ss, Al) already seen per band start — duplicate-scan guard is
+        #: NOT enforced (writers vary); kept for debuggability only
+        self.seen: list[tuple[int, int, int]] = []
+
+    def finish(self, qt: dict) -> np.ndarray:
+        lum_qt = qt.get(self.ltq)
+        if lum_qt is None:
+            raise JpegError(f"missing quant table {self.ltq}")
+        slots = [(r, c) for r in range(self.gh) for c in range(self.gw)]
+        return _luma_plane(self.coef, slots, lum_qt, self.mcux, self.mcuy,
+                           self.lh, self.lv, self.hmax, self.vmax,
+                           self.w, self.h)
+
+
+def _decode_prog_scan(data: bytes, pos: int, prog: _ProgState,
+                      sos_body: bytes, huff_dc, huff_ac, dri: int) -> int:
+    """One progressive scan (T.81 G.2) → returns the offset of the marker
+    that ends it.  Updates ``prog.coef`` for luma; single-component chroma
+    scans are skipped without decoding (their entropy data is delimited by
+    the next marker, so bit-level sync is not needed)."""
+    ns = sos_body[0]
+    scomps = [(sos_body[1 + 2 * i], sos_body[2 + 2 * i] >> 4,
+               sos_body[2 + 2 * i] & 15) for i in range(ns)]
+    ss = sos_body[1 + 2 * ns]
+    se = sos_body[2 + 2 * ns]
+    ah_al = sos_body[3 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 15
+    luma_cid = prog.comps[0][0]
+    prog.any_scan = True
+    prog.seen.append((ss, se, al))
+
+    look, nbits, restarts, end = _entropy_stream(data, pos,
+                                                 any_marker=True)
+    if ss == 0:
+        if se != 0:
+            raise JpegError("DC scan with Se != 0")
+    else:
+        if ns != 1:
+            raise JpegError("AC scan with more than one component")
+        if not (1 <= ss <= se <= 63):
+            raise JpegError(f"bad spectral band {ss}..{se}")
+    if ns == 1 and scomps[0][0] != luma_cid:
+        return end  # chroma-only scan: nothing to keep, nothing to sync
+
+    bitpos = 0
+    rst_i = 0
+
+    def huff(lut):
+        nonlocal bitpos
+        e = lut[(look[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF]
+        if e == 0:
+            raise JpegError("invalid Huffman code")
+        bitpos += e >> 8
+        return e & 0xFF
+
+    def bits(nb):
+        nonlocal bitpos
+        v = (look[bitpos >> 3]
+             >> (32 - (bitpos & 7) - nb)) & ((1 << nb) - 1)
+        bitpos += nb
+        return v
+
+    def restart(unit_idx):
+        nonlocal bitpos, rst_i
+        if not (dri and unit_idx and unit_idx % dri == 0):
+            return False
+        if rst_i >= len(restarts):
+            raise JpegError("expected restart marker")
+        off, rid = restarts[rst_i]
+        rst_i += 1
+        if rid != (rst_i - 1) & 7:
+            raise JpegError("restart marker out of order")
+        if bitpos > off * 8:
+            raise JpegError("entropy data overran restart marker")
+        bitpos = off * 8
+        return True
+
+    coef = prog.coef
+    gw = prog.gw
+
+    if ss == 0:
+        # ---- DC scan (may be interleaved over all frame components) ----
+        if ns != 1 and [c[0] for c in scomps] != \
+                [c[0] for c in prog.comps]:
+            raise JpegUnsupported("partially interleaved DC scan")
+        tabs = {}
+        for cid, td, _ta in scomps:
+            if ah == 0 and td not in huff_dc:
+                raise JpegError("missing Huffman table")
+            tabs[cid] = huff_dc.get(td)
+        preds = {cid: 0 for cid, _td, _ta in scomps}
+        p1 = 1 << al
+        if ns == 1:
+            units = prog.cbh * prog.cbw
+        else:
+            units = prog.mcux * prog.mcuy
+        for m in range(units):
+            if restart(m):
+                preds = {cid: 0 for cid in preds}
+            if ns == 1:
+                rows = [(luma_cid, (m // prog.cbw) * gw + (m % prog.cbw))]
+            else:
+                my, mx = divmod(m, prog.mcux)
+                rows = []
+                for cid, hs, vs, _tq in prog.comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            idx = ((my * vs + by) * gw + mx * hs + bx) \
+                                if cid == luma_cid else -1
+                            rows.append((cid, idx))
+            for cid, idx in rows:
+                if ah == 0:  # first DC scan: point-transformed diffs
+                    t = huff(tabs[cid])
+                    if t > 15:
+                        raise JpegError("bad DC magnitude")
+                    diff = 0
+                    if t:
+                        v = bits(t)
+                        diff = v if v >= (1 << (t - 1)) \
+                            else v - (1 << t) + 1
+                    preds[cid] += diff
+                    if idx >= 0:
+                        coef[idx, 0] = preds[cid] << al
+                else:        # refinement: one bit per block
+                    if bits(1) and idx >= 0:
+                        coef[idx, 0] |= p1
+            if bitpos > nbits:
+                raise JpegError("entropy data exhausted")
+        return end
+
+    # ---- AC scan (single component == luma here) ----
+    _cid, _td, ta = scomps[0]
+    if ta not in huff_ac:
+        raise JpegError("missing Huffman table")
+    ac_lut = huff_ac[ta]
+    p1 = 1 << al
+    eobrun = 0
+    for m in range(prog.cbh * prog.cbw):
+        if restart(m):
+            eobrun = 0
+        row = coef[(m // prog.cbw) * gw + (m % prog.cbw)]
+        k = ss
+        if ah == 0:
+            # -------- first AC scan for this band --------
+            if eobrun:
+                eobrun -= 1
+            else:
+                while k <= se:
+                    rs = huff(ac_lut)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:  # EOBn
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits(r)
+                            break
+                        k += 16     # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise JpegError("AC run past band end")
+                    v = bits(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    row[k] = v << al
+                    k += 1
+        else:
+            # -------- refinement AC scan (T.81 G.2; libjpeg-shape) ----
+            if eobrun == 0:
+                while k <= se:
+                    rs = huff(ac_lut)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:  # EOBn: includes the current block
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise JpegError("AC refinement size != 1")
+                        val = p1 if bits(1) else -p1
+                    while k <= se:
+                        c = int(row[k])
+                        if c != 0:
+                            if bits(1) and (c & p1) == 0:
+                                row[k] = c + (p1 if c >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        row[k] = val
+                    k += 1
+            if eobrun > 0:
+                # current block's tail (and, on later iterations, whole
+                # blocks inside the run) still carries correction bits
+                for k2 in range(k, se + 1):
+                    c = int(row[k2])
+                    if c != 0:
+                        if bits(1) and (c & p1) == 0:
+                            row[k2] = c + (p1 if c >= 0 else -p1)
+                eobrun -= 1
+        if bitpos > nbits:
+            raise JpegError("entropy data exhausted")
+    return end
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
@@ -186,13 +466,14 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         raise JpegError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, _HuffDecoder] = {}
-    huff_ac: dict[int, _HuffDecoder] = {}
+    huff_dc: dict[int, list[int]] = {}
+    huff_ac: dict[int, list[int]] = {}
     frame = None       # (h, w, [(cid, hs, vs, tq), ...])
+    prog = None        # _ProgState when SOF2
     dri = 0
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
@@ -201,6 +482,10 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             continue
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if marker == 0xD9:  # EOI (standalone): ends a progressive frame
+            if prog is not None and prog.any_scan:
+                return prog.finish(qt)
+            raise JpegError("EOI before scan data")
         if pos + 2 > n:
             raise JpegError("truncated marker segment")
         (seg_len,) = struct.unpack(">H", data[pos:pos + 2])
@@ -233,7 +518,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 p += 17 + total
                 table = _huff_lut(counts, syms)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
             prec = body[0]
             if prec != 8:
                 raise JpegUnsupported(f"{prec}-bit samples")
@@ -247,21 +532,28 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if marker == 0xC2:
+                prog = _ProgState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(
-                f"coding process SOF{marker - 0xC0} is not baseline")
+                f"coding process SOF{marker - 0xC0} is not baseline "
+                f"or progressive")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise JpegError("SOS before SOF")
-            return _decode_scan(data, pos + seg_len, frame, body,
-                                qt, huff_dc, huff_ac, dri)
-        elif marker == 0xD9:
-            raise JpegError("EOI before scan data")
+            if prog is None:
+                return _decode_scan(data, pos + seg_len, frame, body,
+                                    qt, huff_dc, huff_ac, dri)
+            pos = _decode_prog_scan(data, pos + seg_len, prog, body,
+                                    huff_dc, huff_ac, dri)
+            continue
         # APPn / COM / others: skipped
         pos += seg_len
+    if prog is not None and prog.any_scan:
+        return prog.finish(qt)  # tolerate a missing EOI like some writers
     raise JpegError("no SOS marker")
 
 
@@ -309,7 +601,7 @@ def _decode_scan(data: bytes, pos: int, frame, sos_body: bytes,
         if state[-1]["qz"] is None:
             raise JpegError(f"missing quant table {tq}")
 
-    look, nbits, restarts = _entropy_stream(data, pos)
+    look, nbits, restarts, _end = _entropy_stream(data, pos)
     bitpos = 0
     rst_i = 0
     # luma blocks accumulate (in zigzag order) for one batched dequant +
@@ -457,30 +749,8 @@ def _decode_scan(data: bytes, pos: int, frame, sos_body: bytes,
                         k += 1
                     if bitpos > nbits:
                         raise JpegError("entropy data exhausted")
-    # batched dequant + zigzag→natural + IDCT over every luma block:
-    # C.T @ S @ C, level shift, clip
-    n_blocks = len(lum_slots)
-    dq = lum_zig[:n_blocks] * lum_qt_nat_order  # still zigzag order
-    nat = np.zeros((n_blocks, 64), dtype=np.float64)
-    nat[:, ZIGZAG] = dq
-    coefs = nat.reshape(n_blocks, 8, 8)
-    spatial = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C,
-                        optimize=True) + 128.0
-    blocks = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
-    plane_h, plane_w = mcuy * lv * 8, mcux * lh * 8
-    plane = np.zeros((plane_h, plane_w), dtype=np.uint8)
-    for i, (brow, bcol) in enumerate(lum_slots):
-        plane[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = blocks[i]
-    # luma plane resolution vs frame: ceil(w*lh/hmax) — crop, then
-    # upsample if luma itself is subsampled (unusual but legal)
-    comp_w = (w * lh + hmax - 1) // hmax
-    comp_h = (h * lv + vmax - 1) // vmax
-    plane = plane[:comp_h, :comp_w]
-    if comp_w != w or comp_h != h:
-        ys = (np.arange(h, dtype=np.int64) * comp_h) // h
-        xs = (np.arange(w, dtype=np.int64) * comp_w) // w
-        plane = plane[ys][:, xs]
-    return plane
+    return _luma_plane(lum_zig, lum_slots, lum_qt_nat_order,
+                       mcux, mcuy, lh, lv, hmax, vmax, w, h)
 
 
 # --------------------------------------------------------------------------
@@ -823,6 +1093,177 @@ def encode_jpeg_gray(px: np.ndarray, quality: int = 90,
     return b"\xFF\xD8" + _dqt_segment(0, qt_zig) + \
         _dht_segment(0, 0, _STD_DC_LUM) + _dht_segment(1, 0, _STD_AC_LUM) + \
         dri + sof + sos + bytes(ecs) + b"\xFF\xD9"
+
+
+#: progressive fixture tables: flat canonical codes (16 DC symbols at 5
+#: bits, all 256 AC symbols at 9 bits) — deliberately complete so EOBn
+#: codes with any run category exist; compression quality is irrelevant
+#: for fixture authoring, validity and path coverage are the point
+_PROG_DC = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            bytes(range(16)))
+#: DHT length counts are single bytes (≤255), so the last AC symbol
+#: rides one level deeper
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+            bytes(range(256)))
+
+
+def encode_jpeg_gray_progressive(px: np.ndarray,
+                                 quality: int = 90) -> bytes:
+    """uint8 (h, w) → single-component **progressive** JPEG (SOF2) with a
+    six-scan script that exercises every T.81 Annex G decode path: DC
+    first with point transform (Al=1), DC refinement, AC first per
+    spectral band (1-5, 6-63, Al=1) with EOB runs, and AC refinement with
+    correction bits.  Fixture-authoring side of the progressive decoder;
+    the scan shapes mirror what libjpeg's default progression emits."""
+    arr = np.ascontiguousarray(px, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg_gray_progressive wants (h, w)")
+    h, w = arr.shape
+    qt_zig = _scaled_qt(_STD_LUM_QT, quality)
+    coefs = _fdct_quant(_pad_to_blocks(arr, 8, 8), qt_zig)
+    by, bx = coefs.shape[:2]
+    zz = coefs.reshape(by * bx, 64)
+    dc_tab = _huff_encode_table(*_PROG_DC)
+    ac_tab = _huff_encode_table(*_PROG_AC)
+
+    def sos(ss, se, ah, al):
+        return b"\xFF\xDA" + struct.pack(">HB", 8, 1) + \
+            bytes([1, 0x00, ss, se, (ah << 4) | al])
+
+    out = bytearray(b"\xFF\xD8")
+    out += _dqt_segment(0, qt_zig)
+    out += _dht_segment(0, 0, _PROG_DC)
+    out += _dht_segment(1, 0, _PROG_AC)
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + \
+        bytes([1, 0x11, 0])
+
+    # ---- scan 1: DC first, Al=1 ----
+    bw = _BitWriter()
+    pred = 0
+    for i in range(len(zz)):
+        v = int(zz[i, 0]) >> 1
+        t, code = _magnitude(v - pred)
+        pred = v
+        c, ln = dc_tab[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(code, t)
+    bw.pad()
+    out += sos(0, 0, 0, 1) + bw.out
+
+    # ---- scan 2: DC refinement, Ah=1 Al=0 ----
+    bw = _BitWriter()
+    for i in range(len(zz)):
+        bw.write(int(zz[i, 0]) & 1, 1)
+    bw.pad()
+    out += sos(0, 0, 1, 0) + bw.out
+
+    def pt(v: int, al: int) -> int:
+        """AC point transform: magnitude shift, sign preserved (G.1.2.2)."""
+        return -((-v) >> al) if v < 0 else v >> al
+
+    for ss, se in ((1, 5), (6, 63)):
+        # ---- AC first for the band, Al=1 ----
+        bw = _BitWriter()
+
+        def _flush_first(bwr, state):
+            n = state[0]
+            if not n:
+                return
+            r = n.bit_length() - 1
+            c, ln = ac_tab[r << 4]
+            bwr.write(c, ln)
+            if r:
+                bwr.write(n - (1 << r), r)
+            state[0] = 0
+
+        st = [0]  # eobrun box
+        for i in range(len(zz)):
+            r = 0
+            for k in range(ss, se + 1):
+                t = pt(int(zz[i, k]), 1)
+                if t == 0:
+                    r += 1
+                    continue
+                _flush_first(bw, st)
+                while r > 15:
+                    c, ln = ac_tab[0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                s, code = _magnitude(t)
+                c, ln = ac_tab[(r << 4) | s]
+                bw.write(c, ln)
+                bw.write(code, s)
+                r = 0
+            if r:
+                st[0] += 1
+                if st[0] == 0x7FFF:
+                    _flush_first(bw, st)
+        _flush_first(bw, st)
+        bw.pad()
+        out += sos(ss, se, 0, 1) + bw.out
+
+        # ---- AC refinement for the band, Ah=1 Al=0 ----
+        bw = _BitWriter()
+        st = [0]           # eobrun
+        be: list[int] = []  # correction bits buffered behind the EOB run
+
+        def _flush_refine(bwr, state, buffered):
+            n = state[0]
+            if not n:
+                return
+            r = n.bit_length() - 1
+            c, ln = ac_tab[r << 4]
+            bwr.write(c, ln)
+            if r:
+                bwr.write(n - (1 << r), r)
+            state[0] = 0
+            for bit in buffered:
+                bwr.write(bit, 1)
+            buffered.clear()
+
+        for i in range(len(zz)):
+            vals = [int(zz[i, k]) for k in range(ss, se + 1)]
+            absv = [pt(abs(v), 0) for v in vals]  # Al=0: |v|
+            eob_rel = -1
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eob_rel = j
+            r = 0
+            br: list[int] = []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= eob_rel:
+                    _flush_refine(bw, st, be)
+                    c, ln = ac_tab[0xF0]
+                    bw.write(c, ln)
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                    r -= 16
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                _flush_refine(bw, st, be)
+                c, ln = ac_tab[(r << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if vals[j] > 0 else 0, 1)
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                st[0] += 1
+                be.extend(br)
+                if st[0] == 0x7FFF:
+                    _flush_refine(bw, st, be)
+        _flush_refine(bw, st, be)
+        bw.pad()
+        out += sos(ss, se, 1, 0) + bw.out
+
+    return bytes(out) + b"\xFF\xD9"
 
 
 def encode_jpeg_rgb(px: np.ndarray, quality: int = 90,

@@ -169,15 +169,16 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     JPEG (``core/jpegcodec``, quality 100 — quantizers all 1, pixel error
     ≤ 2, far inside the recognizer's 128-ink-threshold margin) behind
     **DCTDecode**, the raster format real scanners actually emit;
+    ``"jpegprog"`` the progressive (SOF2) variant of the same;
     ``"ccitt"`` embeds a 1-bit Group 4 bitmap (``core/ccittcodec``,
     lossless threshold at 128) behind **CCITTFaxDecode** with real
     ``/DecodeParms`` (``/K -1 /Columns /Rows``), the dominant
     black-and-white fax/TIFF-style scan encoding — so the OCR tier
-    exercises all three decode paths end to end.
+    exercises every raster decode path end to end.
     """
     from .rasterfont import render_words_gray
 
-    if codec not in ("flate", "jpeg", "ccitt"):
+    if codec not in ("flate", "jpeg", "jpegprog", "ccitt"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -196,11 +197,16 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
         samples = render_words_gray(int(w), int(h), page.get("words") or [])
         extra = ""
         bpc = 8
-        if codec == "jpeg":
+        if codec in ("jpeg", "jpegprog"):
             import numpy as np
 
-            from .jpegcodec import encode_jpeg_gray
-            img = encode_jpeg_gray(
+            from .jpegcodec import (
+                encode_jpeg_gray,
+                encode_jpeg_gray_progressive,
+            )
+            enc = (encode_jpeg_gray_progressive if codec == "jpegprog"
+                   else encode_jpeg_gray)
+            img = enc(
                 np.frombuffer(samples, dtype=np.uint8)
                 .reshape(int(h), int(w)), quality=100)
             filter_name = "DCTDecode"

@@ -97,11 +97,18 @@ class TestRejections:
         with pytest.raises(JpegError):
             decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
 
-    def test_progressive_unsupported(self):
-        # SOF2 header: the unsupported-process signal PIL would take over
-        data = (b"\xFF\xD8\xFF\xC2\x00\x0B\x08\x00\x08\x00\x08\x01"
+    def test_lossless_unsupported(self):
+        # SOF3 header: the unsupported-process signal PIL would take over
+        # (SOF2 progressive decodes for real now)
+        data = (b"\xFF\xD8\xFF\xC3\x00\x0B\x08\x00\x08\x00\x08\x01"
                 b"\x01\x11\x00")
         with pytest.raises(JpegUnsupported):
+            decode_jpeg_gray(data)
+
+    def test_progressive_with_no_scan_is_error(self):
+        data = (b"\xFF\xD8\xFF\xC2\x00\x0B\x08\x00\x08\x00\x08\x01"
+                b"\x01\x11\x00\xFF\xD9")
+        with pytest.raises(JpegError):
             decode_jpeg_gray(data)
 
     def test_truncated_entropy_data(self):
@@ -202,3 +209,106 @@ class TestPdfDctPath:
         assert _err(out, src) <= 2
         with pytest.raises(ValueError):
             decode_image_pixels(b"\xFF\xD8\xFF\xE0 truncated junk")
+
+
+class TestProgressive:
+    """SOF2 / T.81 Annex G: the six-scan fixture script covers DC first
+    with point transform, DC refinement, AC first per band with EOB runs,
+    and AC refinement with correction bits."""
+
+    def test_matches_baseline_decode_exactly(self):
+        # same quantized coefficients in, so the decoded planes must be
+        # IDENTICAL — any progressive path bug shows as a pixel diff
+        from pdf_ocr_engine_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        rng = np.random.default_rng(21)
+        for q in (100, 90, 50):
+            src = rng.integers(0, 256, size=(56, 41), dtype=np.uint8)
+            base = decode_jpeg_gray(encode_jpeg_gray(src, quality=q))
+            prog = decode_jpeg_gray(
+                encode_jpeg_gray_progressive(src, quality=q))
+            assert (prog == base).all(), q
+
+    def test_mostly_white_page_exercises_eob_runs(self):
+        from pdf_ocr_engine_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        src = np.full((96, 120), 255, dtype=np.uint8)
+        src[40:48, 56:80] = 0  # one dark patch among many empty blocks
+        base = decode_jpeg_gray(encode_jpeg_gray(src, quality=100))
+        prog = decode_jpeg_gray(
+            encode_jpeg_gray_progressive(src, quality=100))
+        assert (prog == base).all()
+
+    def test_truncated_progressive_is_error(self):
+        from pdf_ocr_engine_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        full = encode_jpeg_gray_progressive(
+            np.arange(64, dtype=np.uint8).reshape(8, 8))
+        with pytest.raises(JpegError):
+            decode_jpeg_gray(full[: len(full) // 3])
+
+    def test_scanned_pdf_with_progressive_raster_ocrs(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 300, "height": 120,
+                  "words": [("web", 10, 10, 28, 18),
+                            ("jpeg", 36, 10, 60, 18)]}]
+        rec = deterministic_recognizer()
+        out = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jpegprog"), "eng",
+            recognizer=rec)
+        assert out["status"] == "ok"
+        assert out["text"] == "web jpeg"
+
+    def test_multimodal_tier_decodes_progressive(self):
+        from pdf_ocr_engine_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+        from pdf_ocr_engine_spark.operators.multimodal import (
+            decode_image_pixels,
+        )
+
+        src = (np.add.outer(np.arange(16) * 5, np.arange(24) * 11)
+               % 256).astype(np.uint8)
+        out = decode_image_pixels(
+            encode_jpeg_gray_progressive(src, quality=100))
+        assert _err(out, src) <= 2
+
+    def test_pil_decodes_our_progressive(self):
+        Image = pytest.importorskip("PIL.Image")
+        import io
+
+        from pdf_ocr_engine_spark.core.jpegcodec import (
+            encode_jpeg_gray_progressive,
+        )
+
+        rng = np.random.default_rng(22)
+        src = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+        img = Image.open(io.BytesIO(
+            encode_jpeg_gray_progressive(src, quality=100)))
+        got = np.asarray(img.convert("L"))
+        assert _err(got, src) <= 2
+
+    def test_we_decode_pil_progressive(self):
+        Image = pytest.importorskip("PIL.Image")
+        import io
+
+        rng = np.random.default_rng(23)
+        src = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(src, "L").save(buf, format="JPEG", quality=95,
+                                       progressive=True)
+        out = decode_jpeg_gray(buf.getvalue())
+        pil_back = np.asarray(Image.open(io.BytesIO(buf.getvalue()))
+                              .convert("L"))
+        assert _err(out, pil_back) <= 1
