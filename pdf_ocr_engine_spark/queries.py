@@ -1242,8 +1242,9 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pipeline, oracle-checked via containment: 64-bit
     signatures → 16×4-bit band collision (pigeonhole guarantees every pair
     within Hamming ≤ 15) → exact bigram-Jaccard verify ≥ 950‰.  Measured
-    across all three SFs the worst ≥ 950‰ pair sits at Hamming 10
-    (margin 5), so the oracle's all-pairs ≥ 950‰ recomputation
+    across all three SFs (re-measured for the r4 SipHash token family)
+    the worst ≥ 950‰ pair sits at Hamming 8 (margin 7), so the oracle's
+    all-pairs ≥ 950‰ recomputation
     hash-matching proves the banded candidate set lost nothing.  Narrow
     4-bit bands trade candidate noise for the wide Hamming ball — the
     hamming filter runs before the dedup shuffle, so the noise dies
