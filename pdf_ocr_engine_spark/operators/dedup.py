@@ -354,9 +354,11 @@ def verify_pairs_jaccard(pairs: DataFrame, df: DataFrame,
     # spine — and recomputing it doubles the stage's hot spot; tracked so
     # sequential runners release it once the result is materialized
     pairs = track(pairs.persist())
-    ids = (pairs.select(F.col("id_a").alias(id_col))
-           .union(pairs.select(F.col("id_b").alias(id_col)))
-           .distinct())
+    # one explode pass, NO distinct: a semi-join tolerates duplicate build
+    # rows, and deduplicating ids first would add a full extra shuffle of
+    # the id set purely to shrink a side the semi-join already hashes
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col))
     # no broadcast hint: AQE turns this semi-join into a broadcast when the
     # candidate set is small, and keeps a shuffled semi-join when it isn't
     # (at 10^12 docs the id set can exceed driver memory — forcing
