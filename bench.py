@@ -97,6 +97,12 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # calibrate BEFORE the queries as well as after: a measured episode on
+    # this VM ran the headline 3-4x slow yet showed a healthy end-of-run
+    # calibration — the host had recovered by the time the probe ran.  The
+    # pre/post pair brackets the window the queries actually executed in.
+    calib_pre = host_calibration()
+
     from pyspark.sql import functions as F
 
     from pdf_ocr_engine_spark.plans.pipeline import build_session, run_extraction
@@ -260,7 +266,8 @@ def main() -> int:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "calib": host_calibration(),
+        "calib": calib_pre,
+        "calib_post": host_calibration(),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,
