@@ -1,0 +1,690 @@
+"""Pure-stdlib JBIG2 codec — embedded (PDF) segments, generic regions.
+
+Modern black-and-white scanners and PDF optimizers embed **JBIG2Decode**
+image XObjects (ISO/IEC 14492 / ITU-T T.88) — the successor to CCITT G4,
+typically 2-5× smaller on scanned text.  The reference delegates their
+decode to pdf.js (``/root/reference/src/lib/ocr/extractor.ts:12-37``);
+this repo decodes them itself, from the public T.88 recommendation:
+
+* **MQ arithmetic coder** (T.88 Annex E — the same coder JPEG 2000
+  uses): 47-state Qe table, INITDEC/DECODE/BYTEIN and the encoder-side
+  INITENC/CODEMPS/CODELPS/BYTEOUT/FLUSH flows, bit-exact per the spec's
+  software conventions.
+* **Generic region decoding** (T.88 §6.2): templates 0-3 with nominal
+  adaptive-template pixels via the sliding-context formulation (the
+  per-template keep-masks 0x7BF7/0x0EFB/0x01BD/0x01F7 fall out of the
+  figure layouts), non-nominal AT pixels via the general per-pixel
+  gather; TPGDON typical-prediction rows (special contexts
+  0x9B25/0x0795/0x00E5/0x0195).
+* **Embedded segment layer** (T.88 §7.2, the "embedded stream" format
+  PDF requires — no file header): segment headers with short/long
+  referred-to forms, page info (type 48), immediate/intermediate
+  generic regions (36/38/39), end-of-stripe/page/file (50/49/51), and
+  the PDF ``/JBIG2Globals`` prefix stream.  Generic regions with
+  ``MMR=1`` reuse the T.6 decoder (``core/ccittcodec``).  Symbol/text
+  region segments (the dictionary-coded tier) raise
+  :class:`Jbig2Unsupported` — callers surface undecodable data as an
+  error value, never a crash.
+
+The decoder emits semantic pixels (0 = black ink, 255 = white), the
+input contract of the OCR tier (``core/rasterfont.recognize_gray``) and
+the same convention as ``core/ccittcodec``.  The encoder is the
+fixture-authoring side: it writes a page-info + immediate-lossless
+generic-region (template 0, nominal AT, TPGDON) + end-of-page embedded
+stream any T.88 decoder reads.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "Jbig2Error",
+    "Jbig2Unsupported",
+    "decode_jbig2_embedded",
+    "encode_jbig2_embedded",
+]
+
+
+class Jbig2Error(ValueError):
+    """Malformed JBIG2 data — a data problem, never a task crash."""
+
+
+class Jbig2Unsupported(Jbig2Error):
+    """Valid JBIG2 outside the generic-region scope (symbol/text/halftone
+    dictionaries, refinement, unknown-length segments)."""
+
+
+# --------------------------------------------------------------------------
+# MQ arithmetic coder (T.88 Annex E; table E.1)
+# --------------------------------------------------------------------------
+
+#: (Qe, NMPS, NLPS, SWITCH) — the public 47-state probability table shared
+#: verbatim by T.88 and JPEG 2000 (T.800 Annex C).
+_QE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class _MQDecoder:
+    """T.88 Annex E decoder, software conventions (32-bit C register).
+    Context state lives in caller-owned ``idx``/``mps`` lists so one
+    decoder instance can serve many context sets."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        data, bp = self.data, self.bp
+        b = data[bp] if bp < len(data) else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            if b1 > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, idx: list, mps: list, cx: int) -> int:
+        qe, nmps, nlps, switch = _QE[idx[cx]]
+        self.a -= qe
+        if (self.c >> 16) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = mps[cx]
+                idx[cx] = nmps
+            else:
+                d = mps[cx] ^ 1
+                if switch:
+                    mps[cx] ^= 1
+                idx[cx] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps[cx]
+            # MPS exchange path
+            if self.a < qe:
+                d = mps[cx] ^ 1
+                if switch:
+                    mps[cx] ^= 1
+                idx[cx] = nlps
+            else:
+                d = mps[cx]
+                idx[cx] = nmps
+        # renormalize
+        a, c, ct = self.a, self.c, self.ct
+        while True:
+            if ct == 0:
+                self.c, self.ct = c, 0
+                self._bytein()
+                c, ct = self.c, self.ct
+            a = a << 1  # loop runs only while the top bit is clear, so
+            c = (c << 1) & 0xFFFFFFFF  # A stays within 16 bits unmasked
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a, self.c, self.ct = a, c, ct
+        return d
+
+
+class _MQEncoder:
+    """T.88 Annex E encoder (INITENC/CODEMPS/CODELPS/BYTEOUT/FLUSH)."""
+
+    __slots__ = ("out", "c", "a", "ct")
+
+    def __init__(self) -> None:
+        self.out = bytearray(b"\x00")  # BP starts one before the buffer
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 12
+
+    def encode(self, idx: list, mps: list, cx: int, d: int) -> None:
+        qe, nmps, nlps, switch = _QE[idx[cx]]
+        if d == mps[cx]:
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            idx[cx] = nmps
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                mps[cx] ^= 1
+            idx[cx] = nlps
+        while True:  # RENORME
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        out = self.out
+        if out[-1] == 0xFF:
+            out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            out[-1] += 1
+            if out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def flush(self) -> bytes:
+        # SETBITS: force the low 16 bits to ONES so the decoder's
+        # feed-1s-past-the-end tail reproduces the code exactly, backing
+        # off half a step if that left the final interval [C, C+A) — the
+        # back-off stays inside because A >= 0x8000 post-renormalization
+        top = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= top:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.out[-1] != 0xFF:
+            self.out.append(0xFF)
+        self.out.append(0xAC)
+        return bytes(self.out[1:])  # strip the BP-start dummy
+
+
+# --------------------------------------------------------------------------
+# Generic region coding (T.88 §6.2)
+# --------------------------------------------------------------------------
+
+#: nominal adaptive-template pixel positions per GBTEMPLATE (T.88 §6.2.5.3)
+_NOMINAL_AT = (
+    ((3, -1), (-3, -1), (2, -2), (-2, -2)),  # template 0: A1..A4
+    ((3, -1),),                              # template 1
+    ((2, -1),),                              # template 2
+    ((2, -1),),                              # template 3
+)
+
+#: TPGDON pseudo-pixel contexts per template (T.88 §6.2.5.7)
+_TPGD_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
+
+#: context bit-width per template
+_CTX_BITS = (16, 13, 10, 10)
+
+#: template pixel layouts, raster order == context bit order (MSB first).
+#: Slots holding a nominal AT pixel are marked with their AT index (1-4);
+#: the sliding-window keep-masks in _decode_generic derive from these.
+_TEMPLATE_PIXELS = (
+    # template 0 — rows y-2: x-2..x+2, y-1: x-3..x+3, y: x-4..x-1
+    [(-2, -2, 4), (-1, -2, 0), (0, -2, 0), (1, -2, 0), (2, -2, 3),
+     (-3, -1, 2), (-2, -1, 0), (-1, -1, 0), (0, -1, 0), (1, -1, 0),
+     (2, -1, 0), (3, -1, 1),
+     (-4, 0, 0), (-3, 0, 0), (-2, 0, 0), (-1, 0, 0)],
+    # template 1 — y-2: x-1..x+2, y-1: x-2..x+3(A1), y: x-3..x-1
+    [(-1, -2, 0), (0, -2, 0), (1, -2, 0), (2, -2, 0),
+     (-2, -1, 0), (-1, -1, 0), (0, -1, 0), (1, -1, 0), (2, -1, 0),
+     (3, -1, 1),
+     (-3, 0, 0), (-2, 0, 0), (-1, 0, 0)],
+    # template 2 — y-2: x-1..x+1, y-1: x-2..x+2(A1), y: x-2..x-1
+    [(-1, -2, 0), (0, -2, 0), (1, -2, 0),
+     (-2, -1, 0), (-1, -1, 0), (0, -1, 0), (1, -1, 0), (2, -1, 1),
+     (-2, 0, 0), (-1, 0, 0)],
+    # template 3 — y-1: x-3..x+2(A1), y: x-4..x-1 (single line above)
+    [(-3, -1, 0), (-2, -1, 0), (-1, -1, 0), (0, -1, 0), (1, -1, 0),
+     (2, -1, 1),
+     (-4, 0, 0), (-3, 0, 0), (-2, 0, 0), (-1, 0, 0)],
+)
+
+
+def _at_is_nominal(template: int, at: tuple) -> bool:
+    return tuple(at) == _NOMINAL_AT[template]
+
+
+def _fresh_contexts(template: int) -> tuple[list, list]:
+    n = 1 << _CTX_BITS[template]
+    return [0] * n, [0] * n
+
+
+def _decode_generic(mq: _MQDecoder, width: int, height: int, template: int,
+                    at: tuple, tpgdon: bool,
+                    contexts: tuple[list, list] | None = None) -> np.ndarray:
+    """MQ-coded generic region → (height, width) uint8 bitmap of 0/1
+    (1 = black).  Nominal-AT decoding runs the sliding-context inner
+    loop; non-nominal ATs take the general per-pixel gather."""
+    if not 0 <= template <= 3:
+        raise Jbig2Error(f"bad GBTEMPLATE {template}")
+    idx, mps = contexts if contexts is not None else _fresh_contexts(template)
+    bm = np.zeros((height, width), dtype=np.uint8)
+    if width <= 0 or height <= 0:
+        return bm
+    rows = bm.tolist()  # python ints in the hot loop, ~3x over ndarray
+    zrow = [0] * width
+    nominal = _at_is_nominal(template, at)
+    tctx = _TPGD_CTX[template]
+    pixels = _TEMPLATE_PIXELS[template]
+    if not nominal:
+        # general gather: replace AT slots with the stream's positions
+        atl = list(at)
+        pixels = [(atl[a - 1][0], atl[a - 1][1], 0) if a else (dx, dy, 0)
+                  for (dx, dy, a) in pixels]
+    ltp = 0
+    dec = mq.decode
+    for y in range(height):
+        if tpgdon:
+            ltp ^= dec(idx, mps, tctx)
+            if ltp:
+                rows[y] = rows[y - 1][:] if y else zrow[:]
+                continue
+        row = rows[y]
+        r1 = rows[y - 1] if y >= 1 else zrow
+        r2 = rows[y - 2] if y >= 2 else zrow
+        if nominal and template == 0:
+            # bits: [15..11]=r2[x-2..x+2] [10..4]=r1[x-3..x+3] [3..0]=row[x-4..x-1]
+            ctx = (r2[0] << 13) | (r1[0] << 7)
+            if width > 1:
+                ctx |= (r2[1] << 12) | (r1[1] << 6)
+            if width > 2:
+                ctx |= (r2[2] << 11) | (r1[2] << 5)
+            if width > 3:
+                ctx |= r1[3] << 4
+            for x in range(width):
+                bit = dec(idx, mps, ctx)
+                row[x] = bit
+                n2 = r2[x + 3] if x + 3 < width else 0
+                n1 = r1[x + 4] if x + 4 < width else 0
+                ctx = (((ctx & 0x7BF7) << 1) | (n2 << 11) | (n1 << 4)
+                       | bit)
+        elif nominal and template == 1:
+            ctx = (r2[0] << 11) | (r1[0] << 6)
+            if width > 1:
+                ctx |= (r2[1] << 10) | (r1[1] << 5)
+            if width > 2:
+                ctx |= (r2[2] << 9) | (r1[2] << 4)
+            if width > 3:
+                ctx |= r1[3] << 3
+            for x in range(width):
+                bit = dec(idx, mps, ctx)
+                row[x] = bit
+                n2 = r2[x + 3] if x + 3 < width else 0
+                n1 = r1[x + 4] if x + 4 < width else 0
+                ctx = (((ctx & 0x0EFB) << 1) | (n2 << 9) | (n1 << 3)
+                       | bit)
+        elif nominal and template == 2:
+            ctx = (r2[0] << 8) | (r1[0] << 4)
+            if width > 1:
+                ctx |= (r2[1] << 7) | (r1[1] << 3)
+            if width > 2:
+                ctx |= (r1[2] << 2)
+            for x in range(width):
+                bit = dec(idx, mps, ctx)
+                row[x] = bit
+                n2 = r2[x + 2] if x + 2 < width else 0
+                n1 = r1[x + 3] if x + 3 < width else 0
+                ctx = (((ctx & 0x01BD) << 1) | (n2 << 7) | (n1 << 2)
+                       | bit)
+        elif nominal and template == 3:
+            ctx = (r1[0] << 6)
+            if width > 1:
+                ctx |= r1[1] << 5
+            if width > 2:
+                ctx |= r1[2] << 4
+            for x in range(width):
+                bit = dec(idx, mps, ctx)
+                row[x] = bit
+                n1 = r1[x + 3] if x + 3 < width else 0
+                ctx = (((ctx & 0x01F7) << 1) | (n1 << 4) | bit)
+        else:
+            # general gather (non-nominal AT): a pixel is readable when
+            # already decoded — any earlier row, or left of x on this row
+            for x in range(width):
+                ctx = 0
+                for dx, dy, _a in pixels:
+                    px, py = x + dx, y + dy
+                    v = (rows[py][px]
+                         if 0 <= px < width and 0 <= py
+                         and (py < y or px < x) else 0)
+                    ctx = (ctx << 1) | v
+                row[x] = dec(idx, mps, ctx)
+    return np.array(rows, dtype=np.uint8)
+
+
+def _encode_generic(bm: np.ndarray, template: int = 0,
+                    tpgdon: bool = True) -> bytes:
+    """(h, w) 0/1 bitmap → MQ-coded generic region data (nominal AT)."""
+    h, w = bm.shape
+    idx, mps = _fresh_contexts(template)
+    enc = _MQEncoder()
+    rows = bm.astype(np.uint8).tolist()
+    zrow = [0] * w
+    tctx = _TPGD_CTX[template]
+    ltp = 0
+    put = enc.encode
+    for y in range(h):
+        row = rows[y]
+        prev = rows[y - 1] if y else zrow
+        if tpgdon:
+            typical = 1 if row == prev else 0
+            put(idx, mps, tctx, typical ^ ltp)
+            ltp = typical
+            if typical:
+                continue
+        r1 = prev
+        r2 = rows[y - 2] if y >= 2 else zrow
+        if template == 0:
+            ctx = (r2[0] << 13) | (r1[0] << 7)
+            if w > 1:
+                ctx |= (r2[1] << 12) | (r1[1] << 6)
+            if w > 2:
+                ctx |= (r2[2] << 11) | (r1[2] << 5)
+            if w > 3:
+                ctx |= r1[3] << 4
+            for x in range(w):
+                bit = row[x]
+                put(idx, mps, ctx, bit)
+                n2 = r2[x + 3] if x + 3 < w else 0
+                n1 = r1[x + 4] if x + 4 < w else 0
+                ctx = (((ctx & 0x7BF7) << 1) | (n2 << 11) | (n1 << 4)
+                       | bit)
+        elif template == 1:
+            ctx = (r2[0] << 11) | (r1[0] << 6)
+            if w > 1:
+                ctx |= (r2[1] << 10) | (r1[1] << 5)
+            if w > 2:
+                ctx |= (r2[2] << 9) | (r1[2] << 4)
+            if w > 3:
+                ctx |= r1[3] << 3
+            for x in range(w):
+                bit = row[x]
+                put(idx, mps, ctx, bit)
+                n2 = r2[x + 3] if x + 3 < w else 0
+                n1 = r1[x + 4] if x + 4 < w else 0
+                ctx = (((ctx & 0x0EFB) << 1) | (n2 << 9) | (n1 << 3)
+                       | bit)
+        elif template == 2:
+            ctx = (r2[0] << 8) | (r1[0] << 4)
+            if w > 1:
+                ctx |= (r2[1] << 7) | (r1[1] << 3)
+            if w > 2:
+                ctx |= (r1[2] << 2)
+            for x in range(w):
+                bit = row[x]
+                put(idx, mps, ctx, bit)
+                n2 = r2[x + 2] if x + 2 < w else 0
+                n1 = r1[x + 3] if x + 3 < w else 0
+                ctx = (((ctx & 0x01BD) << 1) | (n2 << 7) | (n1 << 2)
+                       | bit)
+        elif template == 3:
+            ctx = (r1[0] << 6)
+            if w > 1:
+                ctx |= r1[1] << 5
+            if w > 2:
+                ctx |= r1[2] << 4
+            for x in range(w):
+                bit = row[x]
+                put(idx, mps, ctx, bit)
+                n1 = r1[x + 3] if x + 3 < w else 0
+                ctx = (((ctx & 0x01F7) << 1) | (n1 << 4) | bit)
+        else:
+            raise Jbig2Error(f"bad GBTEMPLATE {template}")
+    return enc.flush()
+
+
+# --------------------------------------------------------------------------
+# Embedded segment layer (T.88 §7.2)
+# --------------------------------------------------------------------------
+
+_GENERIC_REGION_TYPES = {36, 38, 39}
+
+
+def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
+    if pos + 11 > len(data):
+        raise Jbig2Error("truncated segment header")
+    number, flags = struct.unpack_from(">IB", data, pos)
+    pos += 5
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    rts = data[pos]
+    count = rts >> 5
+    if count == 7:
+        if pos + 4 > len(data):
+            raise Jbig2Error("truncated referred-to count")
+        count = struct.unpack_from(">I", data, pos)[0] & 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8  # long form: retain bits follow
+    else:
+        pos += 1
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    refs = []
+    for _ in range(count):
+        if pos + ref_size > len(data):
+            raise Jbig2Error("truncated referred-to segment numbers")
+        if ref_size == 1:
+            refs.append(data[pos])
+        elif ref_size == 2:
+            refs.append(struct.unpack_from(">H", data, pos)[0])
+        else:
+            refs.append(struct.unpack_from(">I", data, pos)[0])
+        pos += ref_size
+    if page_assoc_4:
+        if pos + 4 > len(data):
+            raise Jbig2Error("truncated page association")
+        page = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+    else:
+        if pos >= len(data):
+            raise Jbig2Error("truncated page association")
+        page = data[pos]
+        pos += 1
+    if pos + 4 > len(data):
+        raise Jbig2Error("truncated segment data length")
+    length = struct.unpack_from(">I", data, pos)[0]
+    pos += 4
+    if length == 0xFFFFFFFF:
+        raise Jbig2Unsupported("unknown-length segment (7.2.7)")
+    return ({"number": number, "type": seg_type, "refs": refs,
+             "page": page, "length": length}, pos)
+
+
+def _parse_region_info(data: bytes, pos: int) -> tuple[dict, int]:
+    if pos + 17 > len(data):
+        raise Jbig2Error("truncated region segment info")
+    w, h, x, y, comb = struct.unpack_from(">IIIIB", data, pos)
+    return {"w": w, "h": h, "x": x, "y": y, "comb": comb & 0x7}, pos + 17
+
+
+def _decode_generic_segment(seg_data: bytes) -> tuple[dict, np.ndarray]:
+    """Generic-region segment data → (region info, 0/1 bitmap)."""
+    info, pos = _parse_region_info(seg_data, 0)
+    if pos >= len(seg_data):
+        raise Jbig2Error("generic region missing flags")
+    flags = seg_data[pos]
+    pos += 1
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    tpgdon = bool(flags & 8)
+    w, h = info["w"], info["h"]
+    if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
+        raise Jbig2Error(f"implausible region {w}x{h}")
+    if mmr:
+        from .ccittcodec import CcittError, decode_g4
+
+        try:
+            gray = decode_g4(seg_data[pos:], w, h)
+        except CcittError as exc:
+            raise Jbig2Error(f"bad MMR generic region: {exc}") from exc
+        return info, (gray == 0).astype(np.uint8)
+    n_at = 4 if template == 0 else 1
+    if pos + 2 * n_at > len(seg_data):
+        raise Jbig2Error("truncated AT pixels")
+    at = tuple(
+        (struct.unpack_from("b", seg_data, pos + 2 * i)[0],
+         struct.unpack_from("b", seg_data, pos + 2 * i + 1)[0])
+        for i in range(n_at))
+    pos += 2 * n_at
+    mq = _MQDecoder(seg_data[pos:])
+    return info, _decode_generic(mq, w, h, template, at, tpgdon)
+
+
+def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
+                          width: int | None = None,
+                          height: int | None = None) -> np.ndarray:
+    """PDF-embedded JBIG2 stream (+ optional ``/JBIG2Globals``) →
+    ``uint8 ndarray (rows, cols)``, 0 = black ink, 255 = white.
+
+    Composes every generic-region segment onto the page bitmap with the
+    region's external combination operator (OR/AND/XOR/XNOR/REPLACE —
+    T.88 §8.2); page size comes from the page-info segment, else from
+    the declared image ``width``/``height``, else from the region hull.
+    """
+    segments: list[tuple[dict, bytes]] = []
+    for blob in ((globals_data,) if globals_data else ()) + (data,):
+        pos = 0
+        while pos < len(blob):
+            head, pos = _parse_segment_header(blob, pos)
+            end = pos + head["length"]
+            if end > len(blob):
+                raise Jbig2Error("segment data overruns stream")
+            segments.append((head, blob[pos:end]))
+            pos = end
+
+    page_w = page_h = None
+    page_default = 0
+    regions: list[tuple[dict, np.ndarray]] = []
+    for head, seg_data in segments:
+        t = head["type"]
+        if t == 48:  # page info
+            if len(seg_data) < 19:
+                raise Jbig2Error("short page info segment")
+            pw, ph = struct.unpack_from(">II", seg_data, 0)
+            pflags = seg_data[16]
+            page_default = (pflags >> 2) & 1
+            if pw != 0xFFFFFFFF:
+                page_w = pw
+            if ph != 0xFFFFFFFF:
+                page_h = ph
+        elif t in _GENERIC_REGION_TYPES:
+            regions.append(_decode_generic_segment(seg_data))
+        elif t in (49, 50, 51):  # end of page / stripe / file
+            continue
+        elif t in (0, 4, 5, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+            raise Jbig2Unsupported(
+                f"JBIG2 segment type {t} (symbol/text/halftone/refinement)"
+                " outside the generic-region scope")
+        elif t in (52, 53, 62):  # retention / tables / extension: skip
+            continue
+        else:
+            raise Jbig2Error(f"unknown JBIG2 segment type {t}")
+
+    if page_w is None:
+        page_w = width if width else max(
+            (r["x"] + r["w"] for r, _ in regions), default=0)
+    if page_h is None:
+        page_h = height if height else max(
+            (r["y"] + r["h"] for r, _ in regions), default=0)
+    if not page_w or not page_h:
+        raise Jbig2Error("no page dimensions and no regions")
+    page = np.full((page_h, page_w), page_default, dtype=np.uint8)
+    for info, bm in regions:
+        x, y = info["x"], info["y"]
+        h, w = bm.shape
+        if y + h > page_h or x + w > page_w:
+            h = min(h, page_h - y)
+            w = min(w, page_w - x)
+            if h <= 0 or w <= 0:
+                continue
+            bm = bm[:h, :w]
+        dst = page[y:y + h, x:x + w]
+        op = info["comb"]
+        if op == 0:
+            dst |= bm
+        elif op == 1:
+            dst &= bm
+        elif op == 2:
+            dst ^= bm
+        elif op == 3:
+            dst ^= bm ^ 1
+        elif op == 4:
+            dst[:] = bm
+        else:
+            raise Jbig2Error(f"bad combination operator {op}")
+    return np.where(page, 0, 255).astype(np.uint8)
+
+
+def _segment(number: int, seg_type: int, page: int, payload: bytes) -> bytes:
+    """Author one segment with no referred-to segments, 1-byte page assoc."""
+    return (struct.pack(">IB", number, seg_type) + b"\x00"
+            + struct.pack(">B", page) + struct.pack(">I", len(payload))
+            + payload)
+
+
+def encode_jbig2_embedded(bitmap: np.ndarray) -> bytes:
+    """2-D bitmap (nonzero/True = black ink) → PDF-embedded JBIG2 stream:
+    page info + immediate lossless generic region (template 0, nominal
+    AT, TPGDON) + end of page.  Inverse of :func:`decode_jbig2_embedded`
+    and standard T.88, so any JBIG2-capable tool decodes the output.
+    Grayscale callers threshold first (``gray < 128``)."""
+    bm = np.asarray(bitmap)
+    if bm.ndim != 2:
+        raise ValueError("encode_jbig2_embedded wants a 2-D bitmap")
+    bm = (bm.astype(bool)).astype(np.uint8)
+    h, w = bm.shape
+    page_info = (struct.pack(">IIII", w, h, 0, 0)
+                 + b"\x01"    # flags: defaults may be overridden... bit0=lossless
+                 + b"\x00\x00")  # no striping
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)  # OR onto page
+    gflags = (0 << 1) | (1 << 3)  # MMR=0, template 0, TPGDON=1
+    at = b"".join(struct.pack("bb", dx, dy) for dx, dy in _NOMINAL_AT[0])
+    body = _encode_generic(bm, template=0, tpgdon=True)
+    region = region_info + bytes([gflags]) + at + body
+    return (_segment(1, 48, 1, page_info)
+            + _segment(2, 39, 1, region)      # immediate lossless generic
+            + _segment(3, 49, 1, b""))        # end of page

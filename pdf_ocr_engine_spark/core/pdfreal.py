@@ -1441,6 +1441,19 @@ def extract_page_images(data: bytes) -> list[dict[str, Any]]:
     return out
 
 
+def _parm_value(doc: "_Doc", v: Any) -> Any:
+    """Resolve a DecodeParms value for the cross-boundary image dict; a
+    stream value (``/JBIG2Globals``) becomes its decoded bytes (None if
+    undecodable — the codec then treats it as absent)."""
+    rv = doc.resolve(v)
+    if isinstance(rv, _Stream):
+        try:
+            return rv.decoded(doc)
+        except Exception:  # noqa: BLE001 - bad globals ≠ bad page
+            return None
+    return rv
+
+
 def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
                           depth: int, seen: set[int],
                           images: list[dict[str, Any]]) -> None:
@@ -1482,8 +1495,10 @@ def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
                             bpc = doc.resolve(
                                 obj.dict.get("BitsPerComponent"))
                             if isinstance(img_parms, dict):
+                                # stream-valued parms (e.g. /JBIG2Globals)
+                                # cross the boundary as their decoded bytes
                                 img_parms = {
-                                    str(k): doc.resolve(v)
+                                    str(k): _parm_value(doc, v)
                                     for k, v in img_parms.items()}
                             images.append({
                                 "data": blob,

@@ -173,12 +173,16 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     ``"ccitt"`` embeds a 1-bit Group 4 bitmap (``core/ccittcodec``,
     lossless threshold at 128) behind **CCITTFaxDecode** with real
     ``/DecodeParms`` (``/K -1 /Columns /Rows``), the dominant
-    black-and-white fax/TIFF-style scan encoding — so the OCR tier
-    exercises every raster decode path end to end.
+    black-and-white fax/TIFF-style scan encoding; ``"jbig2"`` embeds a
+    1-bit embedded-format JBIG2 stream (``core/jbig2codec``: page info +
+    MQ-coded immediate lossless generic region, also lossless at the
+    128 threshold) behind **JBIG2Decode**, the modern scanner/optimizer
+    codec — so the OCR tier exercises every raster decode path end to
+    end.
     """
     from .rasterfont import render_words_gray
 
-    if codec not in ("flate", "jpeg", "jpegprog", "ccitt"):
+    if codec not in ("flate", "jpeg", "jpegprog", "ccitt", "jbig2"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -210,6 +214,15 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                 np.frombuffer(samples, dtype=np.uint8)
                 .reshape(int(h), int(w)), quality=100)
             filter_name = "DCTDecode"
+        elif codec == "jbig2":
+            import numpy as np
+
+            from .jbig2codec import encode_jbig2_embedded
+            img = encode_jbig2_embedded(
+                np.frombuffer(samples, dtype=np.uint8)
+                .reshape(int(h), int(w)) < 128)
+            filter_name = "JBIG2Decode"
+            bpc = 1
         elif codec == "ccitt":
             import numpy as np
 

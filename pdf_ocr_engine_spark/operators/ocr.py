@@ -70,6 +70,10 @@ def deterministic_recognizer():
       pure-stdlib T.6 codec (``core/ccittcodec``; /K, /Columns, /Rows,
       /EncodedByteAlign honoured from the DecodeParms carried on the
       image dict) — the dominant 1-bit fax/TIFF-style scan encoding;
+    * **JBIG2Decode** image XObjects → embedded-stream decode via the
+      pure-stdlib T.88 codec (``core/jbig2codec``: MQ arithmetic coder +
+      generic regions, with the ``/JBIG2Globals`` prefix stream resolved
+      from the DecodeParms) — the modern scanner/optimizer codec;
     * 8-bit ``/DeviceGray`` raster of declared size → real pixel OCR
       (``core/rasterfont.recognize_gray``: projection segmentation +
       5×7 template classification) — genuine grayscale page images, as a
@@ -77,6 +81,7 @@ def deterministic_recognizer():
     * anything else → ``ValueError`` (undecodable pixels).
     """
     from ..core.ccittcodec import CcittError, decode_g4
+    from ..core.jbig2codec import Jbig2Error, decode_jbig2_embedded
     from ..core.jpegcodec import JpegError, decode_jpeg_gray
     from ..core.pdfscan import RASTER_MAGIC, decode_page_raster
     from ..core.rasterfont import recognize_gray
@@ -111,6 +116,20 @@ def deterministic_recognizer():
             except CcittError as exc:
                 raise ValueError(
                     f"undecodable CCITT page image: {exc}") from exc
+            gh, gw = gray.shape
+            return recognize_gray(gw, gh, gray.tobytes())
+        if image.get("filter") == "JBIG2Decode":
+            parms = image.get("decode_parms") or {}
+            glob = parms.get("JBIG2Globals")
+            try:
+                gray = decode_jbig2_embedded(
+                    data,
+                    globals_data=glob if isinstance(glob, bytes) else None,
+                    width=image.get("width"),
+                    height=image.get("height"))
+            except Jbig2Error as exc:
+                raise ValueError(
+                    f"undecodable JBIG2 page image: {exc}") from exc
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         w, h = image.get("width"), image.get("height")

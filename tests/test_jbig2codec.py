@@ -1,0 +1,289 @@
+"""JBIG2 (T.88) codec: MQ coder round-trips, generic-region templates,
+the embedded segment layer (globals, MMR, combination ops), and the
+JBIG2Decode OCR path through real PDF structures."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_ocr_engine_spark.core import jbig2codec as jb
+from pdf_ocr_engine_spark.core.jbig2codec import (
+    Jbig2Error,
+    Jbig2Unsupported,
+    decode_jbig2_embedded,
+    encode_jbig2_embedded,
+)
+
+
+class TestMQCoder:
+    def test_random_bit_streams_round_trip(self):
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            n_ctx = int(rng.integers(1, 8))
+            bits = (rng.random(int(rng.integers(1, 600)))
+                    < rng.random()).astype(int).tolist()
+            cxs = rng.integers(0, n_ctx, len(bits)).tolist()
+            idx, mps = [0] * n_ctx, [0] * n_ctx
+            enc = jb._MQEncoder()
+            for b, cx in zip(bits, cxs):
+                enc.encode(idx, mps, cx, b)
+            data = enc.flush()
+            idx, mps = [0] * n_ctx, [0] * n_ctx
+            dec = jb._MQDecoder(data)
+            got = [dec.decode(idx, mps, cx) for cx in cxs]
+            assert got == bits
+
+    def test_stuffed_ff_bytes_survive(self):
+        # long runs of the improbable symbol force carries / 0xFF
+        # byte-stuffing through BYTEOUT; the decoder must unstuff them
+        bits = [1] * 400 + [0, 1] * 100
+        idx, mps = [0], [0]
+        enc = jb._MQEncoder()
+        for b in bits:
+            enc.encode(idx, mps, 0, b)
+        data = enc.flush()
+        idx, mps = [0], [0]
+        dec = jb._MQDecoder(data)
+        assert [dec.decode(idx, mps, 0) for _ in bits] == bits
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    @pytest.mark.parametrize("tpgdon", [False, True])
+    def test_round_trip_all_templates(self, template, tpgdon):
+        rng = np.random.default_rng(template * 2 + tpgdon)
+        for _ in range(6):
+            h = int(rng.integers(1, 40))
+            w = int(rng.integers(1, 70))
+            bm = (rng.random((h, w)) < rng.random()).astype(np.uint8)
+            data = jb._encode_generic(bm, template=template, tpgdon=tpgdon)
+            mq = jb._MQDecoder(data)
+            got = jb._decode_generic(mq, w, h, template,
+                                     jb._NOMINAL_AT[template], tpgdon)
+            assert (got == bm).all()
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_gather_path_agrees_with_sliding_path(self, template,
+                                                  monkeypatch):
+        # same nominal AT positions, decoded once through the fast
+        # sliding-context loop and once through the general per-pixel
+        # gather — any divergence means a keep-mask / layout bug
+        rng = np.random.default_rng(40 + template)
+        bm = (rng.random((23, 41)) < 0.4).astype(np.uint8)
+        data = jb._encode_generic(bm, template=template, tpgdon=False)
+        fast = jb._decode_generic(jb._MQDecoder(data), 41, 23, template,
+                                  jb._NOMINAL_AT[template], False)
+        monkeypatch.setattr(jb, "_at_is_nominal", lambda *_: False)
+        slow = jb._decode_generic(jb._MQDecoder(data), 41, 23, template,
+                                  jb._NOMINAL_AT[template], False)
+        assert (fast == slow).all()
+        assert (fast == bm).all()
+
+    def test_tpgdon_blank_page_is_tiny(self):
+        # every row identical -> one typical-prediction decision per row
+        bm = np.zeros((400, 800), dtype=np.uint8)
+        data = jb._encode_generic(bm, template=0, tpgdon=True)
+        assert len(data) < 32
+        got = jb._decode_generic(jb._MQDecoder(data), 800, 400, 0,
+                                 jb._NOMINAL_AT[0], True)
+        assert not got.any()
+
+
+class TestEmbeddedStream:
+    def test_round_trip(self):
+        rng = np.random.default_rng(5)
+        bm = rng.random((37, 93)) < 0.3
+        gray = decode_jbig2_embedded(encode_jbig2_embedded(bm))
+        assert gray.shape == (37, 93)
+        assert (gray == np.where(bm, 0, 255)).all()
+
+    def test_globals_stream_prefix(self):
+        # split the embedded stream: page info travels as /JBIG2Globals,
+        # the region + trailer as the image data — the PDF arrangement
+        bm = np.eye(16, 40, dtype=bool)
+        blob = encode_jbig2_embedded(bm)
+        # first segment is the 19-byte page info (11-byte header)
+        cut = 11 + 19
+        gray = decode_jbig2_embedded(blob[cut:], globals_data=blob[:cut])
+        assert (gray == np.where(bm, 0, 255)).all()
+
+    def test_declared_size_fallback_without_page_info(self):
+        bm = np.tri(12, 30, dtype=bool)
+        blob = encode_jbig2_embedded(bm)
+        gray = decode_jbig2_embedded(blob[11 + 19:], width=30, height=12)
+        assert (gray == np.where(bm, 0, 255)).all()
+
+    def test_mmr_generic_region(self):
+        # MMR=1 generic region carries T.6 data decoded by ccittcodec
+        from pdf_ocr_engine_spark.core.ccittcodec import encode_g4
+
+        bm = (np.arange(20)[:, None] + np.arange(50)[None, :]) % 7 < 3
+        region = (struct.pack(">IIIIB", 50, 20, 0, 0, 0)
+                  + bytes([1])  # MMR=1
+                  + encode_g4(bm))
+        blob = jb._segment(1, 39, 1, region)
+        gray = decode_jbig2_embedded(blob, width=50, height=20)
+        assert (gray == np.where(bm, 0, 255)).all()
+
+    def test_replace_and_xor_composition(self):
+        # region 2 XORs onto region 1's page area (T.88 8.2 external ops)
+        a = np.zeros((8, 8), dtype=bool)
+        a[:, :4] = True
+        b = np.zeros((8, 8), dtype=bool)
+        b[:4, :] = True
+        page_info = (struct.pack(">IIII", 8, 8, 0, 0) + b"\x01"
+                     + b"\x00\x00")
+
+        def region(bm, comb):
+            info = struct.pack(">IIIIB", 8, 8, 0, 0, comb)
+            gflags = (0 << 1) | (1 << 3)
+            at = b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in jb._NOMINAL_AT[0])
+            return (info + bytes([gflags]) + at
+                    + jb._encode_generic(bm.astype(np.uint8), 0, True))
+
+        blob = (jb._segment(1, 48, 1, page_info)
+                + jb._segment(2, 39, 1, region(a, 0))    # OR
+                + jb._segment(3, 39, 1, region(b, 2))    # XOR
+                + jb._segment(4, 49, 1, b""))
+        gray = decode_jbig2_embedded(blob)
+        assert (gray == np.where(a ^ b, 0, 255)).all()
+
+    def test_symbol_dictionary_is_unsupported(self):
+        blob = jb._segment(1, 0, 1, b"\x00\x00")
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_unknown_length_segment_is_unsupported(self):
+        head = (struct.pack(">IB", 1, 39) + b"\x00" + b"\x01"
+                + struct.pack(">I", 0xFFFFFFFF))
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(head)
+
+    def test_truncated_stream_is_error(self):
+        blob = encode_jbig2_embedded(np.ones((10, 10), bool))
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob[: len(blob) // 2])
+
+    def test_no_dimensions_is_error(self):
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(b"")
+
+
+class TestPdfIntegration:
+    def test_jbig2_scanned_pdf_ocr_matches_flate(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 300, "height": 120,
+                  "words": [("scanned", 10, 10, 52, 18),
+                            ("via", 60, 10, 78, 18),
+                            ("jbig", 10, 30, 34, 38)]}]
+        rec = deterministic_recognizer()
+        flate = extract_document(
+            build_pixel_scanned_pdf(pages, codec="flate"), "eng",
+            recognizer=rec)
+        jbig2 = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jbig2"), "eng",
+            recognizer=rec)
+        assert flate["status"] == jbig2["status"] == "ok"
+        assert jbig2["text"] == flate["text"] == "scanned via\njbig"
+
+    def test_decoded_image_reports_jbig2_filter(self):
+        from pdf_ocr_engine_spark.core.pdfreal import extract_page_images
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+
+        pages = [{"width": 100, "height": 40,
+                  "words": [("x", 10, 10, 16, 18)]}]
+        out = extract_page_images(build_pixel_scanned_pdf(pages,
+                                                          codec="jbig2"))
+        img = out[0]["images"][0]
+        assert img["filter"] == "JBIG2Decode"
+        assert img["bpc"] == 1
+
+    def test_jbig2_globals_stream_resolved_from_decode_parms(self):
+        # hand-built one-page PDF whose image carries /DecodeParms
+        # << /JBIG2Globals N 0 R >> with N a separate stream object —
+        # extract_page_images must surface the decoded globals bytes and
+        # the recognizer must compose them with the image data
+        from pdf_ocr_engine_spark.core.pdfreal import extract_page_images
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+        samples = render_words_gray(60, 20, [("hi", 10, 5, 22, 13)])
+        bm = np.frombuffer(samples, dtype=np.uint8).reshape(20, 60) < 128
+        blob = encode_jbig2_embedded(bm)
+        cut = 11 + 19
+        glob, img = blob[:cut], blob[cut:]
+
+        objects = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+             b"/MediaBox [0 0 60 20] >>"),
+            (b"<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+             b"<< /Im0 5 0 R >> >> /Contents 4 0 R >>"),
+            (b"<< /Length 24 >>\nstream\n"
+             b"q 60 0 0 20 0 0 cm /Im0 Do\nendstream"),
+            (b"<< /Type /XObject /Subtype /Image /Width 60 /Height 20 "
+             b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+             b"/Filter /JBIG2Decode "
+             b"/DecodeParms << /JBIG2Globals 6 0 R >> "
+             b"/Length " + str(len(img)).encode() + b" >>\nstream\n"
+             + img + b"\nendstream"),
+            (b"<< /Length " + str(len(glob)).encode() + b" >>\nstream\n"
+             + glob + b"\nendstream"),
+        ]
+        buf = bytearray(b"%PDF-1.4\n")
+        offsets = [0] * (len(objects) + 1)
+        for i, obj in enumerate(objects, 1):
+            offsets[i] = len(buf)
+            buf += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+        xref_at = len(buf)
+        buf += f"xref\n0 {len(objects) + 1}\n".encode()
+        buf += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            buf += f"{off:010d} 00000 n \n".encode()
+        buf += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF").encode()
+
+        out = extract_page_images(bytes(buf))
+        image = out[0]["images"][0]
+        assert image["filter"] == "JBIG2Decode"
+        assert image["decode_parms"]["JBIG2Globals"] == glob
+
+        # the OCR recognizer decodes pixels through the split stream (no
+        # words to classify — assert via the decoder on the same dict)
+        gray = decode_jbig2_embedded(
+            image["data"],
+            globals_data=image["decode_parms"]["JBIG2Globals"],
+            width=image["width"], height=image["height"])
+        assert (gray == np.where(bm, 0, 255)).all()
+        words = deterministic_recognizer()(image)
+        assert [w[0] for w in words] == ["hi"]
+
+    def test_corrupt_jbig2_raster_is_decode_error(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pdf = bytearray(build_pixel_scanned_pdf(
+            [{"width": 100, "height": 40,
+              "words": [("ok", 10, 10, 22, 18)]}], codec="jbig2"))
+        at = bytes(pdf).find(b"JBIG2Decode")
+        st = bytes(pdf).find(b"stream\n", at)
+        # flip the region segment's type byte (header byte 4 of the
+        # second segment, after the 11+19-byte page-info segment) to 0 —
+        # a symbol dictionary, which the decoder rejects as unsupported
+        pdf[st + 7 + 30 + 4] = 0
+        r = extract_document(bytes(pdf), "eng",
+                             recognizer=deterministic_recognizer())
+        assert r["status"] == "decode_error"
