@@ -16,22 +16,33 @@ this repo decodes them itself, from the public T.88 recommendation:
   figure layouts), non-nominal AT pixels via the general per-pixel
   gather; TPGDON typical-prediction rows (special contexts
   0x9B25/0x0795/0x00E5/0x0195).
+* **Symbol dictionary + text region decoding** (T.88 §6.5 / §6.4, the
+  dictionary-coded arrangement real scanner output predominantly uses):
+  arithmetic integer decoding IAx/IAID (Annex A), height-class symbol
+  bitmaps over shared GB contexts, export-run selection, and instance
+  placement with all four REFCORNERs, TRANSPOSED both ways, SBSTRIPS
+  T residuals and SBDSOFFSET.  Huffman-coded variants and
+  refinement/aggregate coding raise :class:`Jbig2Unsupported`.
 * **Embedded segment layer** (T.88 §7.2, the "embedded stream" format
   PDF requires — no file header): segment headers with short/long
-  referred-to forms, page info (type 48), immediate/intermediate
-  generic regions (36/38/39), end-of-stripe/page/file (50/49/51), and
-  the PDF ``/JBIG2Globals`` prefix stream.  Generic regions with
-  ``MMR=1`` reuse the T.6 decoder (``core/ccittcodec``).  Symbol/text
-  region segments (the dictionary-coded tier) raise
-  :class:`Jbig2Unsupported` — callers surface undecodable data as an
-  error value, never a crash.
+  referred-to forms, page info (type 48), symbol dictionaries (0),
+  immediate text regions (6/7) resolving symbols from their
+  referred-to dictionaries, immediate/intermediate generic regions
+  (36/38/39), end-of-stripe/page/file (50/49/51), and the PDF
+  ``/JBIG2Globals`` prefix stream.  Generic regions with ``MMR=1``
+  reuse the T.6 decoder (``core/ccittcodec``).  Halftone and
+  refinement segments raise :class:`Jbig2Unsupported` — callers
+  surface undecodable data as an error value, never a crash.
 
 The decoder emits semantic pixels (0 = black ink, 255 = white), the
 input contract of the OCR tier (``core/rasterfont.recognize_gray``) and
-the same convention as ``core/ccittcodec``.  The encoder is the
-fixture-authoring side: it writes a page-info + immediate-lossless
-generic-region (template 0, nominal AT, TPGDON) + end-of-page embedded
-stream any T.88 decoder reads.
+the same convention as ``core/ccittcodec``.  The encoders are the
+fixture-authoring side: :func:`encode_jbig2_embedded` writes one
+immediate-lossless generic region (template 0, nominal AT, TPGDON);
+:func:`encode_jbig2_symbol_embedded` writes the dictionary-coded
+arrangement (connected components → deduplicated symbol classes → text
+region, the jbig2enc architecture).  Both emit standard T.88 any
+JBIG2-capable tool decodes.
 """
 
 from __future__ import annotations
@@ -45,6 +56,7 @@ __all__ = [
     "Jbig2Unsupported",
     "decode_jbig2_embedded",
     "encode_jbig2_embedded",
+    "encode_jbig2_symbol_embedded",
 ]
 
 
@@ -399,11 +411,20 @@ def _decode_generic(mq: _MQDecoder, width: int, height: int, template: int,
 
 
 def _encode_generic(bm: np.ndarray, template: int = 0,
-                    tpgdon: bool = True) -> bytes:
-    """(h, w) 0/1 bitmap → MQ-coded generic region data (nominal AT)."""
+                    tpgdon: bool = True, enc: "_MQEncoder | None" = None,
+                    contexts: tuple[list, list] | None = None,
+                    ) -> bytes | None:
+    """(h, w) 0/1 bitmap → MQ-coded generic region data (nominal AT).
+
+    With ``enc``/``contexts`` the bitmap is coded INTO an existing MQ
+    codestream with persistent GB contexts (the symbol-dictionary
+    arrangement, T.88 §6.5.8) and None is returned; standalone callers
+    get the flushed bytes."""
     h, w = bm.shape
-    idx, mps = _fresh_contexts(template)
-    enc = _MQEncoder()
+    own = enc is None
+    idx, mps = contexts if contexts is not None else _fresh_contexts(template)
+    if own:
+        enc = _MQEncoder()
     rows = bm.astype(np.uint8).tolist()
     zrow = [0] * w
     tctx = _TPGD_CTX[template]
@@ -476,7 +497,293 @@ def _encode_generic(bm: np.ndarray, template: int = 0,
                 ctx = (((ctx & 0x01F7) << 1) | (n1 << 4) | bit)
         else:
             raise Jbig2Error(f"bad GBTEMPLATE {template}")
-    return enc.flush()
+    return enc.flush() if own else None
+
+
+# --------------------------------------------------------------------------
+# Arithmetic integer decoding (T.88 Annex A) — the IAx procedures
+# --------------------------------------------------------------------------
+
+#: (value-bit count, range offset) per prefix class; selector prefixes are
+#: 0 / 10 / 110 / 1110 / 11110 / 11111 (Table A.1)
+_INT_CLASSES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+def _int_ctx() -> tuple[list, list]:
+    """One IAx context set: 512 states indexed by the PREV register."""
+    return [0] * 512, [0] * 512
+
+
+def _int_decode(mq: _MQDecoder, idx: list, mps: list) -> int | None:
+    """Decode one signed integer per A.2; None is the OOB value."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = mq.decode(idx, mps, prev)
+        prev = ((prev << 1) | b) if prev < 256 else \
+            ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    cls = 0
+    while cls < 5 and bit():
+        cls += 1
+    nbits, offset = _INT_CLASSES[cls]
+    v = 0
+    for _ in range(nbits):
+        v = (v << 1) | bit()
+    v += offset
+    if s:
+        return -v if v else None  # "negative zero" signals OOB
+    return v
+
+
+def _int_encode(enc: _MQEncoder, idx: list, mps: list,
+                value: int | None) -> None:
+    """Inverse of :func:`_int_decode` (None encodes OOB)."""
+    prev = 1
+
+    def put(b: int) -> None:
+        nonlocal prev
+        enc.encode(idx, mps, prev, b)
+        prev = ((prev << 1) | b) if prev < 256 else \
+            ((((prev << 1) | b) & 511) | 256)
+
+    if value is None:
+        put(1)
+        v = 0
+    else:
+        put(1 if value < 0 else 0)
+        v = -value if value < 0 else value
+    cls = 5
+    for ci, (nb, off) in enumerate(_INT_CLASSES):
+        if v < off + (1 << nb):
+            cls = ci
+            break
+    for _ in range(cls):
+        put(1)
+    if cls < 5:
+        put(0)
+    nbits, offset = _INT_CLASSES[cls]
+    rem = v - offset
+    for i in range(nbits - 1, -1, -1):
+        put((rem >> i) & 1)
+
+
+def _iaid_ctx(symcodelen: int) -> tuple[list, list]:
+    n = 1 << (symcodelen + 1)
+    return [0] * n, [0] * n
+
+
+def _iaid_decode(mq: _MQDecoder, idx: list, mps: list,
+                 symcodelen: int) -> int:
+    """Symbol ID decoding (A.3): a symcodelen-deep context tree."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | mq.decode(idx, mps, prev)
+    return prev - (1 << symcodelen)
+
+
+def _iaid_encode(enc: _MQEncoder, idx: list, mps: list,
+                 value: int, symcodelen: int) -> None:
+    prev = 1
+    v = value + (1 << symcodelen)
+    for i in range(symcodelen - 1, -1, -1):
+        b = (v >> i) & 1
+        enc.encode(idx, mps, prev, b)
+        prev = (prev << 1) | b
+
+
+# --------------------------------------------------------------------------
+# Symbol dictionary (§6.5) and text region (§6.4) — arithmetic coding
+# --------------------------------------------------------------------------
+
+
+def _decode_symbol_dict(seg_data: bytes,
+                        input_syms: list[np.ndarray]) -> list[np.ndarray]:
+    """Symbol dictionary segment data → the EXPORTED symbol bitmaps
+    (referred-dict inputs prepended per §6.5.8.2.3's SDINSYMS order)."""
+    if len(seg_data) < 2:
+        raise Jbig2Error("short symbol dictionary")
+    flags = struct.unpack_from(">H", seg_data, 0)[0]
+    pos = 2
+    if flags & 1:
+        raise Jbig2Unsupported("huffman-coded symbol dictionary")
+    if (flags >> 1) & 1:
+        raise Jbig2Unsupported("refinement/aggregate symbol coding")
+    template = (flags >> 10) & 3
+    n_at = 4 if template == 0 else 1
+    if pos + 2 * n_at + 8 > len(seg_data):
+        raise Jbig2Error("truncated symbol dictionary header")
+    at = tuple(
+        (struct.unpack_from("b", seg_data, pos + 2 * i)[0],
+         struct.unpack_from("b", seg_data, pos + 2 * i + 1)[0])
+        for i in range(n_at))
+    pos += 2 * n_at
+    num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
+    pos += 8
+    if num_new > 1 << 16 or num_ex > 1 << 16:
+        raise Jbig2Error("implausible symbol counts")
+    mq = _MQDecoder(seg_data[pos:])
+    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    gb_ctx = _fresh_contexts(template)
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    while len(newsyms) < num_new:
+        dh = _int_decode(mq, *iadh)
+        if dh is None:
+            raise Jbig2Error("OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 14:
+            raise Jbig2Error(f"bad height class {hcheight}")
+        symwidth = 0
+        while True:
+            dw = _int_decode(mq, *iadw)
+            if dw is None:
+                break  # end of height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 14 \
+                    or len(newsyms) >= num_new:
+                raise Jbig2Error("bad symbol width sequence")
+            newsyms.append(_decode_generic(
+                mq, symwidth, hcheight, template, at, False,
+                contexts=gb_ctx))
+    syms = list(input_syms) + newsyms
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = 0
+    while i < len(syms):
+        run = _int_decode(mq, *iaex)
+        if run is None or run < 0 or i + run > len(syms):
+            raise Jbig2Error("bad export run")
+        if exflag:
+            exported.extend(syms[i:i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != num_ex:
+        raise Jbig2Error(
+            f"dictionary exported {len(exported)} != declared {num_ex}")
+    return exported
+
+
+def _symcodelen(n_syms: int) -> int:
+    """SBSYMCODELEN = ceil(log2(SBNUMSYMS)) (Table 31); zero bits when a
+    single symbol exists (its ID is implicit)."""
+    return (n_syms - 1).bit_length() if n_syms > 1 else 0
+
+
+def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
+                        ) -> tuple[dict, np.ndarray]:
+    """Text region segment data → (region info, 0/1 bitmap) with every
+    symbol instance drawn per §6.4.5 (all four REFCORNERs, TRANSPOSED
+    both ways, strip T residuals)."""
+    info, pos = _parse_region_info(seg_data, 0)
+    if pos + 6 > len(seg_data):
+        raise Jbig2Error("truncated text region header")
+    flags = struct.unpack_from(">H", seg_data, pos)[0]
+    pos += 2
+    if flags & 1:
+        raise Jbig2Unsupported("huffman-coded text region")
+    if (flags >> 1) & 1:
+        raise Jbig2Unsupported("refinement-coded text region")
+    sbstrips = 1 << ((flags >> 2) & 3)
+    refcorner = (flags >> 4) & 3  # 0=BL 1=TL 2=BR 3=TR (Table 34)
+    transposed = (flags >> 6) & 1
+    sbcombop = (flags >> 7) & 3
+    sbdefpixel = (flags >> 9) & 1
+    sbdsoffset = (flags >> 10) & 0x1F
+    if sbdsoffset > 15:
+        sbdsoffset -= 32
+    num_instances = struct.unpack_from(">I", seg_data, pos)[0]
+    pos += 4
+    w, h = info["w"], info["h"]
+    if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26 \
+            or num_instances > 1 << 22:
+        raise Jbig2Error("implausible text region")
+    if not syms:
+        raise Jbig2Error("text region with no symbols")
+    mq = _MQDecoder(seg_data[pos:])
+    iadt, iafs, iads, iait = (_int_ctx() for _ in range(4))
+    scl = _symcodelen(len(syms))
+    iaid = _iaid_ctx(scl)
+    page = np.full((h, w), sbdefpixel, dtype=np.uint8)
+
+    def draw(sym: np.ndarray, x0: int, y0: int) -> None:
+        sh, sw = sym.shape
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        x0, y0 = max(0, x0), max(0, y0)
+        sw = min(sw - sx0, w - x0)
+        sh = min(sh - sy0, h - y0)
+        if sw <= 0 or sh <= 0:
+            return
+        dst = page[y0:y0 + sh, x0:x0 + sw]
+        src = sym[sy0:sy0 + sh, sx0:sx0 + sw]
+        if sbcombop == 0:
+            dst |= src
+        elif sbcombop == 1:
+            dst &= src
+        elif sbcombop == 2:
+            dst ^= src
+        else:
+            dst ^= src ^ 1
+
+    first_dt = _int_decode(mq, *iadt)
+    if first_dt is None:
+        raise Jbig2Error("OOB strip T")
+    stript = -first_dt * sbstrips
+    firsts = 0
+    inst = 0
+    while inst < num_instances:
+        dt = _int_decode(mq, *iadt)
+        if dt is None:
+            raise Jbig2Error("OOB strip T delta")
+        stript += dt * sbstrips
+        dfs = _int_decode(mq, *iafs)
+        if dfs is None:
+            raise Jbig2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while inst < num_instances:
+            if first:
+                first = False
+            else:
+                ids = _int_decode(mq, *iads)
+                if ids is None:
+                    break  # end of strip
+                curs += ids + sbdsoffset
+            curt = _int_decode(mq, *iait) if sbstrips > 1 else 0
+            if curt is None:
+                raise Jbig2Error("OOB T residual")
+            ti = stript + curt
+            sid = _iaid_decode(mq, *iaid, scl) if scl else 0
+            if not 0 <= sid < len(syms):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = syms[sid]
+            hi, wi = sym.shape
+            if not transposed:
+                if refcorner in (2, 3):       # right corners: advance first
+                    curs += wi - 1
+                    x0 = curs - wi + 1
+                else:
+                    x0 = curs
+                y0 = ti if refcorner in (1, 3) else ti - hi + 1
+                draw(sym, x0, y0)
+                if refcorner in (0, 1):       # left corners: advance after
+                    curs += wi - 1
+            else:
+                if refcorner in (0, 2):       # bottom corners: advance first
+                    curs += hi - 1
+                    y0 = curs - hi + 1
+                else:
+                    y0 = curs
+                x0 = ti if refcorner in (0, 1) else ti - wi + 1
+                draw(sym, x0, y0)
+                if refcorner in (1, 3):       # top corners: advance after
+                    curs += hi - 1
+            inst += 1
+    return info, page
 
 
 # --------------------------------------------------------------------------
@@ -599,6 +906,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
     page_w = page_h = None
     page_default = 0
     regions: list[tuple[dict, np.ndarray]] = []
+    sym_exports: dict[int, list[np.ndarray]] = {}
     for head, seg_data in segments:
         t = head["type"]
         if t == 48:  # page info
@@ -613,12 +921,23 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
                 page_h = ph
         elif t in _GENERIC_REGION_TYPES:
             regions.append(_decode_generic_segment(seg_data))
+        elif t == 0:  # symbol dictionary
+            inputs: list[np.ndarray] = []
+            for r in head["refs"]:
+                inputs.extend(sym_exports.get(r, ()))
+            sym_exports[head["number"]] = _decode_symbol_dict(
+                seg_data, inputs)
+        elif t in (6, 7):  # immediate (lossless) text region
+            syms: list[np.ndarray] = []
+            for r in head["refs"]:
+                syms.extend(sym_exports.get(r, ()))
+            regions.append(_decode_text_region(seg_data, syms))
         elif t in (49, 50, 51):  # end of page / stripe / file
             continue
-        elif t in (0, 4, 5, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+        elif t in (4, 5, 16, 20, 22, 23, 40, 42, 43):
             raise Jbig2Unsupported(
-                f"JBIG2 segment type {t} (symbol/text/halftone/refinement)"
-                " outside the generic-region scope")
+                f"JBIG2 segment type {t} (intermediate/halftone/refinement)"
+                " outside the symbol/text/generic scope")
         elif t in (52, 53, 62):  # retention / tables / extension: skip
             continue
         else:
@@ -659,9 +978,14 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
     return np.where(page, 0, 255).astype(np.uint8)
 
 
-def _segment(number: int, seg_type: int, page: int, payload: bytes) -> bytes:
-    """Author one segment with no referred-to segments, 1-byte page assoc."""
-    return (struct.pack(">IB", number, seg_type) + b"\x00"
+def _segment(number: int, seg_type: int, page: int, payload: bytes,
+             refs: tuple[int, ...] = ()) -> bytes:
+    """Author one segment (short referred-to form, 1-byte refs and page
+    association — valid while segment numbers stay ≤ 256)."""
+    if len(refs) > 4:
+        raise ValueError("short referred-to form holds at most 4 refs")
+    return (struct.pack(">IB", number, seg_type)
+            + bytes([len(refs) << 5]) + bytes(refs)
             + struct.pack(">B", page) + struct.pack(">I", len(payload))
             + payload)
 
@@ -688,3 +1012,170 @@ def encode_jbig2_embedded(bitmap: np.ndarray) -> bytes:
     return (_segment(1, 48, 1, page_info)
             + _segment(2, 39, 1, region)      # immediate lossless generic
             + _segment(3, 49, 1, b""))        # end of page
+
+
+def _connected_components(bm: np.ndarray,
+                          ) -> list[tuple[int, int, np.ndarray]]:
+    """8-connected ink components of a 0/1 bitmap → [(x0, y0, mask)] in
+    raster order of each component's first pixel.  ``mask`` holds exactly
+    the component's pixels (overlapping bounding boxes stay clean).
+    Fixture-authoring side only — pages are glyph-sized."""
+    h, w = bm.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    comps: list[tuple[int, int, np.ndarray]] = []
+    ys, xs = np.nonzero(bm)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        if labels[y, x]:
+            continue
+        label = len(comps) + 1
+        labels[y, x] = label
+        stack = [(y, x)]
+        pix: list[tuple[int, int]] = []
+        while stack:
+            cy, cx = stack.pop()
+            pix.append((cy, cx))
+            for ny in range(max(0, cy - 1), min(h, cy + 2)):
+                for nx in range(max(0, cx - 1), min(w, cx + 2)):
+                    if bm[ny, nx] and not labels[ny, nx]:
+                        labels[ny, nx] = label
+                        stack.append((ny, nx))
+        py = [p[0] for p in pix]
+        px = [p[1] for p in pix]
+        y0, y1, x0, x1 = min(py), max(py), min(px), max(px)
+        mask = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=np.uint8)
+        for cy, cx in pix:
+            mask[cy - y0, cx - x0] = 1
+        comps.append((x0, y0, mask))
+    return comps
+
+
+def _encode_symbol_dict(symbols: list[np.ndarray]) -> bytes:
+    """Symbol bitmaps (MUST be sorted by ascending height; IDs are list
+    positions) → symbol dictionary segment data, all exported."""
+    header = (struct.pack(">H", 0)  # SDHUFF=0 SDREFAGG=0 template 0
+              + b"".join(struct.pack("bb", dx, dy)
+                         for dx, dy in _NOMINAL_AT[0])
+              + struct.pack(">II", len(symbols), len(symbols)))
+    enc = _MQEncoder()
+    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    gb_ctx = _fresh_contexts(0)
+    hprev = 0
+    i = 0
+    while i < len(symbols):
+        hc = symbols[i].shape[0]
+        _int_encode(enc, *iadh, hc - hprev)
+        hprev = hc
+        wprev = 0
+        while i < len(symbols) and symbols[i].shape[0] == hc:
+            wi = symbols[i].shape[1]
+            _int_encode(enc, *iadw, wi - wprev)
+            wprev = wi
+            _encode_generic(symbols[i], template=0, tpgdon=False,
+                            enc=enc, contexts=gb_ctx)
+            i += 1
+        _int_encode(enc, *iadw, None)  # OOB closes the height class
+    _int_encode(enc, *iaex, 0)                # run of 0 non-exports,
+    _int_encode(enc, *iaex, len(symbols))     # then export everything
+    return header + enc.flush()
+
+
+def _encode_text_region(instances: list[tuple[int, int, int]],
+                        symbols: list[np.ndarray],
+                        w: int, h: int, refcorner: int = 1,
+                        sbstrips: int = 1) -> bytes:
+    """Instances ``[(x0, y0, symbol_id)]`` (top-left anchors) drawn onto
+    a (h, w) region → text region segment data (TRANSPOSED=0, OR
+    composition).  ``refcorner`` picks the encoded REFCORNER and
+    ``sbstrips`` ∈ {1,2,4,8} the strip height (>1 exercises the IAIT
+    T-residual path) — the emitted T/S values are adjusted so every
+    variant draws identically."""
+    if sbstrips not in (1, 2, 4, 8):
+        raise ValueError("SBSTRIPS must be 1, 2, 4 or 8")
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    flags = ((refcorner & 3) << 4  # SBHUFF=0 SBREFINE=0 ...
+             | (sbstrips.bit_length() - 1) << 2)  # LOGSBSTRIPS
+    enc = _MQEncoder()
+    iadt, iafs, iads, iait = (_int_ctx() for _ in range(4))
+    scl = _symcodelen(len(symbols))
+    iaid = _iaid_ctx(scl)
+
+    def enc_t(y0: int, sid: int) -> int:
+        hi = symbols[sid].shape[0]
+        return y0 if refcorner in (1, 3) else y0 + hi - 1
+
+    strips: dict[int, list[tuple[int, int, int]]] = {}
+    for x0, y0, sid in instances:
+        t = enc_t(y0, sid)
+        strips.setdefault(t - t % sbstrips, []).append((x0, y0, sid))
+
+    _int_encode(enc, *iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for st in sorted(strips):
+        _int_encode(enc, *iadt, (st - stript) // sbstrips)
+        stript = st
+        row = sorted(strips[st])
+        first = True
+        curs = 0
+        for x0, y0, sid in row:
+            wi = symbols[sid].shape[1]
+            if first:
+                _int_encode(enc, *iafs, x0 - firsts)
+                firsts = x0
+                first = False
+            else:
+                _int_encode(enc, *iads, x0 - curs)  # SBDSOFFSET = 0
+            curs = x0 + wi - 1
+            if sbstrips > 1:
+                _int_encode(enc, *iait, enc_t(y0, sid) - st)
+            if scl:
+                _iaid_encode(enc, *iaid, sid, scl)
+        _int_encode(enc, *iads, None)  # OOB ends the strip
+    return (region_info + struct.pack(">H", flags)
+            + struct.pack(">I", len(instances)) + enc.flush())
+
+
+def encode_jbig2_symbol_embedded(bitmap: np.ndarray,
+                                 refcorner: int = 1,
+                                 sbstrips: int = 1) -> bytes:
+    """2-D bitmap (nonzero/True = black ink) → PDF-embedded JBIG2 stream
+    in the DICTIONARY-CODED arrangement real scanner output uses: each
+    connected ink component becomes a symbol instance, identical shapes
+    share one dictionary entry (the jbig2enc architecture), and a text
+    region places them.  Lossless for any bitmap — a component is its
+    own symbol — and the inverse of :func:`decode_jbig2_embedded`."""
+    bm = np.asarray(bitmap)
+    if bm.ndim != 2:
+        raise ValueError("encode_jbig2_symbol_embedded wants a 2-D bitmap")
+    bm = (bm.astype(bool)).astype(np.uint8)
+    h, w = bm.shape
+    comps = _connected_components(bm)
+    if not comps:
+        # no ink: an empty page needs no region segments at all
+        page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01"
+                     + b"\x00\x00")
+        return (_segment(1, 48, 1, page_info)
+                + _segment(2, 49, 1, b""))
+    classes: dict[tuple[int, int, bytes], int] = {}
+    keys: list[tuple[int, int, bytes]] = []
+    for _x0, _y0, mask in comps:
+        key = (mask.shape[0], mask.shape[1], mask.tobytes())
+        if key not in classes:
+            classes[key] = 0
+            keys.append(key)
+    keys.sort()  # ascending height, then width, then pixels
+    for sid, key in enumerate(keys):
+        classes[key] = sid
+    symbols = [np.frombuffer(key[2], dtype=np.uint8)
+               .reshape(key[0], key[1]) for key in keys]
+    instances = [(x0, y0, classes[(mask.shape[0], mask.shape[1],
+                                   mask.tobytes())])
+                 for x0, y0, mask in comps]
+    page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00")
+    return (_segment(1, 48, 1, page_info)
+            + _segment(2, 0, 1, _encode_symbol_dict(symbols))
+            + _segment(3, 7, 1,  # immediate lossless text region
+                       _encode_text_region(instances, symbols, w, h,
+                                           refcorner, sbstrips),
+                       refs=(2,))
+            + _segment(4, 49, 1, b""))

@@ -177,12 +177,16 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     1-bit embedded-format JBIG2 stream (``core/jbig2codec``: page info +
     MQ-coded immediate lossless generic region, also lossless at the
     128 threshold) behind **JBIG2Decode**, the modern scanner/optimizer
-    codec — so the OCR tier exercises every raster decode path end to
-    end.
+    codec; ``"jbig2sym"`` embeds the same page in JBIG2's
+    DICTIONARY-CODED arrangement (connected components → symbol
+    dictionary → text region — what real scanner JBIG2 output
+    predominantly is) — so the OCR tier exercises every raster decode
+    path end to end.
     """
     from .rasterfont import render_words_gray
 
-    if codec not in ("flate", "jpeg", "jpegprog", "ccitt", "jbig2"):
+    if codec not in ("flate", "jpeg", "jpegprog", "ccitt", "jbig2",
+                     "jbig2sym"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -214,11 +218,16 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                 np.frombuffer(samples, dtype=np.uint8)
                 .reshape(int(h), int(w)), quality=100)
             filter_name = "DCTDecode"
-        elif codec == "jbig2":
+        elif codec in ("jbig2", "jbig2sym"):
             import numpy as np
 
-            from .jbig2codec import encode_jbig2_embedded
-            img = encode_jbig2_embedded(
+            from .jbig2codec import (
+                encode_jbig2_embedded,
+                encode_jbig2_symbol_embedded,
+            )
+            enc = (encode_jbig2_symbol_embedded if codec == "jbig2sym"
+                   else encode_jbig2_embedded)
+            img = enc(
                 np.frombuffer(samples, dtype=np.uint8)
                 .reshape(int(h), int(w)) < 128)
             filter_name = "JBIG2Decode"

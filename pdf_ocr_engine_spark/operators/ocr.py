@@ -71,9 +71,11 @@ def deterministic_recognizer():
       /EncodedByteAlign honoured from the DecodeParms carried on the
       image dict) — the dominant 1-bit fax/TIFF-style scan encoding;
     * **JBIG2Decode** image XObjects → embedded-stream decode via the
-      pure-stdlib T.88 codec (``core/jbig2codec``: MQ arithmetic coder +
-      generic regions, with the ``/JBIG2Globals`` prefix stream resolved
-      from the DecodeParms) — the modern scanner/optimizer codec;
+      pure-stdlib T.88 codec (``core/jbig2codec``: MQ arithmetic coder,
+      generic regions, symbol-dictionary + text regions — the
+      dictionary-coded arrangement real scanner output uses — with the
+      ``/JBIG2Globals`` prefix stream resolved from the DecodeParms) —
+      the modern scanner/optimizer codec;
     * 8-bit ``/DeviceGray`` raster of declared size → real pixel OCR
       (``core/rasterfont.recognize_gray``: projection segmentation +
       5×7 template classification) — genuine grayscale page images, as a

@@ -103,12 +103,13 @@ def _text_to_mixed_payload(text, doc_id):
     scanned image-only PDF with FAKERAST rasters; doc_id % 4 == 1 →
     scanned image-only PDF with *genuine pixel* rasters in a foreign
     document structure (real OCR segmentation+classification must run),
-    split across the four raster codecs real scanners emit: baseline
-    JPEG behind DCTDecode (doc_id % 8 == 5), 1-bit Group 4 behind
-    CCITTFaxDecode (doc_id % 16 == 9), 1-bit JBIG2 generic regions
-    behind JBIG2Decode (doc_id % 32 == 17), raw DeviceGray behind
-    FlateDecode (doc_id % 32 == 1) — so the stdlib JPEG, T.6, and T.88
-    decoders are all in the checked path.  All paginate at
+    split across the raster codecs real scanners emit: baseline JPEG
+    behind DCTDecode (doc_id % 8 == 5), 1-bit Group 4 behind
+    CCITTFaxDecode (doc_id % 16 == 9), 1-bit JBIG2 behind JBIG2Decode —
+    generic-region arrangement at doc_id % 64 == 17, dictionary-coded
+    symbol/text arrangement at doc_id % 64 == 49 — and raw DeviceGray
+    behind FlateDecode (doc_id % 32 == 1) — so the stdlib JPEG, T.6,
+    and T.88 decoders are all in the checked path.  All paginate at
     REAL_PDF_WORDS_PER_PAGE so one oracle covers the whole corpus."""
     import pandas as pd
 
@@ -123,7 +124,8 @@ def _text_to_mixed_payload(text, doc_id):
         elif d % 4 == 1:
             codec = ("jpeg" if d % 8 == 5
                      else "ccitt" if d % 16 == 9
-                     else "jbig2" if d % 32 == 17 else "flate")
+                     else "jbig2" if d % 64 == 17
+                     else "jbig2sym" if d % 64 == 49 else "flate")
             payload = text_to_pixel_scanned_pdf_payload(
                 t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE,
                 codec=codec)

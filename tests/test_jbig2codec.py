@@ -150,9 +150,10 @@ class TestEmbeddedStream:
         gray = decode_jbig2_embedded(blob)
         assert (gray == np.where(a ^ b, 0, 255)).all()
 
-    def test_symbol_dictionary_is_unsupported(self):
+    def test_truncated_symbol_dictionary_is_error(self):
+        # bare flags with no AT pixels / counts behind them
         blob = jb._segment(1, 0, 1, b"\x00\x00")
-        with pytest.raises(Jbig2Unsupported):
+        with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob, width=8, height=8)
 
     def test_unknown_length_segment_is_unsupported(self):
@@ -287,3 +288,173 @@ class TestPdfIntegration:
         r = extract_document(bytes(pdf), "eng",
                              recognizer=deterministic_recognizer())
         assert r["status"] == "decode_error"
+
+
+class TestArithInteger:
+    def test_class_boundary_values_round_trip(self):
+        values = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+                  100000, 2**31 - 1, -1, -3, -4, -20, -84, -340, -4436,
+                  -99999, None, 7, None, 0]
+        enc = jb._MQEncoder()
+        ctx = jb._int_ctx()
+        for v in values:
+            jb._int_encode(enc, *ctx, v)
+        data = enc.flush()
+        mq = jb._MQDecoder(data)
+        ctx = jb._int_ctx()
+        assert [jb._int_decode(mq, *ctx) for _ in values] == values
+
+    def test_random_values_round_trip(self):
+        rng = np.random.default_rng(21)
+        values = [int(v) for v in rng.integers(-10000, 10000, 500)]
+        enc = jb._MQEncoder()
+        ctx = jb._int_ctx()
+        for v in values:
+            jb._int_encode(enc, *ctx, v)
+        mq = jb._MQDecoder(enc.flush())
+        ctx = jb._int_ctx()
+        assert [jb._int_decode(mq, *ctx) for _ in values] == values
+
+    @pytest.mark.parametrize("scl", [1, 3, 6])
+    def test_iaid_round_trip(self, scl):
+        rng = np.random.default_rng(scl)
+        ids = [int(v) for v in rng.integers(0, 1 << scl, 200)]
+        enc = jb._MQEncoder()
+        ctx = jb._iaid_ctx(scl)
+        for v in ids:
+            jb._iaid_encode(enc, *ctx, v, scl)
+        mq = jb._MQDecoder(enc.flush())
+        ctx = jb._iaid_ctx(scl)
+        assert [jb._iaid_decode(mq, *ctx, scl) for _ in ids] == ids
+
+
+def _glyph_page(words, w=200, h=40):
+    from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+    samples = render_words_gray(w, h, words)
+    return np.frombuffer(samples, dtype=np.uint8).reshape(h, w) < 128
+
+
+class TestSymbolText:
+    WORDS = [("hello", 10, 5, 40, 13), ("hello", 60, 5, 90, 13),
+             ("world", 10, 25, 40, 33)]
+
+    @pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+    def test_round_trip_all_refcorners(self, refcorner):
+        bm = _glyph_page(self.WORDS)
+        blob = jb.encode_jbig2_symbol_embedded(bm, refcorner=refcorner)
+        assert (decode_jbig2_embedded(blob) == np.where(bm, 0, 255)).all()
+
+    @pytest.mark.parametrize("sbstrips", [2, 4, 8])
+    def test_round_trip_strips_exercise_iait(self, sbstrips):
+        bm = _glyph_page(self.WORDS)
+        blob = jb.encode_jbig2_symbol_embedded(bm, sbstrips=sbstrips)
+        assert (decode_jbig2_embedded(blob) == np.where(bm, 0, 255)).all()
+
+    def test_arbitrary_bitmap_is_lossless(self):
+        rng = np.random.default_rng(3)
+        bm = rng.random((30, 50)) < 0.25
+        blob = jb.encode_jbig2_symbol_embedded(bm)
+        assert (decode_jbig2_embedded(blob) == np.where(bm, 0, 255)).all()
+
+    def test_empty_page(self):
+        gray = decode_jbig2_embedded(
+            jb.encode_jbig2_symbol_embedded(np.zeros((8, 9), bool)))
+        assert gray.shape == (8, 9) and (gray == 255).all()
+
+    def test_dictionary_dedup_pays(self):
+        # 12 instances of one glyph must code far smaller than 12
+        # distinct glyphs — the whole point of the symbol tier
+        rng = np.random.default_rng(9)
+        g = rng.random((14, 10)) < 0.5
+        g[0, 0] = True  # keep the bbox anchored
+        same = np.zeros((30, 12 * 14), dtype=bool)
+        distinct = np.zeros((30, 12 * 14), dtype=bool)
+        for i in range(12):
+            same[4:18, i * 14:i * 14 + 10] = g
+            gi = rng.random((14, 10)) < 0.5
+            gi[0, 0] = True
+            distinct[4:18, i * 14:i * 14 + 10] = gi
+        n_same = len(jb.encode_jbig2_symbol_embedded(same))
+        n_distinct = len(jb.encode_jbig2_symbol_embedded(distinct))
+        assert n_same < n_distinct * 0.6
+        for bm in (same, distinct):
+            blob = jb.encode_jbig2_symbol_embedded(bm)
+            assert (decode_jbig2_embedded(blob)
+                    == np.where(bm, 0, 255)).all()
+
+    def test_transposed_text_region_decodes(self):
+        # hand-author a TRANSPOSED=1 TOPLEFT region: S runs down rows,
+        # T across columns; two instances of one 3x2 symbol
+        sym = np.array([[1, 1], [1, 0], [1, 1]], dtype=np.uint8)
+        enc = jb._MQEncoder()
+        iadt, iafs, iads = (jb._int_ctx() for _ in range(3))
+        jb._int_encode(enc, *iadt, 0)        # STRIPT = 0
+        # strip at T=4 (x): first S (y) = 2, second S, then OOB
+        jb._int_encode(enc, *iadt, 4)
+        jb._int_encode(enc, *iafs, 2)        # FIRSTS=2, draw at y=2
+        # after draw curs = 2 + 3 - 1 = 4; next at y=10: IDS = 6
+        jb._int_encode(enc, *iads, 6)
+        jb._int_encode(enc, *iads, None)
+        region = (struct.pack(">IIIIB", 8, 16, 0, 0, 0)
+                  + struct.pack(">H", (1 << 4) | (1 << 6))  # TL, TRANSPOSED
+                  + struct.pack(">I", 2) + enc.flush())
+        blob = (jb._segment(1, 48, 1,
+                            struct.pack(">IIII", 8, 16, 0, 0)
+                            + b"\x01\x00\x00")
+                + jb._segment(2, 0, 1, jb._encode_symbol_dict([sym]))
+                + jb._segment(3, 7, 1, region, refs=(2,))
+                + jb._segment(4, 49, 1, b""))
+        gray = decode_jbig2_embedded(blob)
+        expect = np.zeros((16, 8), dtype=bool)
+        expect[2:5, 4:6] = sym.astype(bool)
+        expect[10:13, 4:6] = sym.astype(bool)
+        assert (gray == np.where(expect, 0, 255)).all()
+
+    def test_huffman_dict_is_unsupported(self):
+        seg = struct.pack(">H", 1) + b"\x00" * 16
+        blob = jb._segment(1, 0, 1, seg)
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_refagg_dict_is_unsupported(self):
+        seg = struct.pack(">H", 2) + b"\x00" * 16
+        blob = jb._segment(1, 0, 1, seg)
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_refine_text_region_is_unsupported(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+                  + struct.pack(">H", 2) + struct.pack(">I", 0))
+        blob = jb._segment(1, 7, 1, region)
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_text_region_without_symbols_is_error(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+                  + struct.pack(">H", 1 << 4) + struct.pack(">I", 1)
+                  + b"\x00" * 8)
+        blob = jb._segment(1, 7, 1, region)
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_jbig2sym_scanned_pdf_ocr_matches_flate(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 300, "height": 120,
+                  "words": [("symbol", 10, 10, 46, 18),
+                            ("coded", 60, 10, 90, 18),
+                            ("scan", 10, 30, 34, 38)]}]
+        rec = deterministic_recognizer()
+        flate = extract_document(
+            build_pixel_scanned_pdf(pages, codec="flate"), "eng",
+            recognizer=rec)
+        sym = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jbig2sym"), "eng",
+            recognizer=rec)
+        assert flate["status"] == sym["status"] == "ok"
+        assert sym["text"] == flate["text"] == "symbol coded\nscan"
