@@ -21,8 +21,14 @@ this repo decodes them itself, from the public T.88 recommendation:
   arithmetic integer decoding IAx/IAID (Annex A), height-class symbol
   bitmaps over shared GB contexts, export-run selection, and instance
   placement with all four REFCORNERs, TRANSPOSED both ways, SBSTRIPS
-  T residuals and SBDSOFFSET.  Huffman-coded variants and
-  refinement/aggregate coding raise :class:`Jbig2Unsupported`.
+  T residuals and SBDSOFFSET.  Huffman-coded variants raise
+  :class:`Jbig2Unsupported`.
+* **Refinement coding** (T.88 §6.3): generic refinement templates 0/1
+  with adaptive pixels and TPGRON typical prediction, consumed by
+  SDREFAGG symbol dictionaries (single-instance aggregates refining
+  referred-dict symbols) and SBREFINE text regions (per-instance RI +
+  RDW/RDH/RDX/RDY refinement of the placed symbol).  Multi-instance
+  aggregates raise :class:`Jbig2Unsupported`.
 * **Embedded segment layer** (T.88 §7.2, the "embedded stream" format
   PDF requires — no file header): segment headers with short/long
   referred-to forms, page info (type 48), symbol dictionaries (0),
@@ -65,8 +71,9 @@ class Jbig2Error(ValueError):
 
 
 class Jbig2Unsupported(Jbig2Error):
-    """Valid JBIG2 outside the generic-region scope (symbol/text/halftone
-    dictionaries, refinement, unknown-length segments)."""
+    """Valid JBIG2 outside the decoded scope (huffman-coded variants,
+    multi-instance aggregates, halftones, standalone refinement
+    segments, unknown-length segments)."""
 
 
 # --------------------------------------------------------------------------
@@ -596,6 +603,143 @@ def _iaid_encode(enc: _MQEncoder, idx: list, mps: list,
 
 
 # --------------------------------------------------------------------------
+# Generic refinement region coding (T.88 §6.3)
+# --------------------------------------------------------------------------
+
+#: refinement template pixel layouts (current-bitmap layer, then the
+#: reference layer), raster order == context bit order, MSB first.
+#: Template 0 appends the adaptive A1 (coding layer) and A2 (reference
+#: layer) pixels carried in the segment header.
+_REF_CODING = (
+    ((0, -1), (1, -1), (-1, 0)),
+    ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+)
+_REF_REFERENCE = (
+    ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+)
+#: TPGRON pseudo-pixel contexts (the center reference pixel set)
+_REF_TPGR_CTX = (0x0020, 0x0008)
+#: nominal refinement AT pixels (A1 coding layer, A2 reference layer)
+_REF_NOMINAL_AT = ((-1, -1), (-1, -1))
+
+
+def _ref_ctx() -> tuple[list, list]:
+    """One GR context set (13-bit worst case, shared across symbols)."""
+    return [0] * 8192, [0] * 8192
+
+
+def _ref_layout(template: int, at) -> tuple[list, list]:
+    if template not in (0, 1):
+        raise Jbig2Error(f"bad GRTEMPLATE {template}")
+    coding = list(_REF_CODING[template])
+    refer = list(_REF_REFERENCE[template])
+    if template == 0:
+        coding.append(tuple(at[0]))
+        refer.append(tuple(at[1]))
+    return coding, refer
+
+
+def _decode_refinement(mq: _MQDecoder, width: int, height: int,
+                       template: int, reference: np.ndarray,
+                       dx: int, dy: int, at=_REF_NOMINAL_AT,
+                       tpgron: bool = False,
+                       contexts: tuple[list, list] | None = None,
+                       ) -> np.ndarray:
+    """Refine ``reference`` (offset ``dx, dy`` inside the new bitmap's
+    coordinates) into a (height, width) 0/1 bitmap (§6.3.5)."""
+    coding, refer = _ref_layout(template, at)
+    idx, mps = contexts if contexts is not None else _ref_ctx()
+    rows = [[0] * width for _ in range(height)]
+    ref_rows = reference.tolist()
+    rh = len(ref_rows)
+    rw = len(ref_rows[0]) if rh else 0
+
+    def rpix(x: int, y: int) -> int:
+        return ref_rows[y][x] if 0 <= x < rw and 0 <= y < rh else 0
+
+    tctx = _REF_TPGR_CTX[template]
+    ltp = 0
+    dec = mq.decode
+    for y in range(height):
+        if tpgron:
+            ltp ^= dec(idx, mps, tctx)
+        row = rows[y]
+        for x in range(width):
+            if ltp:
+                s = sum(rpix(x - dx + i, y - dy + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0:
+                    continue  # row pre-zeroed
+                if s == 9:
+                    row[x] = 1
+                    continue
+            ctx = 0
+            for cx_, cy_ in coding:
+                px, py = x + cx_, y + cy_
+                v = rows[py][px] if 0 <= px < width and 0 <= py else 0
+                ctx = (ctx << 1) | v
+            for rx_, ry_ in refer:
+                ctx = (ctx << 1) | rpix(x - dx + rx_, y - dy + ry_)
+            row[x] = dec(idx, mps, ctx)
+    return np.array(rows, dtype=np.uint8) if height else \
+        np.zeros((0, width), dtype=np.uint8)
+
+
+def _encode_refinement(enc: _MQEncoder, bm: np.ndarray,
+                       template: int, reference: np.ndarray,
+                       dx: int, dy: int, at=_REF_NOMINAL_AT,
+                       tpgron: bool = False,
+                       contexts: tuple[list, list] | None = None) -> None:
+    """Inverse of :func:`_decode_refinement`, coding INTO ``enc``.  With
+    ``tpgron`` a row is marked typical whenever every uniform-reference-
+    window pixel already equals its window value (those pixels are then
+    skipped, the refinement win the flag exists for)."""
+    coding, refer = _ref_layout(template, at)
+    idx, mps = contexts if contexts is not None else _ref_ctx()
+    height, width = bm.shape
+    rows = bm.astype(np.uint8).tolist()
+    ref_rows = reference.tolist()
+    rh = len(ref_rows)
+    rw = len(ref_rows[0]) if rh else 0
+
+    def rpix(x: int, y: int) -> int:
+        return ref_rows[y][x] if 0 <= x < rw and 0 <= y < rh else 0
+
+    tctx = _REF_TPGR_CTX[template]
+    ltp = 0
+    put = enc.encode
+    for y in range(height):
+        row = rows[y]
+        skip = [False] * width
+        if tpgron:
+            typical = True
+            for x in range(width):
+                s = sum(rpix(x - dx + i, y - dy + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0 or s == 9:
+                    if row[x] != (1 if s == 9 else 0):
+                        typical = False
+                        break
+                    skip[x] = True
+            if not typical:
+                skip = [False] * width
+            put(idx, mps, tctx, ltp ^ typical)
+            ltp = typical
+        for x in range(width):
+            if ltp and skip[x]:
+                continue
+            ctx = 0
+            for cx_, cy_ in coding:
+                px, py = x + cx_, y + cy_
+                v = rows[py][px] if 0 <= px < width and 0 <= py else 0
+                ctx = (ctx << 1) | v
+            for rx_, ry_ in refer:
+                ctx = (ctx << 1) | rpix(x - dx + rx_, y - dy + ry_)
+            put(idx, mps, ctx, row[x])
+
+
+# --------------------------------------------------------------------------
 # Symbol dictionary (§6.5) and text region (§6.4) — arithmetic coding
 # --------------------------------------------------------------------------
 
@@ -610,24 +754,39 @@ def _decode_symbol_dict(seg_data: bytes,
     pos = 2
     if flags & 1:
         raise Jbig2Unsupported("huffman-coded symbol dictionary")
-    if (flags >> 1) & 1:
-        raise Jbig2Unsupported("refinement/aggregate symbol coding")
+    refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     n_at = 4 if template == 0 else 1
-    if pos + 2 * n_at + 8 > len(seg_data):
+    if pos + 2 * n_at > len(seg_data):
         raise Jbig2Error("truncated symbol dictionary header")
     at = tuple(
         (struct.unpack_from("b", seg_data, pos + 2 * i)[0],
          struct.unpack_from("b", seg_data, pos + 2 * i + 1)[0])
         for i in range(n_at))
     pos += 2 * n_at
+    rat = _REF_NOMINAL_AT
+    if refagg and rtemplate == 0:
+        if pos + 4 > len(seg_data):
+            raise Jbig2Error("truncated refinement AT pixels")
+        rat = tuple(
+            (struct.unpack_from("b", seg_data, pos + 2 * i)[0],
+             struct.unpack_from("b", seg_data, pos + 2 * i + 1)[0])
+            for i in range(2))
+        pos += 4
+    if pos + 8 > len(seg_data):
+        raise Jbig2Error("truncated symbol dictionary header")
     num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
     pos += 8
     if num_new > 1 << 16 or num_ex > 1 << 16:
         raise Jbig2Error("implausible symbol counts")
     mq = _MQDecoder(seg_data[pos:])
     iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
+    scl = _symcodelen(len(input_syms) + num_new)
+    iaid = _iaid_ctx(scl)
     gb_ctx = _fresh_contexts(template)
+    gr_ctx = _ref_ctx()
     newsyms: list[np.ndarray] = []
     hcheight = 0
     while len(newsyms) < num_new:
@@ -646,9 +805,31 @@ def _decode_symbol_dict(seg_data: bytes,
             if symwidth <= 0 or symwidth > 1 << 14 \
                     or len(newsyms) >= num_new:
                 raise Jbig2Error("bad symbol width sequence")
-            newsyms.append(_decode_generic(
-                mq, symwidth, hcheight, template, at, False,
-                contexts=gb_ctx))
+            if not refagg:
+                newsyms.append(_decode_generic(
+                    mq, symwidth, hcheight, template, at, False,
+                    contexts=gb_ctx))
+                continue
+            # refinement/aggregate coding (§6.5.8.2): the common
+            # single-instance arrangement refines an earlier symbol
+            n_inst = _int_decode(mq, *iaai)
+            if n_inst != 1:
+                raise Jbig2Unsupported(
+                    f"aggregate symbol with {n_inst} instances "
+                    "(text-region aggregation)")
+            rid = _iaid_decode(mq, *iaid, scl) if scl else 0
+            rdx = _int_decode(mq, *iardx)
+            rdy = _int_decode(mq, *iardy)
+            if rdx is None or rdy is None:
+                raise Jbig2Error("OOB refinement offset")
+            pool = input_syms if rid < len(input_syms) else newsyms
+            ridx = rid if rid < len(input_syms) else rid - len(input_syms)
+            if not 0 <= ridx < len(pool):
+                raise Jbig2Error(f"refinement reference id {rid} "
+                                 "out of range")
+            newsyms.append(_decode_refinement(
+                mq, symwidth, hcheight, rtemplate, pool[ridx],
+                rdx, rdy, rat, False, contexts=gr_ctx))
     syms = list(input_syms) + newsyms
     exported: list[np.ndarray] = []
     i = 0
@@ -685,8 +866,7 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     pos += 2
     if flags & 1:
         raise Jbig2Unsupported("huffman-coded text region")
-    if (flags >> 1) & 1:
-        raise Jbig2Unsupported("refinement-coded text region")
+    sbrefine = (flags >> 1) & 1
     sbstrips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3  # 0=BL 1=TL 2=BR 3=TR (Table 34)
     transposed = (flags >> 6) & 1
@@ -695,6 +875,18 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     sbdsoffset = (flags >> 10) & 0x1F
     if sbdsoffset > 15:
         sbdsoffset -= 32
+    sbrtemplate = (flags >> 15) & 1
+    rat = _REF_NOMINAL_AT
+    if sbrefine and sbrtemplate == 0:
+        if pos + 4 > len(seg_data):
+            raise Jbig2Error("truncated refinement AT pixels")
+        rat = tuple(
+            (struct.unpack_from("b", seg_data, pos + 2 * i)[0],
+             struct.unpack_from("b", seg_data, pos + 2 * i + 1)[0])
+            for i in range(2))
+        pos += 4
+    if pos + 4 > len(seg_data):
+        raise Jbig2Error("truncated text region header")
     num_instances = struct.unpack_from(">I", seg_data, pos)[0]
     pos += 4
     w, h = info["w"], info["h"]
@@ -705,6 +897,8 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
         raise Jbig2Error("text region with no symbols")
     mq = _MQDecoder(seg_data[pos:])
     iadt, iafs, iads, iait = (_int_ctx() for _ in range(4))
+    iari, iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(5))
+    gr_ctx = _ref_ctx()
     scl = _symcodelen(len(syms))
     iaid = _iaid_ctx(scl)
     page = np.full((h, w), sbdefpixel, dtype=np.uint8)
@@ -761,6 +955,21 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
             if not 0 <= sid < len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
+            if sbrefine and _int_decode(mq, *iari):
+                rdw = _int_decode(mq, *iardw)
+                rdh = _int_decode(mq, *iardh)
+                rdx = _int_decode(mq, *iardx)
+                rdy = _int_decode(mq, *iardy)
+                if None in (rdw, rdh, rdx, rdy):
+                    raise Jbig2Error("OOB refinement deltas")
+                nw = sym.shape[1] + rdw
+                nh = sym.shape[0] + rdh
+                if not (0 < nw <= 1 << 14 and 0 < nh <= 1 << 14):
+                    raise Jbig2Error("bad refined symbol size")
+                sym = _decode_refinement(
+                    mq, nw, nh, sbrtemplate, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, rat, False,
+                    contexts=gr_ctx)
             hi, wi = sym.shape
             if not transposed:
                 if refcorner in (2, 3):       # right corners: advance first
@@ -1049,16 +1258,35 @@ def _connected_components(bm: np.ndarray,
     return comps
 
 
-def _encode_symbol_dict(symbols: list[np.ndarray]) -> bytes:
+def _encode_symbol_dict(symbols: list[np.ndarray],
+                        refine_from: "list | None" = None,
+                        input_syms: "list[np.ndarray] | None" = None,
+                        ) -> bytes:
     """Symbol bitmaps (MUST be sorted by ascending height; IDs are list
-    positions) → symbol dictionary segment data, all exported."""
-    header = (struct.pack(">H", 0)  # SDHUFF=0 SDREFAGG=0 template 0
+    positions) → symbol dictionary segment data, all exported (input
+    symbols from referred-to dicts are re-exported first).  With
+    ``refine_from`` (one global symbol id per entry, indexing the
+    input+new space) the dictionary is SDREFAGG-coded: every symbol is
+    a single-instance refinement of an earlier one."""
+    input_syms = input_syms or []
+    refagg = refine_from is not None
+    flags = 2 if refagg else 0  # SDHUFF=0, template 0, rtemplate 0
+    header = (struct.pack(">H", flags)
               + b"".join(struct.pack("bb", dx, dy)
                          for dx, dy in _NOMINAL_AT[0])
-              + struct.pack(">II", len(symbols), len(symbols)))
+              + (b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in _REF_NOMINAL_AT) if refagg
+                 else b"")
+              + struct.pack(">II", len(input_syms) + len(symbols),
+                            len(symbols)))
     enc = _MQEncoder()
     iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
+    scl = _symcodelen(len(input_syms) + len(symbols))
+    iaid = _iaid_ctx(scl)
     gb_ctx = _fresh_contexts(0)
+    gr_ctx = _ref_ctx()
+    pool = list(input_syms)
     hprev = 0
     i = 0
     while i < len(symbols):
@@ -1070,43 +1298,69 @@ def _encode_symbol_dict(symbols: list[np.ndarray]) -> bytes:
             wi = symbols[i].shape[1]
             _int_encode(enc, *iadw, wi - wprev)
             wprev = wi
-            _encode_generic(symbols[i], template=0, tpgdon=False,
-                            enc=enc, contexts=gb_ctx)
+            if refagg:
+                rid = refine_from[i]
+                _int_encode(enc, *iaai, 1)  # REFAGGNINST
+                if scl:
+                    _iaid_encode(enc, *iaid, rid, scl)
+                _int_encode(enc, *iardx, 0)
+                _int_encode(enc, *iardy, 0)
+                _encode_refinement(enc, symbols[i], 0, pool[rid], 0, 0,
+                                   contexts=gr_ctx)
+            else:
+                _encode_generic(symbols[i], template=0, tpgdon=False,
+                                enc=enc, contexts=gb_ctx)
+            pool.append(symbols[i])
             i += 1
         _int_encode(enc, *iadw, None)  # OOB closes the height class
-    _int_encode(enc, *iaex, 0)                # run of 0 non-exports,
-    _int_encode(enc, *iaex, len(symbols))     # then export everything
+    _int_encode(enc, *iaex, 0)                    # run of 0 non-exports,
+    _int_encode(enc, *iaex, len(pool))            # then export everything
     return header + enc.flush()
 
 
-def _encode_text_region(instances: list[tuple[int, int, int]],
+def _encode_text_region(instances: list[tuple],
                         symbols: list[np.ndarray],
                         w: int, h: int, refcorner: int = 1,
                         sbstrips: int = 1) -> bytes:
-    """Instances ``[(x0, y0, symbol_id)]`` (top-left anchors) drawn onto
-    a (h, w) region → text region segment data (TRANSPOSED=0, OR
-    composition).  ``refcorner`` picks the encoded REFCORNER and
-    ``sbstrips`` ∈ {1,2,4,8} the strip height (>1 exercises the IAIT
-    T-residual path) — the emitted T/S values are adjusted so every
-    variant draws identically."""
+    """Instances ``[(x0, y0, symbol_id)]`` or ``[(x0, y0, symbol_id,
+    target_bitmap)]`` (top-left anchors) drawn onto a (h, w) region →
+    text region segment data (TRANSPOSED=0, OR composition).  A 4-tuple
+    instance is SBREFINE-coded: the placed bitmap is ``target`` coded
+    as a refinement of ``symbols[symbol_id]``.  ``refcorner`` picks the
+    encoded REFCORNER and ``sbstrips`` ∈ {1,2,4,8} the strip height
+    (>1 exercises the IAIT T-residual path) — the emitted T/S values
+    are adjusted so every variant draws identically."""
     if sbstrips not in (1, 2, 4, 8):
         raise ValueError("SBSTRIPS must be 1, 2, 4 or 8")
+    insts = [inst if len(inst) == 4 else (*inst, None)
+             for inst in instances]
+    sbrefine = any(t is not None for *_x, t in insts)
     region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
-    flags = ((refcorner & 3) << 4  # SBHUFF=0 SBREFINE=0 ...
+    flags = ((refcorner & 3) << 4  # SBHUFF=0 ...
+             | (1 << 1 if sbrefine else 0)
              | (sbstrips.bit_length() - 1) << 2)  # LOGSBSTRIPS
+    rat_hdr = (b"".join(struct.pack("bb", dx, dy)
+                        for dx, dy in _REF_NOMINAL_AT) if sbrefine
+               else b"")
     enc = _MQEncoder()
     iadt, iafs, iads, iait = (_int_ctx() for _ in range(4))
+    iari, iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(5))
+    gr_ctx = _ref_ctx()
     scl = _symcodelen(len(symbols))
     iaid = _iaid_ctx(scl)
 
-    def enc_t(y0: int, sid: int) -> int:
-        hi = symbols[sid].shape[0]
+    def placed(sid: int, target) -> np.ndarray:
+        return symbols[sid] if target is None else target
+
+    def enc_t(y0: int, sid: int, target) -> int:
+        hi = placed(sid, target).shape[0]
         return y0 if refcorner in (1, 3) else y0 + hi - 1
 
-    strips: dict[int, list[tuple[int, int, int]]] = {}
-    for x0, y0, sid in instances:
-        t = enc_t(y0, sid)
-        strips.setdefault(t - t % sbstrips, []).append((x0, y0, sid))
+    strips: dict[int, list[tuple]] = {}
+    for x0, y0, sid, target in insts:
+        t = enc_t(y0, sid, target)
+        strips.setdefault(t - t % sbstrips, []).append((x0, y0, sid,
+                                                        target))
 
     _int_encode(enc, *iadt, 0)  # STRIPT starts at 0
     stript = 0
@@ -1114,11 +1368,12 @@ def _encode_text_region(instances: list[tuple[int, int, int]],
     for st in sorted(strips):
         _int_encode(enc, *iadt, (st - stript) // sbstrips)
         stript = st
-        row = sorted(strips[st])
+        row = sorted(strips[st],
+                     key=lambda inst: (inst[0], inst[1], inst[2]))
         first = True
         curs = 0
-        for x0, y0, sid in row:
-            wi = symbols[sid].shape[1]
+        for x0, y0, sid, target in row:
+            wi = placed(sid, target).shape[1]
             if first:
                 _int_encode(enc, *iafs, x0 - firsts)
                 firsts = x0
@@ -1127,11 +1382,22 @@ def _encode_text_region(instances: list[tuple[int, int, int]],
                 _int_encode(enc, *iads, x0 - curs)  # SBDSOFFSET = 0
             curs = x0 + wi - 1
             if sbstrips > 1:
-                _int_encode(enc, *iait, enc_t(y0, sid) - st)
+                _int_encode(enc, *iait, enc_t(y0, sid, target) - st)
             if scl:
                 _iaid_encode(enc, *iaid, sid, scl)
+            if sbrefine:
+                _int_encode(enc, *iari, 0 if target is None else 1)
+                if target is not None:
+                    rdw = target.shape[1] - symbols[sid].shape[1]
+                    rdh = target.shape[0] - symbols[sid].shape[0]
+                    _int_encode(enc, *iardw, rdw)
+                    _int_encode(enc, *iardh, rdh)
+                    _int_encode(enc, *iardx, -(rdw >> 1))
+                    _int_encode(enc, *iardy, -(rdh >> 1))
+                    _encode_refinement(enc, target, 0, symbols[sid],
+                                       0, 0, contexts=gr_ctx)
         _int_encode(enc, *iads, None)  # OOB ends the strip
-    return (region_info + struct.pack(">H", flags)
+    return (region_info + struct.pack(">H", flags) + rat_hdr
             + struct.pack(">I", len(instances)) + enc.flush())
 
 

@@ -417,17 +417,19 @@ class TestSymbolText:
         with pytest.raises(Jbig2Unsupported):
             decode_jbig2_embedded(blob, width=8, height=8)
 
-    def test_refagg_dict_is_unsupported(self):
+    def test_truncated_refagg_dict_is_error(self):
+        # SDREFAGG=1 needs AT + refinement-AT + counts behind the flags
         seg = struct.pack(">H", 2) + b"\x00" * 16
         blob = jb._segment(1, 0, 1, seg)
-        with pytest.raises(Jbig2Unsupported):
+        with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob, width=8, height=8)
 
-    def test_refine_text_region_is_unsupported(self):
+    def test_truncated_refine_text_region_is_error(self):
+        # SBREFINE=1 without the refinement-AT pixels behind the flags
         region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
                   + struct.pack(">H", 2) + struct.pack(">I", 0))
         blob = jb._segment(1, 7, 1, region)
-        with pytest.raises(Jbig2Unsupported):
+        with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob, width=8, height=8)
 
     def test_text_region_without_symbols_is_error(self):
@@ -458,3 +460,102 @@ class TestSymbolText:
             recognizer=rec)
         assert flate["status"] == sym["status"] == "ok"
         assert sym["text"] == flate["text"] == "symbol coded\nscan"
+
+
+class TestRefinement:
+    @pytest.mark.parametrize("template", [0, 1])
+    @pytest.mark.parametrize("tpgron", [False, True])
+    def test_primitive_round_trip(self, template, tpgron):
+        rng = np.random.default_rng(60 + template * 2 + tpgron)
+        for _ in range(6):
+            h, w = int(rng.integers(3, 25)), int(rng.integers(3, 30))
+            ref = (rng.random((h, w)) < 0.4).astype(np.uint8)
+            tgt = ref ^ ((rng.random((h, w)) < 0.1).astype(np.uint8))
+            enc = jb._MQEncoder()
+            jb._encode_refinement(enc, tgt, template, ref, 1, -1,
+                                  tpgron=tpgron)
+            mq = jb._MQDecoder(enc.flush())
+            got = jb._decode_refinement(mq, w, h, template, ref, 1, -1,
+                                        tpgron=tpgron)
+            assert (got == tgt).all()
+
+    def test_refinement_beats_fresh_coding_on_near_identical(self):
+        # the tier's reason to exist: refining a near-identical
+        # reference must cost less than generic-coding from scratch
+        rng = np.random.default_rng(8)
+        ref = (rng.random((40, 80)) < 0.35).astype(np.uint8)
+        tgt = ref.copy()
+        tgt[17, 23] ^= 1  # one flipped pixel
+        enc = jb._MQEncoder()
+        jb._encode_refinement(enc, tgt, 0, ref, 0, 0)
+        refined = len(enc.flush())
+        fresh = len(jb._encode_generic(tgt, template=0, tpgdon=False))
+        assert refined < fresh * 0.5
+
+    def test_sdrefagg_dictionary_refines_referred_symbols(self):
+        rng = np.random.default_rng(11)
+        symA = [(rng.random((6, 5)) < 0.5).astype(np.uint8)
+                for _ in range(3)]
+        for s in symA:
+            s[0, 0] = 1
+        symB = [s ^ (rng.random(s.shape) < 0.15).astype(np.uint8)
+                for s in symA]
+        segA = jb._encode_symbol_dict(symA)
+        segB = jb._encode_symbol_dict(symB, refine_from=[0, 1, 2],
+                                      input_syms=symA)
+        # dict B re-exports A's symbols then its own refinements
+        insts = [(2 + 8 * i, 2, len(symA) + i) for i in range(3)]
+        segT = jb._encode_text_region(insts, symA + symB, 30, 10)
+        blob = (jb._segment(1, 48, 1,
+                            struct.pack(">IIII", 30, 10, 0, 0)
+                            + b"\x01\x00\x00")
+                + jb._segment(2, 0, 1, segA)
+                + jb._segment(3, 0, 1, segB, refs=(2,))
+                + jb._segment(4, 7, 1, segT, refs=(3,))
+                + jb._segment(5, 49, 1, b""))
+        gray = decode_jbig2_embedded(blob)
+        expect = np.zeros((10, 30), dtype=np.uint8)
+        for i in range(3):
+            expect[2:8, 2 + 8 * i:7 + 8 * i] |= symB[i]
+        assert (gray == np.where(expect, 0, 255)).all()
+
+    def test_sbrefine_text_region_places_refined_instance(self):
+        rng = np.random.default_rng(12)
+        sym = (rng.random((6, 5)) < 0.5).astype(np.uint8)
+        sym[0, 0] = 1
+        tgt = np.pad(sym, ((0, 1), (1, 0)))  # refined dims differ too
+        tgt ^= (rng.random(tgt.shape) < 0.2).astype(np.uint8)
+        segT = jb._encode_text_region([(3, 2, 0, tgt), (15, 2, 0)],
+                                      [sym], 30, 12)
+        blob = (jb._segment(1, 48, 1,
+                            struct.pack(">IIII", 30, 12, 0, 0)
+                            + b"\x01\x00\x00")
+                + jb._segment(2, 0, 1, jb._encode_symbol_dict([sym]))
+                + jb._segment(3, 7, 1, segT, refs=(2,))
+                + jb._segment(4, 49, 1, b""))
+        gray = decode_jbig2_embedded(blob)
+        expect = np.zeros((12, 30), dtype=np.uint8)
+        expect[2:2 + tgt.shape[0], 3:3 + tgt.shape[1]] |= tgt
+        expect[2:8, 15:20] |= sym
+        assert (gray == np.where(expect, 0, 255)).all()
+
+    def test_multi_instance_aggregate_is_unsupported(self):
+        # REFAGGNINST != 1 needs text-region aggregation — rejected
+        sym = np.ones((3, 3), dtype=np.uint8)
+        enc = jb._MQEncoder()
+        iadh, iadw, iaai = (jb._int_ctx() for _ in range(3))
+        jb._int_encode(enc, *iadh, 3)
+        jb._int_encode(enc, *iadw, 3)
+        jb._int_encode(enc, *iaai, 2)  # two instances
+        seg = (struct.pack(">H", 2)
+               + b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in jb._NOMINAL_AT[0])
+               + b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in jb._REF_NOMINAL_AT)
+               + struct.pack(">II", 1, 1) + enc.flush())
+        blob = (jb._segment(1, 0, 1, seg)
+                + jb._segment(2, 48, 1,
+                              struct.pack(">IIII", 8, 8, 0, 0)
+                              + b"\x01\x00\x00"))
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob)
