@@ -405,12 +405,14 @@ def _decode_generic(mq: _MQDecoder, width: int, height: int, template: int,
         else:
             # general gather (non-nominal AT): a pixel is readable when
             # already decoded — any earlier row, or left of x on this row
+            # (stream-supplied AT offsets can point anywhere, so the
+            # causal bound also guards the row index)
             for x in range(width):
                 ctx = 0
                 for dx, dy, _a in pixels:
                     px, py = x + dx, y + dy
                     v = (rows[py][px]
-                         if 0 <= px < width and 0 <= py
+                         if 0 <= px < width and 0 <= py <= y
                          and (py < y or px < x) else 0)
                     ctx = (ctx << 1) | v
                 row[x] = dec(idx, mps, ctx)
@@ -677,7 +679,8 @@ def _decode_refinement(mq: _MQDecoder, width: int, height: int,
             ctx = 0
             for cx_, cy_ in coding:
                 px, py = x + cx_, y + cy_
-                v = rows[py][px] if 0 <= px < width and 0 <= py else 0
+                v = (rows[py][px]
+                     if 0 <= px < width and 0 <= py < height else 0)
                 ctx = (ctx << 1) | v
             for rx_, ry_ in refer:
                 ctx = (ctx << 1) | rpix(x - dx + rx_, y - dy + ry_)
@@ -732,7 +735,8 @@ def _encode_refinement(enc: _MQEncoder, bm: np.ndarray,
             ctx = 0
             for cx_, cy_ in coding:
                 px, py = x + cx_, y + cy_
-                v = rows[py][px] if 0 <= px < width and 0 <= py else 0
+                v = (rows[py][px]
+                     if 0 <= px < width and 0 <= py < height else 0)
                 ctx = (ctx << 1) | v
             for rx_, ry_ in refer:
                 ctx = (ctx << 1) | rpix(x - dx + rx_, y - dy + ry_)
@@ -754,6 +758,11 @@ def _decode_symbol_dict(seg_data: bytes,
     pos = 2
     if flags & 1:
         raise Jbig2Unsupported("huffman-coded symbol dictionary")
+    if (flags >> 8) & 1:
+        # SDCONTEXTUSED: MQ coding contexts imported from a referred
+        # dictionary (7.4.3.1.1) — decoding with fresh contexts would
+        # produce silently garbled symbols, so reject loudly
+        raise Jbig2Unsupported("symbol dictionary imports coding contexts")
     refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
@@ -789,6 +798,11 @@ def _decode_symbol_dict(seg_data: bytes,
     gr_ctx = _ref_ctx()
     newsyms: list[np.ndarray] = []
     hcheight = 0
+    px_budget = 1 << 26  # total decoded symbol pixels, matching regions
+    # the MQ decoder feeds 1s past the end of data and keeps yielding
+    # values, so every stream-driven loop needs an iteration bound: a
+    # conforming dictionary uses at most one height class per symbol
+    empty_classes = 0
     while len(newsyms) < num_new:
         dh = _int_decode(mq, *iadh)
         if dh is None:
@@ -797,6 +811,7 @@ def _decode_symbol_dict(seg_data: bytes,
         if hcheight <= 0 or hcheight > 1 << 14:
             raise Jbig2Error(f"bad height class {hcheight}")
         symwidth = 0
+        n_before = len(newsyms)
         while True:
             dw = _int_decode(mq, *iadw)
             if dw is None:
@@ -805,6 +820,9 @@ def _decode_symbol_dict(seg_data: bytes,
             if symwidth <= 0 or symwidth > 1 << 14 \
                     or len(newsyms) >= num_new:
                 raise Jbig2Error("bad symbol width sequence")
+            px_budget -= symwidth * hcheight
+            if px_budget < 0:
+                raise Jbig2Error("symbol dictionary pixel budget exceeded")
             if not refagg:
                 newsyms.append(_decode_generic(
                     mq, symwidth, hcheight, template, at, False,
@@ -830,14 +848,27 @@ def _decode_symbol_dict(seg_data: bytes,
             newsyms.append(_decode_refinement(
                 mq, symwidth, hcheight, rtemplate, pool[ridx],
                 rdx, rdy, rat, False, contexts=gr_ctx))
+        if len(newsyms) == n_before:
+            empty_classes += 1
+            if empty_classes > 64:
+                raise Jbig2Error("symbol dictionary makes no progress")
     syms = list(input_syms) + newsyms
     exported: list[np.ndarray] = []
     i = 0
     exflag = 0
+    zero_runs = 0
     while i < len(syms):
         run = _int_decode(mq, *iaex)
         if run is None or run < 0 or i + run > len(syms):
             raise Jbig2Error("bad export run")
+        if run == 0:
+            # zero-length runs only flip the export flag; more than two
+            # in a row means a stream that will never advance
+            zero_runs += 1
+            if zero_runs > 2:
+                raise Jbig2Error("export runs make no progress")
+        else:
+            zero_runs = 0
         if exflag:
             exported.extend(syms[i:i + run])
         i += run
@@ -1067,6 +1098,11 @@ def _decode_generic_segment(seg_data: bytes) -> tuple[dict, np.ndarray]:
     mmr = flags & 1
     template = (flags >> 1) & 3
     tpgdon = bool(flags & 8)
+    if flags & 0x10:
+        # EXTTEMPLATE (T.88 Amd.2): template 0 with 12 AT pairs — the
+        # extra AT bytes would otherwise be consumed as MQ data and
+        # decode to silent garbage
+        raise Jbig2Unsupported("EXTTEMPLATE generic region")
     w, h = info["w"], info["h"]
     if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
         raise Jbig2Error(f"implausible region {w}x{h}")
@@ -1160,6 +1196,11 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
             (r["y"] + r["h"] for r, _ in regions), default=0)
     if not page_w or not page_h:
         raise Jbig2Error("no page dimensions and no regions")
+    if page_w > 1 << 20 or page_h > 1 << 20 or page_w * page_h > 1 << 26:
+        # declared page-info sizes and region x/y offsets are
+        # attacker-controlled — cap before allocating, same bound as
+        # the per-region check
+        raise Jbig2Error(f"implausible page {page_w}x{page_h}")
     page = np.full((page_h, page_w), page_default, dtype=np.uint8)
     for info, bm in regions:
         x, y = info["x"], info["y"]
@@ -1422,21 +1463,14 @@ def encode_jbig2_symbol_embedded(bitmap: np.ndarray,
                      + b"\x00\x00")
         return (_segment(1, 48, 1, page_info)
                 + _segment(2, 49, 1, b""))
-    classes: dict[tuple[int, int, bytes], int] = {}
-    keys: list[tuple[int, int, bytes]] = []
-    for _x0, _y0, mask in comps:
-        key = (mask.shape[0], mask.shape[1], mask.tobytes())
-        if key not in classes:
-            classes[key] = 0
-            keys.append(key)
-    keys.sort()  # ascending height, then width, then pixels
-    for sid, key in enumerate(keys):
-        classes[key] = sid
+    comp_keys = [(mask.shape[0], mask.shape[1], mask.tobytes())
+                 for _x0, _y0, mask in comps]
+    keys = sorted(set(comp_keys))  # ascending height, width, pixels
+    classes = {key: sid for sid, key in enumerate(keys)}
     symbols = [np.frombuffer(key[2], dtype=np.uint8)
                .reshape(key[0], key[1]) for key in keys]
-    instances = [(x0, y0, classes[(mask.shape[0], mask.shape[1],
-                                   mask.tobytes())])
-                 for x0, y0, mask in comps]
+    instances = [(x0, y0, classes[key])
+                 for (x0, y0, _mask), key in zip(comps, comp_keys)]
     page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00")
     return (_segment(1, 48, 1, page_info)
             + _segment(2, 0, 1, _encode_symbol_dict(symbols))

@@ -559,3 +559,99 @@ class TestRefinement:
                               + b"\x01\x00\x00"))
         with pytest.raises(Jbig2Unsupported):
             decode_jbig2_embedded(blob)
+
+
+class TestHardening:
+    """Regression tests for the review findings: malformed streams must
+    raise Jbig2Error in bounded time, never hang, crash, or allocate."""
+
+    def test_huge_page_info_rejected_before_allocation(self):
+        page_info = (struct.pack(">IIII", 0x40000000, 0x40000000, 0, 0)
+                     + b"\x01\x00\x00")
+        blob = jb._segment(1, 48, 1, page_info)
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob)
+
+    def test_huge_region_offset_rejected(self):
+        bm = np.ones((4, 4), dtype=np.uint8)
+        region = (struct.pack(">IIIIB", 4, 4, 0xFFFFFF00, 0, 0)
+                  + bytes([(0 << 1) | (1 << 3)])
+                  + b"".join(struct.pack("bb", dx, dy)
+                             for dx, dy in jb._NOMINAL_AT[0])
+                  + jb._encode_generic(bm, 0, True))
+        blob = jb._segment(1, 39, 1, region)
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob)
+
+    def test_positive_dy_at_pixel_is_safe(self):
+        # a stream-supplied AT pixel pointing BELOW the current row must
+        # read as 0 (causal bound), not crash on the last row
+        bm = (np.arange(64).reshape(8, 8) % 3 == 0).astype(np.uint8)
+        data = jb._encode_generic(bm, template=0, tpgdon=False)
+        got = jb._decode_generic(jb._MQDecoder(data), 8, 8, 0,
+                                 ((-1, 1), (-3, -1), (2, -2), (-2, -2)),
+                                 False)
+        assert got.shape == (8, 8)  # wrong bits are fine; crashing is not
+
+    def test_positive_dy_refinement_at_is_safe(self):
+        ref = np.ones((6, 6), dtype=np.uint8)
+        enc = jb._MQEncoder()
+        jb._encode_refinement(enc, ref, 0, ref, 0, 0)
+        mq = jb._MQDecoder(enc.flush())
+        got = jb._decode_refinement(mq, 6, 6, 0, ref, 0, 0,
+                                    at=((1, 1), (-1, -1)))
+        assert got.shape == (6, 6)
+
+    def test_exhausted_symbol_dict_stream_terminates(self):
+        # header promises 100 symbols, stream holds none: the MQ coder
+        # feeds 1s forever, so termination relies on the progress guards
+        seg = (struct.pack(">H", 0)
+               + b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in jb._NOMINAL_AT[0])
+               + struct.pack(">II", 100, 100) + b"\x00\x00")
+        with pytest.raises(Jbig2Error):
+            jb._decode_symbol_dict(seg, [])
+
+    def test_zero_export_runs_terminate(self):
+        # a valid dictionary body whose export runs are stuck at 0
+        sym = np.ones((2, 2), dtype=np.uint8)
+        enc = jb._MQEncoder()
+        iadh, iadw, iaex = (jb._int_ctx() for _ in range(3))
+        gb = jb._fresh_contexts(0)
+        jb._int_encode(enc, *iadh, 2)
+        jb._int_encode(enc, *iadw, 2)
+        jb._encode_generic(sym, 0, False, enc=enc, contexts=gb)
+        jb._int_encode(enc, *iadw, None)
+        for _ in range(8):
+            jb._int_encode(enc, *iaex, 0)  # never advances
+        seg = (struct.pack(">H", 0)
+               + b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in jb._NOMINAL_AT[0])
+               + struct.pack(">II", 1, 1) + enc.flush())
+        with pytest.raises(Jbig2Error):
+            jb._decode_symbol_dict(seg, [])
+
+    def test_oversized_symbol_rejected_by_pixel_budget(self):
+        enc = jb._MQEncoder()
+        iadh, iadw = jb._int_ctx(), jb._int_ctx()
+        jb._int_encode(enc, *iadh, 16000)
+        jb._int_encode(enc, *iadw, 16000)   # 256M px symbol
+        seg = (struct.pack(">H", 0)
+               + b"".join(struct.pack("bb", dx, dy)
+                          for dx, dy in jb._NOMINAL_AT[0])
+               + struct.pack(">II", 1, 1) + enc.flush())
+        with pytest.raises(Jbig2Error):
+            jb._decode_symbol_dict(seg, [])
+
+    def test_exttemplate_is_unsupported(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+                  + bytes([0x10]) + b"\x00" * 24)
+        blob = jb._segment(1, 39, 1, region)
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob)
+
+    def test_imported_contexts_are_unsupported(self):
+        seg = struct.pack(">H", 1 << 8) + b"\x00" * 20
+        blob = jb._segment(1, 0, 1, seg)
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
