@@ -194,10 +194,11 @@ def decode_image_pixels(data: bytes):
     * fake codec (``FAKEIMG1``): row-major payload bytes fill the image;
       cells past the payload take the formula ``(flat_index*31 + w*7 +
       h*13) % 256`` — deterministic and shared with the DuckDB oracles;
-    * PNG: real decode via the pure-stdlib codec
-      (:mod:`..core.pngcodec` — zlib + spec filters, Adam7 interlace,
-      luma via integer BT.601);
-    * everything else (JPEG, GIF, …): the optional-PIL adapter — raises
+    * PNG / JPEG / GIF: real decode via the pure-stdlib codecs
+      (:mod:`..core.pngcodec` — zlib + spec filters, Adam7 interlace;
+      :mod:`..core.jpegcodec` — baseline + progressive DCT;
+      :mod:`..core.gifcodec` — LZW), PIL as an optional fallback tier;
+    * everything else (WEBP, …): the optional-PIL adapter — raises
       ``NotImplementedError`` when PIL is absent, so callers treat the
       row as undecodable DATA, never a task failure."""
     import numpy as np
