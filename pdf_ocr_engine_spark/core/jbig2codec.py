@@ -29,6 +29,12 @@ this repo decodes them itself, from the public T.88 recommendation:
   referred-dict symbols) and SBREFINE text regions (per-instance RI +
   RDW/RDH/RDX/RDY refinement of the placed symbol).  Multi-instance
   aggregates raise :class:`Jbig2Unsupported`.
+* **Pattern dictionaries + halftone regions** (T.88 §6.7 / §6.6, the
+  screened-scan tier): collectively-coded pattern bitmaps (arithmetic
+  or MMR), gray-coded bitplane decoding of the gray-scale image
+  (Annex C) over shared contexts, and grid-vector pattern placement
+  with all combination operators.  HENABLESKIP and MMR gray planes
+  raise :class:`Jbig2Unsupported`.
 * **Embedded segment layer** (T.88 §7.2, the "embedded stream" format
   PDF requires — no file header): segment headers with short/long
   referred-to forms, page info (type 48), symbol dictionaries (0),
@@ -62,6 +68,7 @@ __all__ = [
     "Jbig2Unsupported",
     "decode_jbig2_embedded",
     "encode_jbig2_embedded",
+    "encode_jbig2_halftone_embedded",
     "encode_jbig2_symbol_embedded",
 ]
 
@@ -422,13 +429,16 @@ def _decode_generic(mq: _MQDecoder, width: int, height: int, template: int,
 def _encode_generic(bm: np.ndarray, template: int = 0,
                     tpgdon: bool = True, enc: "_MQEncoder | None" = None,
                     contexts: tuple[list, list] | None = None,
-                    ) -> bytes | None:
-    """(h, w) 0/1 bitmap → MQ-coded generic region data (nominal AT).
+                    at: tuple | None = None) -> bytes | None:
+    """(h, w) 0/1 bitmap → MQ-coded generic region data.
 
     With ``enc``/``contexts`` the bitmap is coded INTO an existing MQ
     codestream with persistent GB contexts (the symbol-dictionary
     arrangement, T.88 §6.5.8) and None is returned; standalone callers
-    get the flushed bytes."""
+    get the flushed bytes.  ``at`` defaults to the nominal adaptive
+    pixels; non-nominal positions (the pattern-dictionary collective
+    bitmap uses A1 = (-HDPW, 0)) take the general gather path, the
+    mirror of the decoder's."""
     h, w = bm.shape
     own = enc is None
     idx, mps = contexts if contexts is not None else _fresh_contexts(template)
@@ -437,6 +447,11 @@ def _encode_generic(bm: np.ndarray, template: int = 0,
     rows = bm.astype(np.uint8).tolist()
     zrow = [0] * w
     tctx = _TPGD_CTX[template]
+    nominal = at is None or _at_is_nominal(template, at)
+    if not nominal:
+        atl = list(at)
+        pixels = [(atl[a - 1][0], atl[a - 1][1], 0) if a else (dx, dy, 0)
+                  for (dx, dy, a) in _TEMPLATE_PIXELS[template]]
     ltp = 0
     put = enc.encode
     for y in range(h):
@@ -450,7 +465,17 @@ def _encode_generic(bm: np.ndarray, template: int = 0,
                 continue
         r1 = prev
         r2 = rows[y - 2] if y >= 2 else zrow
-        if template == 0:
+        if not nominal:
+            for x in range(w):
+                ctx = 0
+                for dx, dy, _a in pixels:
+                    px, py = x + dx, y + dy
+                    v = (rows[py][px]
+                         if 0 <= px < w and 0 <= py <= y
+                         and (py < y or px < x) else 0)
+                    ctx = (ctx << 1) | v
+                put(idx, mps, ctx, row[x])
+        elif template == 0:
             ctx = (r2[0] << 13) | (r1[0] << 7)
             if w > 1:
                 ctx |= (r2[1] << 12) | (r1[1] << 6)
@@ -1027,6 +1052,177 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
 
 
 # --------------------------------------------------------------------------
+# Pattern dictionary (§6.7) and halftone region (§6.6)
+# --------------------------------------------------------------------------
+
+
+def _decode_pattern_dict(seg_data: bytes) -> list[np.ndarray]:
+    """Pattern dictionary segment data → GRAYMAX+1 pattern bitmaps of
+    HDPW×HDPH, split from one collectively-coded bitmap (§6.7.5)."""
+    if len(seg_data) < 7:
+        raise Jbig2Error("short pattern dictionary")
+    flags, hdpw, hdph = seg_data[0], seg_data[1], seg_data[2]
+    graymax = struct.unpack_from(">I", seg_data, 3)[0]
+    template = (flags >> 1) & 3
+    if hdpw <= 0 or hdph <= 0:
+        raise Jbig2Error("zero pattern size")
+    if graymax > 1 << 12 or (graymax + 1) * hdpw * hdph > 1 << 26:
+        raise Jbig2Error("implausible pattern dictionary")
+    width = (graymax + 1) * hdpw
+    if flags & 1:  # HDMMR
+        from .ccittcodec import CcittError, decode_g4
+
+        try:
+            gray = decode_g4(seg_data[7:], width, hdph)
+        except CcittError as exc:
+            raise Jbig2Error(f"bad MMR pattern dictionary: {exc}") from exc
+        collective = (gray == 0).astype(np.uint8)
+    else:
+        at = ((-hdpw, 0),) + (((-3, -1), (2, -2), (-2, -2))
+                              if template == 0 else ())
+        collective = _decode_generic(_MQDecoder(seg_data[7:]), width,
+                                     hdph, template, at, False)
+    return [collective[:, i * hdpw:(i + 1) * hdpw]
+            for i in range(graymax + 1)]
+
+
+def _decode_halftone_region(seg_data: bytes,
+                            patterns: list[np.ndarray],
+                            ) -> tuple[dict, np.ndarray]:
+    """Halftone region segment data → (region info, 0/1 bitmap): decode
+    the gray-scale image as gray-coded bitplanes (Annex C, arithmetic)
+    and stamp one pattern per grid cell (§6.6.5)."""
+    if not patterns:
+        raise Jbig2Error("halftone region with no patterns")
+    info, pos = _parse_region_info(seg_data, 0)
+    if pos + 17 > len(seg_data):
+        raise Jbig2Error("truncated halftone region header")
+    flags = seg_data[pos]
+    pos += 1
+    if flags & 1:
+        raise Jbig2Unsupported("MMR-coded halftone gray planes")
+    template = (flags >> 1) & 3
+    if (flags >> 3) & 1:
+        raise Jbig2Unsupported("HENABLESKIP halftone region")
+    hcombop = (flags >> 4) & 7
+    hdefpixel = (flags >> 7) & 1
+    hgw, hgh = struct.unpack_from(">II", seg_data, pos)
+    hgx, hgy = struct.unpack_from(">ii", seg_data, pos + 8)
+    hrx, hry = struct.unpack_from(">HH", seg_data, pos + 16)
+    pos += 20
+    w, h = info["w"], info["h"]
+    if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26 \
+            or hgw > 1 << 16 or hgh > 1 << 16 or hgw * hgh > 1 << 24:
+        raise Jbig2Error("implausible halftone region")
+    bpv = (len(patterns) - 1).bit_length()
+    mq = _MQDecoder(seg_data[pos:])
+    gb_ctx = _fresh_contexts(template)
+    at = ((3 if template <= 1 else 2, -1),) + (((-3, -1), (2, -2),
+                                                (-2, -2))
+                                               if template == 0 else ())
+    # Annex C.5: planes MSB→LSB over one MQ stream with shared contexts;
+    # gray decode: bit_j = plane_j XOR bit_{j+1}
+    gray = np.zeros((hgh, hgw), dtype=np.int64)
+    prev = np.zeros((hgh, hgw), dtype=np.uint8)
+    for _j in range(bpv):
+        plane = _decode_generic(mq, hgw, hgh, template, at, False,
+                                contexts=gb_ctx)
+        prev = plane ^ prev
+        gray = (gray << 1) | prev
+    if (gray >= len(patterns)).any():
+        raise Jbig2Error("gray value exceeds pattern count")
+    page = np.full((h, w), hdefpixel, dtype=np.uint8)
+    ph, pw = patterns[0].shape
+    for m in range(hgh):
+        for n in range(hgw):
+            # grid geometry per §6.6.5.1 (offsets/vectors in 1/256 px)
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            pat = patterns[int(gray[m, n])]
+            sx, sy = max(0, -x), max(0, -y)
+            x0, y0 = max(0, x), max(0, y)
+            cw = min(pw - sx, w - x0)
+            ch = min(ph - sy, h - y0)
+            if cw <= 0 or ch <= 0:
+                continue
+            dst = page[y0:y0 + ch, x0:x0 + cw]
+            src = pat[sy:sy + ch, sx:sx + cw]
+            if hcombop == 0:
+                dst |= src
+            elif hcombop == 1:
+                dst &= src
+            elif hcombop == 2:
+                dst ^= src
+            elif hcombop == 3:
+                dst ^= src ^ 1
+            elif hcombop == 4:
+                dst[:] = src
+            else:
+                raise Jbig2Error(f"bad halftone combination {hcombop}")
+    return info, page
+
+
+def _encode_pattern_dict(patterns: list[np.ndarray]) -> bytes:
+    """Pattern bitmaps (equal HDPW×HDPH) → pattern dictionary segment
+    data (template 0, collective coding)."""
+    ph, pw = patterns[0].shape
+    collective = np.concatenate([p.astype(np.uint8) for p in patterns],
+                                axis=1)
+    at = ((-pw, 0), (-3, -1), (2, -2), (-2, -2))
+    return (bytes([0, pw, ph]) + struct.pack(">I", len(patterns) - 1)
+            + _encode_generic(collective, template=0, tpgdon=False,
+                              at=at))
+
+
+def _encode_halftone_region(gray: np.ndarray, patterns: list[np.ndarray],
+                            w: int, h: int) -> bytes:
+    """Gray-scale pattern-index grid → halftone region segment data on
+    a regular grid (square patterns; HRX = HDPW<<8, HRY = 0)."""
+    ph, pw = patterns[0].shape
+    if ph != pw:
+        raise ValueError("fixture halftone grid wants square patterns")
+    hgh, hgw = gray.shape
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    bpv = (len(patterns) - 1).bit_length()
+    enc = _MQEncoder()
+    gb_ctx = _fresh_contexts(0)
+    at = ((3, -1), (-3, -1), (2, -2), (-2, -2))
+    g = gray.astype(np.int64)
+    planes = [((g >> j) & 1).astype(np.uint8)
+              for j in range(bpv - 1, -1, -1)]  # MSB first
+    prev = np.zeros_like(g, dtype=np.uint8)
+    for bits in planes:
+        plane = bits ^ prev  # gray-code the bitplane
+        _encode_generic(plane, template=0, tpgdon=False, enc=enc,
+                        contexts=gb_ctx, at=at)
+        prev = bits
+    return (region_info + bytes([0])  # arithmetic, template 0, OR
+            + struct.pack(">II", hgw, hgh)
+            + struct.pack(">ii", 0, 0)
+            + struct.pack(">HH", pw << 8, 0)
+            + enc.flush())
+
+
+def encode_jbig2_halftone_embedded(gray: np.ndarray,
+                                   patterns: list[np.ndarray],
+                                   ) -> bytes:
+    """Pattern-index grid (values < len(patterns)) + square patterns →
+    PDF-embedded JBIG2 stream: page info + pattern dictionary +
+    immediate lossless halftone region + end of page."""
+    g = np.asarray(gray)
+    ph, pw = patterns[0].shape
+    hgh, hgw = g.shape
+    w, h = hgw * pw, hgh * ph
+    page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00")
+    return (_segment(1, 48, 1, page_info)
+            + _segment(2, 16, 1, _encode_pattern_dict(patterns))
+            + _segment(3, 23, 1,  # immediate lossless halftone region
+                       _encode_halftone_region(g, patterns, w, h),
+                       refs=(2,))
+            + _segment(4, 49, 1, b""))
+
+
+# --------------------------------------------------------------------------
 # Embedded segment layer (T.88 §7.2)
 # --------------------------------------------------------------------------
 
@@ -1152,6 +1348,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
     page_default = 0
     regions: list[tuple[dict, np.ndarray]] = []
     sym_exports: dict[int, list[np.ndarray]] = {}
+    pat_dicts: dict[int, list[np.ndarray]] = {}
     for head, seg_data in segments:
         t = head["type"]
         if t == 48:  # page info
@@ -1177,12 +1374,19 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
             for r in head["refs"]:
                 syms.extend(sym_exports.get(r, ()))
             regions.append(_decode_text_region(seg_data, syms))
+        elif t == 16:  # pattern dictionary
+            pat_dicts[head["number"]] = _decode_pattern_dict(seg_data)
+        elif t in (22, 23):  # immediate (lossless) halftone region
+            pats: list[np.ndarray] = []
+            for r in head["refs"]:
+                pats.extend(pat_dicts.get(r, ()))
+            regions.append(_decode_halftone_region(seg_data, pats))
         elif t in (49, 50, 51):  # end of page / stripe / file
             continue
-        elif t in (4, 5, 16, 20, 22, 23, 40, 42, 43):
+        elif t in (4, 5, 20, 40, 42, 43):
             raise Jbig2Unsupported(
-                f"JBIG2 segment type {t} (intermediate/halftone/refinement)"
-                " outside the symbol/text/generic scope")
+                f"JBIG2 segment type {t} (intermediate regions / "
+                "standalone refinement) outside the decoded scope")
         elif t in (52, 53, 62):  # retention / tables / extension: skip
             continue
         else:

@@ -655,3 +655,67 @@ class TestHardening:
         blob = jb._segment(1, 0, 1, seg)
         with pytest.raises(Jbig2Unsupported):
             decode_jbig2_embedded(blob, width=8, height=8)
+
+
+class TestHalftone:
+    PATTERNS = [np.zeros((4, 4), np.uint8),
+                np.eye(4, dtype=np.uint8),
+                (np.indices((4, 4)).sum(0) % 2).astype(np.uint8),
+                np.ones((4, 4), np.uint8)]
+
+    def test_round_trip(self):
+        rng = np.random.default_rng(4)
+        gray = rng.integers(0, 4, (9, 13))
+        blob = jb.encode_jbig2_halftone_embedded(gray, self.PATTERNS)
+        out = decode_jbig2_embedded(blob)
+        expect = np.zeros((36, 52), np.uint8)
+        for m in range(9):
+            for n in range(13):
+                expect[m * 4:(m + 1) * 4, n * 4:(n + 1) * 4] = \
+                    self.PATTERNS[gray[m, n]]
+        assert (out == np.where(expect, 0, 255)).all()
+
+    def test_single_pattern_needs_zero_planes(self):
+        blob = jb.encode_jbig2_halftone_embedded(
+            np.zeros((3, 3), np.int64), [np.ones((4, 4), np.uint8)])
+        out = decode_jbig2_embedded(blob)
+        assert out.shape == (12, 12) and (out == 0).all()
+
+    def test_mmr_pattern_dictionary(self):
+        from pdf_ocr_engine_spark.core.ccittcodec import encode_g4
+
+        collective = np.concatenate(self.PATTERNS, axis=1)
+        seg = (bytes([1, 4, 4]) + struct.pack(">I", 3)
+               + encode_g4(collective.astype(bool)))
+        pats = jb._decode_pattern_dict(seg)
+        assert len(pats) == 4
+        for got, want in zip(pats, self.PATTERNS):
+            assert (got == want).all()
+
+    def test_gray_value_beyond_patterns_is_error(self):
+        # 3 patterns need 2 bitplanes; a grid value of 3 has no pattern
+        blob = jb.encode_jbig2_halftone_embedded(
+            np.full((2, 2), 3, np.int64), self.PATTERNS[:3])
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob)
+
+    def test_skip_flag_is_unsupported(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+                  + bytes([1 << 3]) + b"\x00" * 20)
+        blob = (jb._segment(1, 16, 1,
+                            jb._encode_pattern_dict(self.PATTERNS))
+                + jb._segment(2, 23, 1, region, refs=(1,)))
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_halftone_without_patterns_is_error(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+                  + bytes([0]) + b"\x00" * 20)
+        blob = jb._segment(1, 23, 1, region)
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_huge_pattern_dict_rejected(self):
+        seg = bytes([0, 255, 255]) + struct.pack(">I", 1 << 11)
+        with pytest.raises(Jbig2Error):
+            jb._decode_pattern_dict(seg + b"\x00" * 8)
