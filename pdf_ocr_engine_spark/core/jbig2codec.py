@@ -1051,6 +1051,33 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     return info, page
 
 
+def _parse_refinement_segment(seg_data: bytes,
+                              ) -> tuple[dict, tuple]:
+    """Standalone refinement region header → (region info, deferred
+    decode marker).  The body decodes at page-composition time because
+    its reference is the page content under the region (§6.3.2)."""
+    info, pos = _parse_region_info(seg_data, 0)
+    if pos >= len(seg_data):
+        raise Jbig2Error("refinement region missing flags")
+    flags = seg_data[pos]
+    pos += 1
+    template = flags & 1
+    tpgron = bool(flags & 2)
+    at = _REF_NOMINAL_AT
+    if template == 0:
+        if pos + 4 > len(seg_data):
+            raise Jbig2Error("truncated refinement AT pixels")
+        at = tuple(
+            (struct.unpack_from("b", seg_data, pos + 2 * i)[0],
+             struct.unpack_from("b", seg_data, pos + 2 * i + 1)[0])
+            for i in range(2))
+        pos += 4
+    w, h = info["w"], info["h"]
+    if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
+        raise Jbig2Error(f"implausible refinement region {w}x{h}")
+    return info, ("refine", template, tpgron, at, seg_data[pos:])
+
+
 # --------------------------------------------------------------------------
 # Pattern dictionary (§6.7) and halftone region (§6.6)
 # --------------------------------------------------------------------------
@@ -1226,7 +1253,10 @@ def encode_jbig2_halftone_embedded(gray: np.ndarray,
 # Embedded segment layer (T.88 §7.2)
 # --------------------------------------------------------------------------
 
-_GENERIC_REGION_TYPES = {36, 38, 39}
+#: immediate (38) and immediate-lossless (39) generic regions; the
+#: intermediate form (36) is auxiliary-buffer input for refinement
+#: segments and rejects as unsupported rather than composing twice
+_GENERIC_REGION_TYPES = {38, 39}
 
 
 def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
@@ -1381,12 +1411,17 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
             for r in head["refs"]:
                 pats.extend(pat_dicts.get(r, ()))
             regions.append(_decode_halftone_region(seg_data, pats))
+        elif t in (42, 43):  # immediate (lossless) refinement region
+            if head["refs"]:
+                raise Jbig2Unsupported(
+                    "refinement of intermediate regions")
+            regions.append(_parse_refinement_segment(seg_data))
         elif t in (49, 50, 51):  # end of page / stripe / file
             continue
-        elif t in (4, 5, 20, 40, 42, 43):
+        elif t in (4, 5, 20, 36, 40):
             raise Jbig2Unsupported(
-                f"JBIG2 segment type {t} (intermediate regions / "
-                "standalone refinement) outside the decoded scope")
+                f"JBIG2 segment type {t} (intermediate region, needs "
+                "auxiliary-buffer plumbing) outside the decoded scope")
         elif t in (52, 53, 62):  # retention / tables / extension: skip
             continue
         else:
@@ -1408,6 +1443,18 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
     page = np.full((page_h, page_w), page_default, dtype=np.uint8)
     for info, bm in regions:
         x, y = info["x"], info["y"]
+        if isinstance(bm, tuple) and bm[0] == "refine":
+            # standalone refinement region: the reference is the page
+            # content currently under the region's footprint (§6.3.2)
+            _tag, template, tpgron, rat, body = bm
+            rw, rh = info["w"], info["h"]
+            ref = np.zeros((rh, rw), dtype=np.uint8)
+            cw = min(rw, page_w - x)
+            ch = min(rh, page_h - y)
+            if cw > 0 and ch > 0:
+                ref[:ch, :cw] = page[y:y + ch, x:x + cw]
+            bm = _decode_refinement(_MQDecoder(body), rw, rh, template,
+                                    ref, 0, 0, rat, tpgron)
         h, w = bm.shape
         if y + h > page_h or x + w > page_w:
             h = min(h, page_h - y)

@@ -719,3 +719,44 @@ class TestHalftone:
         seg = bytes([0, 255, 255]) + struct.pack(">I", 1 << 11)
         with pytest.raises(Jbig2Error):
             jb._decode_pattern_dict(seg + b"\x00" * 8)
+
+
+class TestStandaloneRefinementRegion:
+    def test_refines_page_content_in_place(self):
+        rng = np.random.default_rng(6)
+        base = (rng.random((20, 30)) < 0.3).astype(np.uint8)
+        target = base ^ ((rng.random((20, 30)) < 0.08).astype(np.uint8))
+        gflags = (0 << 1) | (1 << 3)
+        at = b"".join(struct.pack("bb", dx, dy)
+                      for dx, dy in jb._NOMINAL_AT[0])
+        gen = (struct.pack(">IIIIB", 30, 20, 0, 0, 0) + bytes([gflags])
+               + at + jb._encode_generic(base, 0, True))
+        enc = jb._MQEncoder()
+        jb._encode_refinement(enc, target, 0, base, 0, 0, tpgron=True)
+        ref_seg = (struct.pack(">IIIIB", 30, 20, 0, 0, 4)  # REPLACE
+                   + bytes([0 | 2])  # template 0, TPGRON
+                   + b"".join(struct.pack("bb", dx, dy)
+                              for dx, dy in jb._REF_NOMINAL_AT)
+                   + enc.flush())
+        blob = (jb._segment(1, 48, 1,
+                            struct.pack(">IIII", 30, 20, 0, 0)
+                            + b"\x01\x00\x00")
+                + jb._segment(2, 39, 1, gen)
+                + jb._segment(3, 43, 1, ref_seg)
+                + jb._segment(4, 49, 1, b""))
+        out = decode_jbig2_embedded(blob)
+        assert (out == np.where(target, 0, 255)).all()
+
+    def test_refinement_of_intermediate_is_unsupported(self):
+        ref_seg = (struct.pack(">IIIIB", 8, 8, 0, 0, 4)
+                   + bytes([1]) + b"\x00" * 4)
+        blob = jb._segment(2, 43, 1, ref_seg, refs=(1,))
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_intermediate_generic_region_is_unsupported(self):
+        gen = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([0])
+               + b"\x00" * 8)
+        blob = jb._segment(1, 36, 1, gen)
+        with pytest.raises(Jbig2Unsupported):
+            decode_jbig2_embedded(blob, width=8, height=8)
