@@ -1051,6 +1051,23 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     return info, page
 
 
+def _combine(dst: np.ndarray, src: np.ndarray, op: int) -> None:
+    """In-place external/internal combination operator (T.88 §8.2):
+    OR / AND / XOR / XNOR / REPLACE."""
+    if op == 0:
+        dst |= src
+    elif op == 1:
+        dst &= src
+    elif op == 2:
+        dst ^= src
+    elif op == 3:
+        dst ^= src ^ 1
+    elif op == 4:
+        dst[:] = src
+    else:
+        raise Jbig2Error(f"bad combination operator {op}")
+
+
 def _parse_refinement_segment(seg_data: bytes,
                               ) -> tuple[dict, tuple]:
     """Standalone refinement region header → (region info, deferred
@@ -1121,8 +1138,12 @@ def _decode_halftone_region(seg_data: bytes,
     and stamp one pattern per grid cell (§6.6.5)."""
     if not patterns:
         raise Jbig2Error("halftone region with no patterns")
+    if any(p.shape != patterns[0].shape for p in patterns):
+        # multiple referred dictionaries with differing HDPW/HDPH
+        raise Jbig2Error("halftone patterns disagree in size")
     info, pos = _parse_region_info(seg_data, 0)
-    if pos + 17 > len(seg_data):
+    # flags (1) + HGW/HGH (8) + HGX/HGY (8) + HRX/HRY (4)
+    if pos + 21 > len(seg_data):
         raise Jbig2Error("truncated halftone region header")
     flags = seg_data[pos]
     pos += 1
@@ -1138,10 +1159,13 @@ def _decode_halftone_region(seg_data: bytes,
     hrx, hry = struct.unpack_from(">HH", seg_data, pos + 16)
     pos += 20
     w, h = info["w"], info["h"]
-    if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26 \
-            or hgw > 1 << 16 or hgh > 1 << 16 or hgw * hgh > 1 << 24:
-        raise Jbig2Error("implausible halftone region")
     bpv = (len(patterns) - 1).bit_length()
+    if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26 \
+            or hgw > 1 << 16 or hgh > 1 << 16 \
+            or hgw * hgh * max(bpv, 1) > 1 << 26:
+        # the gray image costs hgw*hgh MQ pixel decodes PER BITPLANE —
+        # budget the product like every other region type
+        raise Jbig2Error("implausible halftone region")
     mq = _MQDecoder(seg_data[pos:])
     gb_ctx = _fresh_contexts(template)
     at = ((3 if template <= 1 else 2, -1),) + (((-3, -1), (2, -2),
@@ -1172,20 +1196,8 @@ def _decode_halftone_region(seg_data: bytes,
             ch = min(ph - sy, h - y0)
             if cw <= 0 or ch <= 0:
                 continue
-            dst = page[y0:y0 + ch, x0:x0 + cw]
-            src = pat[sy:sy + ch, sx:sx + cw]
-            if hcombop == 0:
-                dst |= src
-            elif hcombop == 1:
-                dst &= src
-            elif hcombop == 2:
-                dst ^= src
-            elif hcombop == 3:
-                dst ^= src ^ 1
-            elif hcombop == 4:
-                dst[:] = src
-            else:
-                raise Jbig2Error(f"bad halftone combination {hcombop}")
+            _combine(page[y0:y0 + ch, x0:x0 + cw],
+                     pat[sy:sy + ch, sx:sx + cw], hcombop)
     return info, page
 
 
@@ -1253,10 +1265,12 @@ def encode_jbig2_halftone_embedded(gray: np.ndarray,
 # Embedded segment layer (T.88 §7.2)
 # --------------------------------------------------------------------------
 
-#: immediate (38) and immediate-lossless (39) generic regions; the
-#: intermediate form (36) is auxiliary-buffer input for refinement
-#: segments and rejects as unsupported rather than composing twice
-_GENERIC_REGION_TYPES = {38, 39}
+#: generic regions, incl. the intermediate form (36): its auxiliary
+#: buffer exists for refinement-with-refs segments — which reject as
+#: unsupported before any second consumption could happen — so the
+#: lenient compose-as-immediate treatment real-world buggy encoders
+#: rely on is safe
+_GENERIC_REGION_TYPES = {36, 38, 39}
 
 
 def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
@@ -1418,7 +1432,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
             regions.append(_parse_refinement_segment(seg_data))
         elif t in (49, 50, 51):  # end of page / stripe / file
             continue
-        elif t in (4, 5, 20, 36, 40):
+        elif t in (4, 5, 20, 40):
             raise Jbig2Unsupported(
                 f"JBIG2 segment type {t} (intermediate region, needs "
                 "auxiliary-buffer plumbing) outside the decoded scope")
@@ -1462,20 +1476,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
             if h <= 0 or w <= 0:
                 continue
             bm = bm[:h, :w]
-        dst = page[y:y + h, x:x + w]
-        op = info["comb"]
-        if op == 0:
-            dst |= bm
-        elif op == 1:
-            dst &= bm
-        elif op == 2:
-            dst ^= bm
-        elif op == 3:
-            dst ^= bm ^ 1
-        elif op == 4:
-            dst[:] = bm
-        else:
-            raise Jbig2Error(f"bad combination operator {op}")
+        _combine(page[y:y + h, x:x + w], bm, info["comb"])
     return np.where(page, 0, 255).astype(np.uint8)
 
 

@@ -754,9 +754,47 @@ class TestStandaloneRefinementRegion:
         with pytest.raises(Jbig2Unsupported):
             decode_jbig2_embedded(blob, width=8, height=8)
 
-    def test_intermediate_generic_region_is_unsupported(self):
-        gen = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([0])
-               + b"\x00" * 8)
+    def test_intermediate_generic_region_composes_leniently(self):
+        # real-world buggy encoders emit type 36 for page content; with
+        # refinement-with-refs rejected, composing it as immediate can
+        # never double-draw, so the lenient treatment stays
+        bm = np.eye(8, dtype=np.uint8)
+        gflags = (0 << 1) | (1 << 3)
+        at = b"".join(struct.pack("bb", dx, dy)
+                      for dx, dy in jb._NOMINAL_AT[0])
+        gen = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([gflags])
+               + at + jb._encode_generic(bm, 0, True))
         blob = jb._segment(1, 36, 1, gen)
-        with pytest.raises(Jbig2Unsupported):
+        out = decode_jbig2_embedded(blob, width=8, height=8)
+        assert (out == np.where(bm, 0, 255)).all()
+
+    def test_truncated_halftone_header_is_error(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+                  + bytes([0]) + b"\x00" * 16)  # 4 bytes short
+        blob = (jb._segment(1, 16, 1, jb._encode_pattern_dict(
+                    [np.ones((4, 4), np.uint8)]))
+                + jb._segment(2, 23, 1, region, refs=(1,)))
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_mixed_pattern_sizes_are_error(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+                  + bytes([0]) + b"\x00" * 20)
+        blob = (jb._segment(1, 16, 1, jb._encode_pattern_dict(
+                    [np.ones((4, 4), np.uint8)]))
+                + jb._segment(2, 16, 1, jb._encode_pattern_dict(
+                    [np.ones((2, 2), np.uint8)]))
+                + jb._segment(3, 23, 1, region, refs=(1, 2)))
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob, width=8, height=8)
+
+    def test_halftone_gray_budget_rejected(self):
+        region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0) + bytes([0])
+                  + struct.pack(">II", 1 << 16, 1 << 16)
+                  + struct.pack(">ii", 0, 0)
+                  + struct.pack(">HH", 1 << 10, 0))
+        pats = [np.ones((4, 4), np.uint8), np.zeros((4, 4), np.uint8)]
+        blob = (jb._segment(1, 16, 1, jb._encode_pattern_dict(pats))
+                + jb._segment(2, 23, 1, region, refs=(1,)))
+        with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob, width=8, height=8)
