@@ -798,3 +798,74 @@ class TestStandaloneRefinementRegion:
                 + jb._segment(2, 23, 1, region, refs=(1,)))
         with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob, width=8, height=8)
+
+
+class TestFuzz:
+    def test_fuzz_generic_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.integers(0, 2**31 - 1), st.integers(0, 3),
+               st.booleans(), st.floats(0.02, 0.98))
+        def check(seed, template, tpgdon, density):
+            rng = np.random.default_rng(seed)
+            h = int(rng.integers(1, 24))
+            w = int(rng.integers(1, 48))
+            bm = (rng.random((h, w)) < density).astype(np.uint8)
+            data = jb._encode_generic(bm, template=template,
+                                      tpgdon=tpgdon)
+            got = jb._decode_generic(jb._MQDecoder(data), w, h, template,
+                                     jb._NOMINAL_AT[template], tpgdon)
+            assert (got == bm).all()
+
+        check()
+
+    def test_fuzz_symbol_embedded_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(0, 2**31 - 1), st.integers(0, 3),
+               st.sampled_from([1, 2, 4, 8]))
+        def check(seed, refcorner, sbstrips):
+            rng = np.random.default_rng(seed)
+            h = int(rng.integers(4, 28))
+            w = int(rng.integers(4, 56))
+            bm = (rng.random((h, w)) < float(rng.random() * 0.5)
+                  ).astype(np.uint8)
+            blob = jb.encode_jbig2_symbol_embedded(
+                bm, refcorner=refcorner, sbstrips=sbstrips)
+            got = decode_jbig2_embedded(blob)
+            assert (got == np.where(bm, 0, 255)).all()
+
+        check()
+
+    def test_fuzz_garbage_never_hangs_or_crashes_oddly(self):
+        # arbitrary bytes must yield Jbig2Error/Unsupported (or decode),
+        # never IndexError/struct.error/MemoryError/hang — the
+        # error-as-value contract of the OCR tier
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(min_size=0, max_size=160))
+        def check(data):
+            try:
+                decode_jbig2_embedded(data, width=16, height=16)
+            except Jbig2Error:
+                pass
+
+        check()
+
+    def test_fuzz_truncations_of_valid_streams(self):
+        # every prefix of a real stream must error cleanly or decode
+        bm = np.eye(12, 20, dtype=bool)
+        for blob in (encode_jbig2_embedded(bm),
+                     jb.encode_jbig2_symbol_embedded(bm)):
+            for cut in range(0, len(blob), 3):
+                try:
+                    decode_jbig2_embedded(blob[:cut], width=20,
+                                          height=12)
+                except Jbig2Error:
+                    pass
