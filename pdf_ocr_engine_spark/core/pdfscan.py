@@ -180,13 +180,14 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     codec; ``"jbig2sym"`` embeds the same page in JBIG2's
     DICTIONARY-CODED arrangement (connected components → symbol
     dictionary → text region — what real scanner JBIG2 output
-    predominantly is) — so the OCR tier exercises every raster decode
-    path end to end.
+    predominantly is); ``"gray1"`` embeds raw packed 1-bit rows behind
+    plain FlateDecode (simple B/W scans with no image codec at all) —
+    so the OCR tier exercises every raster decode path end to end.
     """
     from .rasterfont import render_words_gray
 
     if codec not in ("flate", "jpeg", "jpegprog", "ccitt", "jbig2",
-                     "jbig2sym"):
+                     "jbig2sym", "gray1"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -242,6 +243,15 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
             filter_name = "CCITTFaxDecode"
             extra = (f" /DecodeParms << /K -1 /Columns {int(w)} "
                      f"/Rows {int(h)} >>")
+            bpc = 1
+        elif codec == "gray1":
+            import numpy as np
+
+            bits = (np.frombuffer(samples, dtype=np.uint8)
+                    .reshape(int(h), int(w)) >= 128)  # 1 = white
+            img = zlib.compress(
+                np.packbits(bits, axis=1).tobytes())
+            filter_name = "FlateDecode"
             bpc = 1
         else:
             img = zlib.compress(samples)

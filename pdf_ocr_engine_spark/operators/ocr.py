@@ -139,6 +139,19 @@ def deterministic_recognizer():
                 and image.get("bpc") == 8
                 and w and h and len(data) == w * h):
             return recognize_gray(w, h, data)
+        if (image.get("bpc") == 1
+                and image.get("colorspace") in ("DeviceGray", None)
+                and w and h and len(data) == ((w + 7) // 8) * h):
+            # raw packed 1-bit rows (simple B/W scans with no image
+            # codec; PDF DeviceGray: sample 0 = black, 1 = white, rows
+            # padded to byte boundaries per ISO 32000 8.9.3)
+            import numpy as np
+
+            bits = np.unpackbits(
+                np.frombuffer(data, np.uint8)
+                .reshape(h, (w + 7) // 8), axis=1)[:, :w]
+            gray = np.where(bits, 255, 0).astype(np.uint8)
+            return recognize_gray(w, h, gray.tobytes())
         raise ValueError(
             f"undecodable page image ({image.get('colorspace')}, "
             f"{image.get('bpc')} bpc, {len(data)} bytes for "

@@ -107,10 +107,12 @@ def _text_to_mixed_payload(text, doc_id):
     behind DCTDecode (doc_id % 8 == 5), 1-bit Group 4 behind
     CCITTFaxDecode (doc_id % 16 == 9), 1-bit JBIG2 behind JBIG2Decode —
     generic-region arrangement at doc_id % 64 == 17, dictionary-coded
-    symbol/text arrangement at doc_id % 64 == 49 — and raw DeviceGray
-    behind FlateDecode (doc_id % 32 == 1) — so the stdlib JPEG, T.6,
-    and T.88 decoders are all in the checked path.  All paginate at
-    REAL_PDF_WORDS_PER_PAGE so one oracle covers the whole corpus."""
+    symbol/text arrangement at doc_id % 64 == 49 — raw packed 1-bit
+    rows behind plain FlateDecode (doc_id % 64 == 33), and raw 8-bit
+    DeviceGray behind FlateDecode (doc_id % 64 == 1) — so the stdlib
+    JPEG, T.6, and T.88 decoders and both raw-sample widths are all in
+    the checked path.  All paginate at REAL_PDF_WORDS_PER_PAGE so one
+    oracle covers the whole corpus."""
     import pandas as pd
 
     from .fixtures import text_to_pixel_scanned_pdf_payload
@@ -125,7 +127,8 @@ def _text_to_mixed_payload(text, doc_id):
             codec = ("jpeg" if d % 8 == 5
                      else "ccitt" if d % 16 == 9
                      else "jbig2" if d % 64 == 17
-                     else "jbig2sym" if d % 64 == 49 else "flate")
+                     else "jbig2sym" if d % 64 == 49
+                     else "gray1" if d % 64 == 33 else "flate")
             payload = text_to_pixel_scanned_pdf_payload(
                 t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE,
                 codec=codec)

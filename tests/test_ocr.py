@@ -397,3 +397,45 @@ class TestPixelRaster:
         r = extract_document(text_to_pixel_scanned_pdf_payload(""), "eng",
                              recognizer=deterministic_recognizer())
         assert (r["status"], r["n_pages"], r["n_words"]) == ("empty", 1, 0)
+
+
+class TestGray1Raster:
+    def test_packed_1bit_scanned_pdf_ocr_matches_flate(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 300, "height": 120,
+                  "words": [("packed", 10, 10, 46, 18),
+                            ("bits", 60, 10, 84, 18),
+                            ("scan", 10, 30, 34, 38)]}]
+        rec = deterministic_recognizer()
+        flate = extract_document(
+            build_pixel_scanned_pdf(pages, codec="flate"), "eng",
+            recognizer=rec)
+        g1 = extract_document(
+            build_pixel_scanned_pdf(pages, codec="gray1"), "eng",
+            recognizer=rec)
+        assert flate["status"] == g1["status"] == "ok"
+        assert g1["text"] == flate["text"] == "packed bits\nscan"
+
+    def test_1bit_rows_are_byte_padded(self):
+        # a width that is not a multiple of 8 exercises the row padding
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+        w, h = 61, 20  # ceil(61/8)=8 bytes/row
+        samples = render_words_gray(w, h, [("ok", 10, 5, 22, 13)])
+        bits = (np.frombuffer(samples, np.uint8).reshape(h, w) >= 128)
+        packed = np.packbits(bits, axis=1).tobytes()
+        words = deterministic_recognizer()(
+            {"data": packed, "filter": None, "decode_parms": None,
+             "width": w, "height": h, "colorspace": "DeviceGray",
+             "bpc": 1})
+        assert [x[0] for x in words] == ["ok"]
