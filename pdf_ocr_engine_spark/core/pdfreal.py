@@ -1500,12 +1500,22 @@ def _collect_drawn_images(doc: "_Doc", content: bytes, resources: Any,
                                 img_parms = {
                                     str(k): _parm_value(doc, v)
                                     for k, v in img_parms.items()}
+                            dec = doc.resolve(obj.dict.get("Decode"))
+                            try:
+                                dec = (tuple(float(doc.resolve(v))
+                                             for v in dec)
+                                       if isinstance(dec, list) else None)
+                            except (TypeError, ValueError):
+                                dec = None  # malformed ≠ bad image
                             images.append({
                                 "data": blob,
                                 # trailing image-codec filter (DCTDecode …)
                                 # whose bytes `data` still are, or None when
                                 # fully decoded to raw samples
                                 "filter": img_filter,
+                                # /Decode array (sample-value remap; an
+                                # inverted B/W scan carries [1 0])
+                                "decode": dec,
                                 # its DecodeParms (CCITT needs /K /Columns
                                 # /Rows /EncodedByteAlign to interpret data)
                                 "decode_parms": img_parms,

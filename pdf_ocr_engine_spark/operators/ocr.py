@@ -118,6 +118,8 @@ def deterministic_recognizer():
             except CcittError as exc:
                 raise ValueError(
                     f"undecodable CCITT page image: {exc}") from exc
+            if parms.get("BlackIs1"):
+                gray = 255 - gray  # 1 bits are black: inverted semantics
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         if image.get("filter") == "JBIG2Decode":
@@ -135,9 +137,14 @@ def deterministic_recognizer():
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         w, h = image.get("width"), image.get("height")
+        # /Decode [1 0] remaps samples to the inverted range (inverted
+        # B/W scans carry it); default [0 1] is identity
+        inverted = image.get("decode") in ((1.0, 0.0), (1, 0))
         if (image.get("colorspace") == "DeviceGray"
                 and image.get("bpc") == 8
                 and w and h and len(data) == w * h):
+            if inverted:
+                data = bytes(255 - b for b in data)
             return recognize_gray(w, h, data)
         if (image.get("bpc") == 1
                 and image.get("colorspace") in ("DeviceGray", None)
@@ -150,6 +157,8 @@ def deterministic_recognizer():
             bits = np.unpackbits(
                 np.frombuffer(data, np.uint8)
                 .reshape(h, (w + 7) // 8), axis=1)[:, :w]
+            if inverted:
+                bits = 1 - bits
             gray = np.where(bits, 255, 0).astype(np.uint8)
             return recognize_gray(w, h, gray.tobytes())
         raise ValueError(

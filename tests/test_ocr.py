@@ -439,3 +439,45 @@ class TestGray1Raster:
              "width": w, "height": h, "colorspace": "DeviceGray",
              "bpc": 1})
         assert [x[0] for x in words] == ["ok"]
+
+    def test_inverted_decode_array_on_1bit(self):
+        # /Decode [1 0]: an inverted B/W scan must recognize identically
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+        w, h = 61, 20
+        samples = render_words_gray(w, h, [("ok", 10, 5, 22, 13)])
+        bits = (np.frombuffer(samples, np.uint8).reshape(h, w) >= 128)
+        packed_inv = np.packbits(~bits, axis=1).tobytes()
+        words = deterministic_recognizer()(
+            {"data": packed_inv, "filter": None, "decode_parms": None,
+             "decode": (1.0, 0.0), "width": w, "height": h,
+             "colorspace": "DeviceGray", "bpc": 1})
+        assert [x[0] for x in words] == ["ok"]
+
+    def test_ccitt_blackis1_inverts(self):
+        from pdf_ocr_engine_spark.core.ccittcodec import encode_g4
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+        w, h = 64, 20
+        samples = render_words_gray(w, h, [("ok", 10, 5, 22, 13)])
+        ink = np.frombuffer(samples, np.uint8).reshape(h, w) < 128
+        # BlackIs1: 1 bits are BLACK, so the G4 stream codes the
+        # complement of the default interpretation
+        enc = encode_g4(~ink)
+        words = deterministic_recognizer()(
+            {"data": enc, "filter": "CCITTFaxDecode",
+             "decode_parms": {"K": -1, "Columns": w, "Rows": h,
+                              "BlackIs1": True},
+             "width": w, "height": h,
+             "colorspace": "DeviceGray", "bpc": 1})
+        assert [x[0] for x in words] == ["ok"]
