@@ -650,6 +650,11 @@ _REF_TPGR_CTX = (0x0020, 0x0008)
 #: nominal refinement AT pixels (A1 coding layer, A2 reference layer)
 _REF_NOMINAL_AT = ((-1, -1), (-1, -1))
 
+# Total pixels one text region may spend on refined-instance decodes —
+# same ceiling as the symbol dictionary's px_budget and the region-size
+# caps, applied cumulatively across instances.
+_REF_PX_BUDGET = 1 << 26
+
 
 def _ref_ctx() -> tuple[list, list]:
     """One GR context set (13-bit worst case, shared across symbols)."""
@@ -958,6 +963,11 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     scl = _symcodelen(len(syms))
     iaid = _iaid_ctx(scl)
     page = np.full((h, w), sbdefpixel, dtype=np.uint8)
+    # Cumulative refined-instance pixel budget: SBREFINE decodes a fresh
+    # bitmap per refined instance, so per-dimension caps alone still let
+    # a malformed stream request num_instances × huge decodes.  Mirror
+    # the symbol dictionary's px_budget (1<<26 total decoded pixels).
+    ref_px_budget = _REF_PX_BUDGET
 
     def draw(sym: np.ndarray, x0: int, y0: int) -> None:
         sh, sw = sym.shape
@@ -1020,8 +1030,13 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
                     raise Jbig2Error("OOB refinement deltas")
                 nw = sym.shape[1] + rdw
                 nh = sym.shape[0] + rdh
-                if not (0 < nw <= 1 << 14 and 0 < nh <= 1 << 14):
+                if not (0 < nw <= 1 << 14 and 0 < nh <= 1 << 14) \
+                        or nw * nh > 1 << 26:
                     raise Jbig2Error("bad refined symbol size")
+                ref_px_budget -= nw * nh
+                if ref_px_budget < 0:
+                    raise Jbig2Error(
+                        "refinement pixel budget exhausted")
                 sym = _decode_refinement(
                     mq, nw, nh, sbrtemplate, sym,
                     (rdw >> 1) + rdx, (rdh >> 1) + rdy, rat, False,

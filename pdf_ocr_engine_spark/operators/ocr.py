@@ -93,12 +93,18 @@ def deterministic_recognizer():
         if data[:8] == RASTER_MAGIC:
             _w, _h, words = decode_page_raster(data)
             return words
+        # /Decode [1 0] remaps samples to the inverted range (inverted
+        # B/W scans carry it); default [0 1] is identity.  Computed up
+        # front so EVERY codec branch honours it, not just raw rasters.
+        inverted = image.get("decode") in ((1.0, 0.0), (1, 0))
         if image.get("filter") == "DCTDecode" or data[:2] == b"\xFF\xD8":
             try:
                 gray = decode_jpeg_gray(data)
             except JpegError as exc:
                 raise ValueError(
                     f"undecodable JPEG page image: {exc}") from exc
+            if inverted:
+                gray = 255 - gray
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         if image.get("filter") == "CCITTFaxDecode":
@@ -118,7 +124,9 @@ def deterministic_recognizer():
             except CcittError as exc:
                 raise ValueError(
                     f"undecodable CCITT page image: {exc}") from exc
-            if parms.get("BlackIs1"):
+            # /BlackIs1 and /Decode [1 0] each flip black/white; both
+            # together cancel (a renderer composes them) — XOR.
+            if bool(parms.get("BlackIs1")) != inverted:
                 gray = 255 - gray  # 1 bits are black: inverted semantics
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
@@ -134,12 +142,11 @@ def deterministic_recognizer():
             except Jbig2Error as exc:
                 raise ValueError(
                     f"undecodable JBIG2 page image: {exc}") from exc
+            if inverted:
+                gray = 255 - gray
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         w, h = image.get("width"), image.get("height")
-        # /Decode [1 0] remaps samples to the inverted range (inverted
-        # B/W scans carry it); default [0 1] is identity
-        inverted = image.get("decode") in ((1.0, 0.0), (1, 0))
         if (image.get("colorspace") == "DeviceGray"
                 and image.get("bpc") == 8
                 and w and h and len(data) == w * h):

@@ -869,3 +869,46 @@ class TestFuzz:
                                           height=12)
                 except Jbig2Error:
                     pass
+
+
+class TestRefinementBudget:
+    """Text-region SBREFINE allocation caps: area per refined instance
+    and a cumulative per-region pixel budget (mirrors the symbol
+    dictionary's px_budget)."""
+
+    def test_huge_refined_instance_area_rejected(self):
+        # per-dimension caps pass (nw = nh = 1<<14) but the 2^28-pixel
+        # area must be rejected BEFORE any refinement decode/allocation
+        sym = np.ones((1, 1), dtype=np.uint8)
+        enc = jb._MQEncoder()
+        iadt, iafs, iari = (jb._int_ctx() for _ in range(3))
+        iardw, iardh, iardx, iardy = (jb._int_ctx() for _ in range(4))
+        jb._int_encode(enc, *iadt, 0)            # STRIPT
+        jb._int_encode(enc, *iadt, 0)            # strip delta
+        jb._int_encode(enc, *iafs, 0)            # FIRSTS
+        jb._int_encode(enc, *iari, 1)            # refined instance
+        jb._int_encode(enc, *iardw, (1 << 14) - 1)
+        jb._int_encode(enc, *iardh, (1 << 14) - 1)
+        jb._int_encode(enc, *iardx, 0)
+        jb._int_encode(enc, *iardy, 0)
+        region_info = struct.pack(">IIIIB", 64, 64, 0, 0, 0)
+        flags = (1 << 1) | (1 << 4)              # SBREFINE=1, REFCORNER=TL
+        rat = b"".join(struct.pack("bb", dx, dy)
+                       for dx, dy in jb._REF_NOMINAL_AT)
+        seg = (region_info + struct.pack(">H", flags) + rat
+               + struct.pack(">I", 1) + enc.flush())
+        with pytest.raises(Jbig2Error, match="refined symbol size"):
+            jb._decode_text_region(seg, [sym])
+
+    def test_refinement_pixel_budget_is_cumulative(self, monkeypatch):
+        # two legitimate 8x8 refined instances decode under the real
+        # budget; a shrunken budget must trip on the SECOND instance
+        sym = np.ones((1, 1), dtype=np.uint8)
+        tgt = np.ones((8, 8), dtype=np.uint8)
+        seg = jb._encode_text_region(
+            [(2, 2, 0, tgt), (14, 2, 0, tgt)], [sym], 30, 12)
+        _info, page = jb._decode_text_region(seg, [sym])
+        assert page[2:10, 2:10].all() and page[2:10, 14:22].all()
+        monkeypatch.setattr(jb, "_REF_PX_BUDGET", 100)  # 2 x 64 px > 100
+        with pytest.raises(Jbig2Error, match="budget"):
+            jb._decode_text_region(seg, [sym])

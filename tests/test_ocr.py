@@ -481,3 +481,83 @@ class TestGray1Raster:
              "width": w, "height": h,
              "colorspace": "DeviceGray", "bpc": 1})
         assert [x[0] for x in words] == ["ok"]
+
+
+class TestInvertedDecodeAllCodecs:
+    """/Decode [1 0] must be honoured in EVERY codec branch, not only
+    the raw-raster paths, and it must XOR with CCITT /BlackIs1 (the two
+    inversions cancel, as a renderer composes them)."""
+
+    @staticmethod
+    def _render(w=64, h=20):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+        samples = render_words_gray(w, h, [("ok", 10, 5, 22, 13)])
+        gray = np.frombuffer(samples, np.uint8).reshape(h, w)
+        return w, h, gray
+
+    def test_ccitt_decode_array_alone_inverts(self):
+        from pdf_ocr_engine_spark.core.ccittcodec import encode_g4
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        w, h, gray = self._render()
+        ink = gray < 128
+        words = deterministic_recognizer()(
+            {"data": encode_g4(~ink), "filter": "CCITTFaxDecode",
+             "decode_parms": {"K": -1, "Columns": w, "Rows": h},
+             "decode": (1.0, 0.0), "width": w, "height": h,
+             "colorspace": "DeviceGray", "bpc": 1})
+        assert [x[0] for x in words] == ["ok"]
+
+    def test_ccitt_blackis1_and_decode_array_cancel(self):
+        # BlackIs1 + /Decode [1 0] compose to identity: the stream is
+        # coded exactly as in the default interpretation
+        from pdf_ocr_engine_spark.core.ccittcodec import encode_g4
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        w, h, gray = self._render()
+        ink = gray < 128
+        words = deterministic_recognizer()(
+            {"data": encode_g4(ink), "filter": "CCITTFaxDecode",
+             "decode_parms": {"K": -1, "Columns": w, "Rows": h,
+                              "BlackIs1": True},
+             "decode": (1.0, 0.0), "width": w, "height": h,
+             "colorspace": "DeviceGray", "bpc": 1})
+        assert [x[0] for x in words] == ["ok"]
+
+    def test_jbig2_decode_array_inverts(self):
+        from pdf_ocr_engine_spark.core.jbig2codec import (
+            encode_jbig2_embedded,
+        )
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        w, h, gray = self._render()
+        ink = gray < 128
+        words = deterministic_recognizer()(
+            {"data": encode_jbig2_embedded(~ink), "filter": "JBIG2Decode",
+             "decode_parms": None, "decode": (1.0, 0.0),
+             "width": w, "height": h,
+             "colorspace": "DeviceGray", "bpc": 1})
+        assert [x[0] for x in words] == ["ok"]
+
+    def test_dct_decode_array_inverts(self):
+        from pdf_ocr_engine_spark.core.jpegcodec import encode_jpeg_gray
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        w, h, gray = self._render()
+        words = deterministic_recognizer()(
+            {"data": encode_jpeg_gray(255 - gray, quality=95),
+             "filter": "DCTDecode", "decode_parms": None,
+             "decode": (1.0, 0.0), "width": w, "height": h,
+             "colorspace": "DeviceGray", "bpc": 8})
+        assert [x[0] for x in words] == ["ok"]
