@@ -106,7 +106,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from pdf_ocr_engine_spark.plans.pipeline import build_session, run_extraction
-    from pdf_ocr_engine_spark.queries import DEMO_QUERIES, QUERIES
+    from pdf_ocr_engine_spark.queries import EXTRA_QUERIES, QUERIES
 
     spark = build_session(f"bench-{cpus}", master=f"local[{cpus}]",
                           shuffle_partitions=max(cpus, 8))
@@ -129,56 +129,76 @@ def main() -> int:
     spark.range(0, cpus * 2, 1, cpus * 2) \
         .select(_one("id").alias("o")).agg(F.sum("o")).collect()
 
-    timings: dict[str, float] = {}
-
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # headline: full extraction (force full materialization via aggregation —
-    # sums every output column's work without shipping texts to the driver)
-    def run_extract():
-        res = run_extraction(pages, num_partitions=cpus * 2, run_id="bench")
-        res.extracted.agg(F.sum("n_words"), F.sum(F.length("text")),
-                          F.count("*")).collect()
-
-    timed("extract", run_extract)
-
     html_path = os.path.join(build_dir, f"bench_html_v1_sf{sf}.parquet")
     materialize_html_pages(spark, sf_dir, html_path)
     html_pages = spark.read.parquet(html_path)
-
-    def run_extract_html():
-        res = run_extraction(html_pages, num_partitions=cpus * 2,
-                             run_id="bench-html")
-        res.extracted.agg(F.sum("n_words"), F.sum(F.length("text")),
-                          F.count("*")).collect()
-
-    timed("extract_html", run_extract_html)
-
-    def run_assemble():
-        from pdf_ocr_engine_spark.operators.assemble import assemble_searchable
-        assemble_searchable(pages).agg(
-            F.sum("n_words"), F.sum(F.length("pdf")), F.count("*")).collect()
-
-    timed("assemble_pdf", run_assemble)
 
     bench_queries = [
         "token_count", "quality_score", "lang_id", "fingerprint",
         "dedup_exact", "dedup_minhash", "ann_cosine_topk",
         "pricing_summary", "nation_revenue", "event_windows", "event_gaps",
     ]
-    for name in bench_queries:
-        fn = {**QUERIES, **DEMO_QUERIES}[name]
-        # xxhash64 over every output column forces FULL evaluation JVM-side
-        # (a bare count(*) would let Catalyst prune the projections, timing
-        # nothing but the scan) without shipping rows to the driver;
-        # bit_xor-reduced because an ANSI-mode sum of hashes overflows long.
-        timed(name, lambda f=fn: (lambda df: df.select(
-            F.xxhash64(*df.columns).alias("h"))
-            .agg(F.expr("bit_xor(h)")).collect())(f(spark, sf_dir)))
 
+    def headline_pass() -> dict[str, float]:
+        """One full timed pass over the headline sections."""
+        timings: dict[str, float] = {}
+
+        def timed(name: str, fn) -> None:
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        # headline: full extraction (force full materialization via
+        # aggregation — sums every output column's work without shipping
+        # texts to the driver)
+        def run_extract():
+            res = run_extraction(pages, num_partitions=cpus * 2,
+                                 run_id="bench")
+            res.extracted.agg(F.sum("n_words"), F.sum(F.length("text")),
+                              F.count("*")).collect()
+
+        timed("extract", run_extract)
+
+        def run_extract_html():
+            res = run_extraction(html_pages, num_partitions=cpus * 2,
+                                 run_id="bench-html")
+            res.extracted.agg(F.sum("n_words"), F.sum(F.length("text")),
+                              F.count("*")).collect()
+
+        timed("extract_html", run_extract_html)
+
+        def run_assemble():
+            from pdf_ocr_engine_spark.operators.assemble import (
+                assemble_searchable,
+            )
+            assemble_searchable(pages).agg(
+                F.sum("n_words"), F.sum(F.length("pdf")),
+                F.count("*")).collect()
+
+        timed("assemble_pdf", run_assemble)
+
+        for name in bench_queries:
+            fn = {**QUERIES, **EXTRA_QUERIES}[name]
+            # xxhash64 over every output column forces FULL evaluation
+            # JVM-side (a bare count(*) would let Catalyst prune the
+            # projections, timing nothing but the scan) without shipping
+            # rows to the driver; bit_xor-reduced because an ANSI-mode sum
+            # of hashes overflows long.
+            timed(name, lambda f=fn: (lambda df: df.select(
+                F.xxhash64(*df.columns).alias("h"))
+                .agg(F.expr("bit_xor(h)")).collect())(f(spark, sf_dir)))
+        return timings
+
+    # median-of-N protocol: this shared VM swings run-to-run (BASELINE.md
+    # documents a measured ±30% band), so the committed number is a BAND —
+    # every pass's total is recorded and the headline value is the median.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    passes = [headline_pass() for _ in range(n_runs)]
+    import statistics
+
+    timings = {name: round(statistics.median(p[name] for p in passes), 3)
+               for name in passes[0]}
+    run_totals = [round(sum(p.values()), 3) for p in passes]
     total = round(sum(timings.values()), 3)
 
     # auxiliary (NOT in the headline total, which stays comparable to the
@@ -266,6 +286,8 @@ def main() -> int:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "runs": run_totals,
+        "best": min(run_totals),
         "calib": calib_pre,
         "calib_post": host_calibration(),
         "queries": timings,

@@ -2015,25 +2015,6 @@ FROM events
 """
 
 
-def q_event_type_stats(spark, sf_dir):
-    """A2 conditional counts per event_type (expectedOcrPages analog)."""
-    e = _read(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long")
-         .alias("n_high"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-_SQL_EVENT_TYPE_STATS = """
-SELECT event_type, count(*) AS n_events,
-       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-       round(sum(value), 2) AS sum_value
-FROM events GROUP BY event_type
-"""
-
-
 def q_event_windows(spark, sf_dir):
     """Tumbling event-time window aggregation (batch form of the streaming
     windowed agg; window start as exact epoch seconds)."""
@@ -2050,34 +2031,6 @@ _SQL_EVENT_WINDOWS = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS window_h,
        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
-"""
-
-
-def q_order_priority_check(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS-subquery as a left-semi join (the plan Spark
-    and DuckDB both pick), distinct-on-join-key before counting."""
-    o = _read(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01")) &
-        (F.col("o_orderdate") < F.lit("1996-07-01")))
-    # the synthetic lineitem has no commit/receipt dates; "problem lines"
-    # here are heavily-discounted high-tax items — the semi-join shape is
-    # what the query exercises
-    late = _read(spark, sf_dir, "lineitem").where(
-        (F.col("l_discount") > 0.08) & (F.col("l_tax") > 0.05))
-    return (o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
-            .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("order_count")))
-
-
-_SQL_ORDER_PRIORITY_CHECK = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey
-                AND l_discount > 0.08 AND l_tax > 0.05)
-GROUP BY o_orderpriority
 """
 
 
@@ -2115,25 +2068,6 @@ WITH g AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS INTEGER) AS n_events
 FROM s GROUP BY user_id, session_idx
-"""
-
-
-def q_order_rank(spark, sf_dir):
-    """W6 row_number ranking with a total (deterministic) order."""
-    from pyspark.sql.window import Window
-
-    o = _read(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select("o_custkey", "o_orderkey",
-                    F.row_number().over(w).alias("rn"))
-
-
-_SQL_ORDER_RANK = """
-SELECT o_custkey, o_orderkey,
-       CAST(row_number() OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate, o_orderkey) AS INTEGER)
-         AS rn
-FROM orders
 """
 
 
@@ -2223,11 +2157,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessions": q_event_sessions,
     # Folded out of the registry (r4) to fit the driver's 50-entry
     # CORRECTNESS check so every remaining operator gets a checked row:
-    # top_orders / order_rank / event_type_stats / event_windows /
-    # order_priority_check.  Their plan shapes stay covered by
-    # pricing_summary (hash agg), host_top_terms (window rank + top-k),
-    # event_gaps (lag), customers_without_orders (anti join) and the
-    # functions remain tested in tests/ + DEMO_QUERIES below.
+    # the former demo queries.  Three (order_rank, event_type_stats,
+    # order_priority_check) were deleted outright in r5 — their plan
+    # shapes are covered by pricing_summary (hash agg), host_top_terms
+    # (window rank), event_gaps (lag) and customers_without_orders (anti
+    # join).  Two remain below as EXTRA_QUERIES because other surfaces
+    # need them: event_windows (bench headline) and top_orders (the
+    # TakeOrderedAndProject plan gate in tests/test_plans.py); both are
+    # oracle-verified every round by scripts/check_oracles.py.
 }
 
 # every entry frees the previous query's tracked caches on invocation
@@ -2294,22 +2231,17 @@ ORACLES: dict[str, str] = {
     "event_sessions": _SQL_EVENT_SESSIONS,
 }
 
-# Folded registry entries kept runnable (tests + ad-hoc use) without
-# consuming CORRECTNESS rows — see the note on QUERIES above.
-DEMO_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+# Folded registry entries other surfaces still need (bench headline,
+# plan-gate tests) — outside the driver's 50-row CORRECTNESS cap but
+# oracle-verified locally every round via scripts/check_oracles.py.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _with_cache_release(fn) for name, fn in {
-        "order_priority_check": q_order_priority_check,
-        "event_type_stats": q_event_type_stats,
         "event_windows": q_event_windows,
-        "order_rank": q_order_rank,
         "top_orders": q_top_orders,
     }.items()
 }
 
-DEMO_ORACLES: dict[str, str] = {
-    "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
-    "event_type_stats": _SQL_EVENT_TYPE_STATS,
+EXTRA_ORACLES: dict[str, str] = {
     "event_windows": _SQL_EVENT_WINDOWS,
-    "order_rank": _SQL_ORDER_RANK,
     "top_orders": _SQL_TOP_ORDERS,
 }

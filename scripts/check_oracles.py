@@ -70,10 +70,10 @@ def main() -> int:
     # Local gate checks the driver-visible 50-entry registry PLUS the
     # folded demo queries (kept out of queries() to fit the driver's
     # 50-row CORRECTNESS cap but still oracle-verified here).
-    from pdf_ocr_engine_spark.queries import DEMO_ORACLES, DEMO_QUERIES
+    from pdf_ocr_engine_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES
 
-    queries = {**entrymod.queries(), **DEMO_QUERIES}
-    oracles = {**entrymod.oracle_sql(), **DEMO_ORACLES}
+    queries = {**entrymod.queries(), **EXTRA_QUERIES}
+    oracles = {**entrymod.oracle_sql(), **EXTRA_ORACLES}
     unknown = only - set(queries)
     if unknown:
         print(f"FAIL unknown query name(s): {sorted(unknown)}")
