@@ -138,6 +138,64 @@ def build_scanned_pdf(pages: list[dict]) -> bytes:
     return bytes(buf)
 
 
+def _jitter_words(words: list[tuple], page_index: int) -> list[tuple]:
+    """Deterministic per-line ±1-px position jitter (a skewed scanner
+    carriage): every word on one text line shifts by the same (dx, dy) so
+    intra-line word gaps — which the segmenter relies on — are preserved.
+    Derived from crc32 so the fixture is stable across runs/processes."""
+    out = []
+    for text, x0, y0, x1, y1 in words:
+        key = zlib.crc32(f"{page_index}:{round(y0)}".encode())
+        dx = key % 3 - 1
+        dy = (key >> 2) % 3 - 1
+        out.append((text, x0 + dx, y0 + dy, x1 + dx, y1 + dy))
+    return out
+
+
+def _noisify_gray(samples: bytes, w: int, h: int) -> bytes:
+    """Deterministic scanner noise over an 8-bit grayscale page: salt
+    (isolated ink specks on a sparse grid, never adjacent to glyph ink —
+    exactly what despeckling must remove) and pepper (sparse ink pixels
+    flipped to white — what nearest-template correlation must absorb)."""
+    import numpy as np
+
+    page = np.frombuffer(samples, np.uint8).reshape(h, w).copy()
+    ink = page < 128
+    pad = np.pad(ink, 1)
+    nb = sum(pad[dy:dy + h, dx:dx + w].astype(np.int8)
+             for dy in (0, 1, 2) for dx in (0, 1, 2) if (dy, dx) != (1, 1))
+    # salt: 8-px grid, skip cells whose 3x3 neighborhood touches ink so
+    # specks stay isolated (two grid specks are never adjacent either)
+    ys = np.arange(3, h - 3, 8)
+    xs = np.arange(3, w - 3, 8)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    keep = (~ink[yy, xx]) & (nb[yy, xx] == 0)
+    page[yy[keep], xx[keep]] = 0
+    # pepper: deterministic sparse pattern over ink pixels.  The 10x7
+    # grid guarantees AT MOST ONE flip per 5x7 glyph: with one flip the
+    # true template mismatches by 1 while the nearest other template
+    # still mismatches by >= 2 (min pairwise template distance is 3), so
+    # correlation can absorb the damage but never silently misread.
+    py, px = np.where(ink)
+    sel = (py % 10 == 1) & (px % 7 == 3)
+    page[py[sel], px[sel]] = 255
+    return page.tobytes()
+
+
+def _tint_rgb(gray: "object") -> "object":
+    """Grayscale page → tinted color page: dark-blue ink on warm-white
+    paper (a color scan of a printed page).  Luma contrast stays high, so
+    the OCR luma path reads it like the grayscale original."""
+    import numpy as np
+
+    ink = gray < 128
+    rgb = np.empty((*gray.shape, 3), np.uint8)
+    rgb[..., 0] = np.where(ink, 32, 255)
+    rgb[..., 1] = np.where(ink, 32, 247)
+    rgb[..., 2] = np.where(ink, 160, 235)
+    return rgb
+
+
 def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     """Image-only PDF whose page images are *genuine rasters* — 8-bit
     ``/DeviceGray`` samples of the word grid printed with the 5×7 bitmap
@@ -183,11 +241,22 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     predominantly is); ``"gray1"`` embeds raw packed 1-bit rows behind
     plain FlateDecode (simple B/W scans with no image codec at all) —
     so the OCR tier exercises every raster decode path end to end.
+
+    Degraded-scan tiers (the reference's tesseract reads these for free,
+    ``ocr.ts:50-110``; here the robust recognizer must): ``"jpeglossy"``
+    embeds a quality-60 baseline JPEG — decode error is genuinely
+    nonzero, so recognition exercises the adaptive threshold and
+    nearest-template correlation; ``"noisy"`` embeds raw DeviceGray with
+    deterministic salt + pepper noise and per-line ±1-px position
+    jitter.  Color tiers: ``"rgb"`` embeds raw tinted ``/DeviceRGB``
+    samples behind FlateDecode and ``"jpegcolor"`` the same tint as an
+    interleaved 3-component YCbCr JPEG — OCR must go through the
+    ITU-R BT.601 luma path.
     """
     from .rasterfont import render_words_gray
 
-    if codec not in ("flate", "jpeg", "jpegprog", "ccitt", "jbig2",
-                     "jbig2sym", "gray1"):
+    if codec not in ("flate", "jpeg", "jpegprog", "jpeglossy", "jpegcolor",
+                     "ccitt", "jbig2", "jbig2sym", "gray1", "rgb", "noisy"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -203,10 +272,16 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
          f"/MediaBox [0 0 {_fmt(w)} {_fmt(h)}] >>").encode(),
     ]
     for i, page in enumerate(pages):
-        samples = render_words_gray(int(w), int(h), page.get("words") or [])
+        words = page.get("words") or []
+        if codec == "noisy":
+            words = _jitter_words(words, i)
+        samples = render_words_gray(int(w), int(h), words)
+        if codec == "noisy":
+            samples = _noisify_gray(samples, int(w), int(h))
         extra = ""
         bpc = 8
-        if codec in ("jpeg", "jpegprog"):
+        cs = "DeviceGray"
+        if codec in ("jpeg", "jpegprog", "jpeglossy"):
             import numpy as np
 
             from .jpegcodec import (
@@ -217,8 +292,23 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                    else encode_jpeg_gray)
             img = enc(
                 np.frombuffer(samples, dtype=np.uint8)
-                .reshape(int(h), int(w)), quality=100)
+                .reshape(int(h), int(w)),
+                quality=60 if codec == "jpeglossy" else 100)
             filter_name = "DCTDecode"
+        elif codec in ("rgb", "jpegcolor"):
+            import numpy as np
+
+            gray = np.frombuffer(samples, dtype=np.uint8) \
+                .reshape(int(h), int(w))
+            rgb = _tint_rgb(gray)
+            cs = "DeviceRGB"
+            if codec == "rgb":
+                img = zlib.compress(rgb.tobytes())
+                filter_name = "FlateDecode"
+            else:
+                from .jpegcodec import encode_jpeg_rgb
+                img = encode_jpeg_rgb(rgb, quality=100, subsample=False)
+                filter_name = "DCTDecode"
         elif codec in ("jbig2", "jbig2sym"):
             import numpy as np
 
@@ -269,7 +359,7 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                            + b" >>\nstream\n" + part + b"\nendstream")
         objects.append(
             (f"<< /Type /XObject /Subtype /Image /Width {int(w)} "
-             f"/Height {int(h)} /ColorSpace /DeviceGray "
+             f"/Height {int(h)} /ColorSpace /{cs} "
              f"/BitsPerComponent {bpc} "
              f"/Filter /{filter_name}{extra} /Length {len(img)} "
              f">>\nstream\n").encode() + img + b"\nendstream")

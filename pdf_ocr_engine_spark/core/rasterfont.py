@@ -117,6 +117,18 @@ _PATTERN_TO_CHAR: dict[bytes, str] = {
     _trimmed(tpl).tobytes(): ch for ch, tpl in _TEMPLATES.items()
 }
 
+#: stacked templates for nearest-template classification (chars sorted so
+#: argmin tie-breaks are deterministic)
+_CHARS: tuple[str, ...] = tuple(sorted(FONT_5X7))
+_TPL_STACK: np.ndarray = np.stack([_TEMPLATES[ch] for ch in _CHARS])
+
+#: nearest-template acceptance: a candidate whose best template still
+#: mismatches more than this many of the 35 cell pixels is NOT text —
+#: raise rather than guess (min pairwise template distance is 3, so the
+#: cap trades a small confusion risk for noise tolerance; the oracle
+#: validates the trade on the checked corpus)
+_MAX_GLYPH_MISMATCH = 6
+
 # invariants the recognizer's strict checks depend on — import-time proof
 assert len(_PATTERN_TO_CHAR) == len(FONT_5X7), \
     "trimmed glyph patterns must be distinct"
@@ -125,6 +137,122 @@ for _ch, _tpl in _TEMPLATES.items():
     _cols = np.flatnonzero(_tpl.any(axis=0))
     assert (np.diff(_cols) == 1).all(), \
         f"glyph {_ch!r} column profile must be contiguous"
+    # every ink pixel has an inked 8-neighbor, so despeckling (which
+    # removes only fully isolated pixels) can never eat glyph ink
+    _pad = np.pad(_tpl, 1)
+    _nb = (_pad[:-2, :-2] + _pad[:-2, 1:-1] + _pad[:-2, 2:]
+           + _pad[1:-1, :-2] + _pad[1:-1, 2:]
+           + _pad[2:, :-2] + _pad[2:, 1:-1] + _pad[2:, 2:])
+    assert not ((_tpl == 1) & (_nb == 0)).any(), \
+        f"glyph {_ch!r} has an isolated ink pixel"
+
+
+def _adaptive_threshold(page: np.ndarray) -> int:
+    """Deterministic global threshold for full-contrast scan text: the
+    min-max midpoint — ink is ``page <= t``.  Robust where Otsu is not on
+    these pages: ink is a tiny fraction of the pixels, so a
+    variance-balancing split drifts into the background/ringing cluster
+    and floods the projection profiles.  A page without full-contrast ink
+    (min-max spread < 64) returns -1 = no ink anywhere."""
+    lo, hi = int(page.min()), int(page.max())
+    if hi - lo < 64:
+        return -1
+    return (lo + hi) // 2
+
+
+def _despeckle(ink: np.ndarray) -> np.ndarray:
+    """Drop fully isolated ink pixels (salt noise) — glyph ink is never
+    isolated (import-time invariant above), so clean rasters pass through
+    bit-identically."""
+    p = np.pad(ink.astype(np.uint8), 1)
+    nb = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+          + p[1:-1, :-2] + p[1:-1, 2:]
+          + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])
+    return ink & (nb > 0)
+
+
+def _classify_cell(cell: np.ndarray, band_start: int, col0: int,
+                   ) -> tuple[str, int]:
+    """One character cell (band rows x <= GLYPH_W cols of 0/1 ink) → its
+    ``(character, mismatch_count)``.  Exact column-trimmed lookup first
+    (the clean-raster fast path, O(1)); on miss, nearest-template
+    classification: the cell's ink bounding box is slid over every
+    in-cell offset and scored against all templates by pixel mismatch
+    count.  Raises ``ValueError`` when even the best template mismatches
+    more than ``_MAX_GLYPH_MISMATCH`` pixels — unreadable pixels must
+    become ``decode_error`` upstream, not silently wrong text."""
+    if cell.shape[0] == GLYPH_H:
+        ch = _PATTERN_TO_CHAR.get(cell.tobytes())
+        if ch is not None:
+            return ch, 0
+    rows = np.flatnonzero(cell.any(axis=1))
+    cols = np.flatnonzero(cell.any(axis=0))
+    if rows.size == 0:
+        raise ValueError(
+            f"empty character cell at row {band_start}, col {col0}")
+    sub = cell[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+    sh, sw = sub.shape
+    if sh > GLYPH_H or sw > GLYPH_W:
+        raise ValueError(
+            f"glyph ink {sw}x{sh} exceeds the {GLYPH_W}x{GLYPH_H} cell "
+            f"at row {band_start}, col {col0}")
+    best_m = GLYPH_W * GLYPH_H + 1
+    best_ch = None
+    for dy in range(GLYPH_H - sh + 1):
+        for dx in range(GLYPH_W - sw + 1):
+            canvas = np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
+            canvas[dy:dy + sh, dx:dx + sw] = sub
+            mism = (canvas[None, :, :] != _TPL_STACK).sum(axis=(1, 2))
+            i = int(mism.argmin())
+            if int(mism[i]) < best_m:
+                best_m, best_ch = int(mism[i]), _CHARS[i]
+    if best_ch is None or best_m > _MAX_GLYPH_MISMATCH:
+        raise ValueError(
+            f"unrecognized glyph pattern at row {band_start}, col {col0} "
+            f"(best template mismatch {best_m})")
+    return best_ch, best_m
+
+
+def _segment_run(band: np.ndarray, run_start: int, run_end: int,
+                 band_start: int) -> list[str]:
+    """One ink-column run → its characters.  A run no wider than one
+    glyph is a single cell; a wider run means characters bridged by
+    anti-aliasing / lossy decode (nominal 6-px pitch) or printed at a
+    jittered pitch (5 or 7 px).  Each candidate pitch segments the run
+    into centered fixed-pitch cells; the segmentation with the lowest
+    total template mismatch wins (nominal pitch tried first, strict
+    improvement required — deterministic)."""
+    rw = run_end - run_start
+    if rw <= GLYPH_W:
+        ch, _m = _classify_cell(band[:, run_start:run_end].astype(np.uint8),
+                                band_start, run_start)
+        return [ch]
+    best: tuple[int, list[str]] | None = None
+    for pitch in (_CELL_W, _CELL_W - 1, _CELL_W + 1):
+        n = max(1, int(round((rw + 1) / pitch)))
+        span = (n - 1) * pitch + GLYPH_W
+        start = run_start + max(0, (rw - span) // 2)
+        chars: list[str] = []
+        total = 0
+        try:
+            for k in range(n):
+                c0 = max(run_start, start + k * pitch)
+                c1 = min(run_end, start + k * pitch + GLYPH_W)
+                if c0 >= c1:
+                    raise ValueError("empty pitch cell")
+                ch, m = _classify_cell(
+                    band[:, c0:c1].astype(np.uint8), band_start, c0)
+                chars.append(ch)
+                total += m
+        except ValueError:
+            continue
+        if best is None or total < best[0]:
+            best = (total, chars)
+    if best is None:
+        raise ValueError(
+            f"unreadable ink run cols [{run_start}, {run_end}) at row "
+            f"{band_start} under every candidate pitch")
+    return best[1]
 
 
 def render_words_gray(width: int, height: int,
@@ -164,24 +292,32 @@ def render_words_gray(width: int, height: int,
 
 
 def recognize_gray(width: int, height: int, samples: bytes,
-                   ink_threshold: int = 128,
+                   ink_threshold: int | None = None,
                    ) -> list[tuple[str, float, float, float, float]]:
     """OCR over an 8-bit grayscale page: returns ``(text, x0, y0, x1, y1)``
     word boxes (ink extents, top-origin pixel coords) in raster order.
 
-    Algorithm (all numpy-vectorized):
+    Algorithm (hot steps numpy-vectorized):
 
-    1. horizontal ink projection → contiguous 7-row bands = text lines
-       (every glyph inks all 7 rows, so bands are exact);
-    2. per band, vertical ink projection → ink-column runs; every run is
-       one character (glyph column profiles are contiguous).  Runs ≤ 3
-       blank columns apart join into a word, ≥ 4 apart start a new one —
-       the renderer's cell/word-gap geometry guarantees the two ranges
-       never overlap;
-    3. each run is classified by exact column-trimmed template lookup.
+    1. global threshold — Otsu's method by default (``ink_threshold=None``;
+       adapts to anti-aliased / lossy-JPEG grayscale), or a fixed cut when
+       given — then despeckle (drop fully isolated ink = salt noise);
+    2. horizontal ink projection → contiguous row bands = text lines;
+       bands tolerate ±2 px around the 7-row glyph height (lossy decode
+       and pepper noise can shave or smear an edge row);
+    3. per band, vertical ink projection → ink-column runs.  A run no
+       wider than one glyph is one character; a wider run (anti-aliasing
+       bridging the 1-px inter-character gap) is split into centered
+       6-px-pitch cells.  Runs ≤ 3 blank columns apart join into a word,
+       ≥ 4 apart start a new one — the renderer's cell/word-gap geometry
+       guarantees the two ranges never overlap;
+    4. each cell is classified by exact column-trimmed template lookup
+       (clean fast path) with a nearest-template fallback that slides the
+       cell's ink bounding box over in-cell offsets (±1-px jitter) and
+       accepts the best template within ``_MAX_GLYPH_MISMATCH`` pixels.
 
-    Raises ``ValueError`` on malformed geometry or an unrecognized glyph
-    pattern — the upstream contract maps that to ``status='decode_error'``.
+    Raises ``ValueError`` on malformed geometry or an unreadable glyph —
+    the upstream contract maps that to ``status='decode_error'``.
     """
     w, h = int(width), int(height)
     arr = np.frombuffer(samples, dtype=np.uint8)
@@ -189,17 +325,21 @@ def recognize_gray(width: int, height: int, samples: bytes,
         raise ValueError(
             f"gray raster: {arr.size} samples for {w}x{h} page")
     page = arr.reshape(h, w)
-    ink = page < ink_threshold
+    if ink_threshold is None:
+        ink = page <= _adaptive_threshold(page)
+    else:
+        ink = page < ink_threshold
+    ink = _despeckle(ink)
 
     words: list[tuple[str, float, float, float, float]] = []
     row_has_ink = ink.any(axis=1)
     row_idx = np.flatnonzero(np.diff(
         np.concatenate(([False], row_has_ink, [False])).astype(np.int8)))
     for band_start, band_end in zip(row_idx[0::2], row_idx[1::2]):
-        if band_end - band_start != GLYPH_H:
+        if not (GLYPH_H - 2 <= band_end - band_start <= GLYPH_H + 2):
             raise ValueError(
                 f"line band rows [{band_start}, {band_end}) is not "
-                f"{GLYPH_H} px tall — not a 5x7-font raster")
+                f"{GLYPH_H}±2 px tall — not a 5x7-font raster")
         band = ink[band_start:band_end]
         col_has_ink = band.any(axis=0)
         col_idx = np.flatnonzero(np.diff(
@@ -208,25 +348,17 @@ def recognize_gray(width: int, height: int, samples: bytes,
         cur_x0 = cur_x1 = 0
         prev_end: int | None = None
         for run_start, run_end in zip(col_idx[0::2], col_idx[1::2]):
-            if run_end - run_start > GLYPH_W:
-                raise ValueError(
-                    f"ink run cols [{run_start}, {run_end}) wider than a "
-                    f"{GLYPH_W}px glyph — not a 5x7-font raster")
-            cell = band[:, run_start:run_end].astype(np.uint8)
-            ch = _PATTERN_TO_CHAR.get(cell.tobytes())
-            if ch is None:
-                raise ValueError(
-                    f"unrecognized glyph pattern at row {band_start}, "
-                    f"col {run_start}")
+            chars = _segment_run(band, int(run_start), int(run_end),
+                                 int(band_start))
             if prev_end is not None \
                     and run_start - prev_end < _WORD_GAP_MIN:
-                cur_chars.append(ch)
+                cur_chars.extend(chars)
             else:
                 if cur_chars:
                     words.append(("".join(cur_chars), float(cur_x0),
                                   float(band_start), float(cur_x1),
                                   float(band_end)))
-                cur_chars = [ch]
+                cur_chars = chars
                 cur_x0 = int(run_start)
             cur_x1 = int(run_end)
             prev_end = int(run_end)

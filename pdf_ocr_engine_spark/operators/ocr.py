@@ -147,6 +147,20 @@ def deterministic_recognizer():
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         w, h = image.get("width"), image.get("height")
+        if (image.get("colorspace") == "DeviceRGB"
+                and image.get("bpc") == 8
+                and w and h and len(data) == w * h * 3):
+            # color page scan: ITU-R BT.601 integer luma, then the same
+            # grayscale OCR (color carries no extra text information)
+            import numpy as np
+
+            rgb = np.frombuffer(data, np.uint8).reshape(h, w, 3) \
+                .astype(np.uint32)
+            gray = ((77 * rgb[..., 0] + 150 * rgb[..., 1]
+                     + 29 * rgb[..., 2] + 128) >> 8).astype(np.uint8)
+            if inverted:
+                gray = 255 - gray
+            return recognize_gray(w, h, gray.tobytes())
         if (image.get("colorspace") == "DeviceGray"
                 and image.get("bpc") == 8
                 and w and h and len(data) == w * h):

@@ -104,14 +104,20 @@ def _text_to_mixed_payload(text, doc_id):
     scanned image-only PDF with *genuine pixel* rasters in a foreign
     document structure (real OCR segmentation+classification must run),
     split across the raster codecs real scanners emit: baseline JPEG
-    behind DCTDecode (doc_id % 8 == 5), 1-bit Group 4 behind
-    CCITTFaxDecode (doc_id % 16 == 9), 1-bit JBIG2 behind JBIG2Decode —
-    generic-region arrangement at doc_id % 64 == 17, dictionary-coded
-    symbol/text arrangement at doc_id % 64 == 49 — raw packed 1-bit
-    rows behind plain FlateDecode (doc_id % 64 == 33), and raw 8-bit
-    DeviceGray behind FlateDecode (doc_id % 64 == 1) — so the stdlib
-    JPEG, T.6, and T.88 decoders and both raw-sample widths are all in
-    the checked path.  All paginate at REAL_PDF_WORDS_PER_PAGE so one
+    behind DCTDecode (doc_id % 32 == 5), LOSSY quality-60 JPEG
+    (doc_id % 32 == 13 — nonzero decode error, the robust-recognition
+    tier), 3-component color JPEG (doc_id % 32 == 21) and raw tinted
+    DeviceRGB behind FlateDecode (doc_id % 32 == 29) — both through the
+    luma path — 1-bit Group 4 behind CCITTFaxDecode (doc_id % 16 == 9),
+    1-bit JBIG2 behind JBIG2Decode — generic-region arrangement at
+    doc_id % 64 == 17, dictionary-coded symbol/text arrangement at
+    doc_id % 64 == 49 — raw packed 1-bit rows behind plain FlateDecode
+    (doc_id % 64 == 33), raw 8-bit DeviceGray behind FlateDecode
+    (doc_id % 128 == 1), and the same with deterministic salt/pepper
+    noise + per-line ±1-px jitter (doc_id % 128 == 65) — so the stdlib
+    JPEG, T.6, and T.88 decoders, both raw-sample widths, color luma
+    conversion, and the degraded-scan recognition tier are all in the
+    checked path.  All paginate at REAL_PDF_WORDS_PER_PAGE so one
     oracle covers the whole corpus."""
     import pandas as pd
 
@@ -124,11 +130,15 @@ def _text_to_mixed_payload(text, doc_id):
             payload = text_to_real_pdf_payload(
                 t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE)
         elif d % 4 == 1:
-            codec = ("jpeg" if d % 8 == 5
+            codec = ("jpeg" if d % 32 == 5
+                     else "jpeglossy" if d % 32 == 13
+                     else "jpegcolor" if d % 32 == 21
+                     else "rgb" if d % 32 == 29
                      else "ccitt" if d % 16 == 9
                      else "jbig2" if d % 64 == 17
                      else "jbig2sym" if d % 64 == 49
-                     else "gray1" if d % 64 == 33 else "flate")
+                     else "gray1" if d % 64 == 33
+                     else "noisy" if d % 128 == 65 else "flate")
             payload = text_to_pixel_scanned_pdf_payload(
                 t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE,
                 codec=codec)

@@ -561,3 +561,155 @@ class TestInvertedDecodeAllCodecs:
              "decode": (1.0, 0.0), "width": w, "height": h,
              "colorspace": "DeviceGray", "bpc": 8})
         assert [x[0] for x in words] == ["ok"]
+
+
+class TestRobustRecognizer:
+    """Real-scan tolerance in core/rasterfont.recognize_gray: adaptive
+    threshold, despeckle, nearest-template correlation, multi-pitch run
+    segmentation — lossy/noisy rasters recognize exactly; unreadable ones
+    raise (→ decode_error upstream), never silently wrong text."""
+
+    W, H = 200, 60
+    WORDS = [("hello", 10, 5, 44, 13), ("world42", 60, 5, 100, 13),
+             ("quick", 10, 25, 44, 33), ("fox", 10, 45, 28, 53)]
+
+    @classmethod
+    def _page(cls):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+
+        return np.frombuffer(
+            render_words_gray(cls.W, cls.H, cls.WORDS),
+            np.uint8).reshape(cls.H, cls.W)
+
+    def _texts(self, gray):
+        from pdf_ocr_engine_spark.core.rasterfont import recognize_gray
+
+        return [t for t, *_ in
+                self._rec(gray)]
+
+    def _rec(self, gray):
+        from pdf_ocr_engine_spark.core.rasterfont import recognize_gray
+
+        return recognize_gray(self.W, self.H,
+                              gray.astype("uint8").tobytes())
+
+    def _want(self):
+        return [w[0] for w in self.WORDS]
+
+    def test_lossy_jpeg_roundtrip_recognizes_exactly(self):
+        from pdf_ocr_engine_spark.core.jpegcodec import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        g = self._page()
+        for q in (85, 60, 40):
+            dec = decode_jpeg_gray(encode_jpeg_gray(g, quality=q))
+            assert (dec != g).any(), "lossy decode error must be nonzero"
+            assert self._texts(dec) == self._want(), f"quality {q}"
+
+    def test_salt_noise_despeckled(self):
+        import numpy as np
+
+        g = self._page().copy()
+        ink = g < 128
+        p = np.pad(ink, 1)
+        nb = sum(p[dy:dy + self.H, dx:dx + self.W].astype(int)
+                 for dy in (0, 1, 2) for dx in (0, 1, 2)
+                 if (dy, dx) != (1, 1))
+        # isolated specks on a 4-px grid, never adjacent to glyph ink
+        n = 0
+        for y in range(2, self.H - 2, 4):
+            for x in range(2, self.W - 2, 4):
+                if not ink[y, x] and nb[y, x] == 0:
+                    g[y, x] = 0
+                    n += 1
+        assert n > 30
+        assert self._texts(g) == self._want()
+
+    def test_pepper_noise_absorbed_by_correlation(self):
+        import numpy as np
+
+        g = self._page().copy()
+        ys, xs = np.where(g == 0)
+        flips = [(y, x) for y, x in zip(ys, xs)
+                 if y % 10 == 1 and x % 7 == 3]
+        assert flips
+        for y, x in flips:
+            g[y, x] = 255
+        assert self._texts(g) == self._want()
+
+    def test_mild_antialiasing_recognizes(self):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        g = self._page()
+        k = np.array([[0, 2, 0], [2, 8, 2], [0, 2, 0]]) / 16.0
+        pad = np.pad(g, 1, mode="edge").astype(float)
+        aa = (sliding_window_view(pad, (3, 3)) * k).sum(axis=(2, 3))
+        assert ((aa > 0) & (aa < 255)).any(), "blur must produce midtones"
+        assert self._texts(aa) == self._want()
+
+    def test_pitch_jitter_both_directions(self):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.rasterfont import (
+            GLYPH_H,
+            GLYPH_W,
+            _TEMPLATES,
+        )
+
+        for pitch in (5, 7):
+            g = np.full((self.H, self.W), 255, np.uint8)
+            for word, x0 in (("hello", 10), ("fox", 80)):
+                cx, cy = x0, 7
+                for ch in word:
+                    tpl = _TEMPLATES[ch]
+                    region = g[cy:cy + GLYPH_H, cx:cx + GLYPH_W]
+                    region[tpl == 1] = 0
+                    cx += pitch
+            assert self._texts(g) == ["hello", "fox"], f"pitch {pitch}"
+
+    def test_heavy_blur_raises_not_garbage(self):
+        import numpy as np
+        import pytest
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        g = self._page()
+        k = np.ones((3, 3)) / 9.0  # full box blur destroys 1-px strokes
+        pad = np.pad(g, 1, mode="edge").astype(float)
+        blur = (sliding_window_view(pad, (3, 3)) * k).sum(axis=(2, 3))
+        with pytest.raises(ValueError):
+            self._rec(blur)
+
+    def test_random_noise_page_raises(self):
+        import numpy as np
+        import pytest
+
+        rnd = (np.random.default_rng(3).random((self.H, self.W))
+               * 255).astype(np.uint8)
+        with pytest.raises(ValueError):
+            self._rec(rnd)
+
+    def test_clean_output_byte_identical_to_strict_path(self):
+        # the robust recognizer must reproduce the strict recognizer's
+        # words AND boxes exactly on clean rasters (byte-identity oracle)
+        from pdf_ocr_engine_spark.core.rasterfont import recognize_gray
+
+        g = self._page()
+        robust = recognize_gray(self.W, self.H, g.tobytes())
+        strict = recognize_gray(self.W, self.H, g.tobytes(),
+                                ink_threshold=128)
+        assert robust == strict
+        assert [t for t, *_ in robust] == self._want()
+
+    def test_low_contrast_page_has_no_ink(self):
+        import numpy as np
+
+        # uniform page and faint-texture page: no full-contrast ink
+        flat = np.full((self.H, self.W), 255, np.uint8)
+        assert self._rec(flat) == []
+        faint = flat - (np.arange(self.W, dtype=np.uint8) % 32)[None, :]
+        assert self._rec(faint) == []
