@@ -159,11 +159,11 @@ def _noisify_gray(samples: bytes, w: int, h: int) -> bytes:
     flipped to white — what nearest-template correlation must absorb)."""
     import numpy as np
 
+    from .rasterfont import GLYPH_H, _neighbor_count
+
     page = np.frombuffer(samples, np.uint8).reshape(h, w).copy()
     ink = page < 128
-    pad = np.pad(ink, 1)
-    nb = sum(pad[dy:dy + h, dx:dx + w].astype(np.int8)
-             for dy in (0, 1, 2) for dx in (0, 1, 2) if (dy, dx) != (1, 1))
+    nb = _neighbor_count(ink)
     # salt: 8-px grid, skip cells whose 3x3 neighborhood touches ink so
     # specks stay isolated (two grid specks are never adjacent either)
     ys = np.arange(3, h - 3, 8)
@@ -176,9 +176,27 @@ def _noisify_gray(samples: bytes, w: int, h: int) -> bytes:
     # true template mismatches by 1 while the nearest other template
     # still mismatches by >= 2 (min pairwise template distance is 3), so
     # correlation can absorb the damage but never silently misread.
+    # Flips must also preserve the SEGMENTATION structure the recognizer
+    # reads before correlation ever runs: skip a flip that would empty
+    # its glyph column (narrowing an ink run widens a word gap) or
+    # isolate a neighboring ink pixel (despeckle would then remove that
+    # neighbor too — a two-pixel cascade that can split a word).
     py, px = np.where(ink)
-    sel = (py % 10 == 1) & (px % 7 == 3)
-    page[py[sel], px[sel]] = 255
+    grid = (py % 10 == 1) & (px % 7 == 3)
+    for y, x in zip(py[grid], px[grid]):
+        lo = max(0, y - GLYPH_H + 1)
+        hi = min(h, y + GLYPH_H)
+        if int(ink[lo:hi, x].sum()) < 2:
+            continue  # only ink in its glyph column — keep the run width
+        cascade = any(
+            ink[yy2, xx2] and int(nb[yy2, xx2]) - 1 < 1
+            for yy2 in range(max(0, y - 1), min(h, y + 2))
+            for xx2 in range(max(0, x - 1), min(w, x + 2))
+            if (yy2, xx2) != (y, x))
+        if not cascade:
+            # flips are >= 7 cols / >= 10 rows apart, so checks against
+            # the ORIGINAL ink/nb stay valid for every later flip
+            page[y, x] = 255
     return page.tobytes()
 
 

@@ -129,6 +129,17 @@ _TPL_STACK: np.ndarray = np.stack([_TEMPLATES[ch] for ch in _CHARS])
 #: validates the trade on the checked corpus)
 _MAX_GLYPH_MISMATCH = 6
 
+def _neighbor_count(ink: np.ndarray) -> np.ndarray:
+    """8-neighbor ink count per pixel (shared by despeckling, the
+    import-time glyph invariant, and the noise fixture's isolation rule —
+    one implementation so the matched pair can never drift)."""
+    h, w = ink.shape
+    p = np.pad(ink.astype(np.uint8), 1)
+    return sum(p[dy:dy + h, dx:dx + w].astype(np.int16)
+               for dy in (0, 1, 2) for dx in (0, 1, 2)
+               if (dy, dx) != (1, 1))
+
+
 # invariants the recognizer's strict checks depend on — import-time proof
 assert len(_PATTERN_TO_CHAR) == len(FONT_5X7), \
     "trimmed glyph patterns must be distinct"
@@ -139,24 +150,23 @@ for _ch, _tpl in _TEMPLATES.items():
         f"glyph {_ch!r} column profile must be contiguous"
     # every ink pixel has an inked 8-neighbor, so despeckling (which
     # removes only fully isolated pixels) can never eat glyph ink
-    _pad = np.pad(_tpl, 1)
-    _nb = (_pad[:-2, :-2] + _pad[:-2, 1:-1] + _pad[:-2, 2:]
-           + _pad[1:-1, :-2] + _pad[1:-1, 2:]
-           + _pad[2:, :-2] + _pad[2:, 1:-1] + _pad[2:, 2:])
-    assert not ((_tpl == 1) & (_nb == 0)).any(), \
+    assert not ((_tpl == 1) & (_neighbor_count(_tpl == 1) == 0)).any(), \
         f"glyph {_ch!r} has an isolated ink pixel"
 
 
 def _adaptive_threshold(page: np.ndarray) -> int:
-    """Deterministic global threshold for full-contrast scan text: the
-    min-max midpoint — ink is ``page <= t``.  Robust where Otsu is not on
-    these pages: ink is a tiny fraction of the pixels, so a
-    variance-balancing split drifts into the background/ringing cluster
-    and floods the projection profiles.  A page without full-contrast ink
-    (min-max spread < 64) returns -1 = no ink anywhere."""
+    """Deterministic global threshold — ink is ``page <= t``.  High
+    min-max spread (>= 64, a confidently bimodal scan) uses the midpoint,
+    which is robust where Otsu is not on these pages: ink is a tiny
+    fraction of the pixels, so a variance-balancing split drifts into
+    the background/ringing cluster and floods the projection profiles.
+    Low spread falls back to the fixed 127 cut (the historical default):
+    an all-bright page stays inkless, an all-dark failed scan stays
+    all-ink (→ the caller's geometry checks raise → decode_error), and
+    faint-but-straddling ink is still read rather than silently dropped."""
     lo, hi = int(page.min()), int(page.max())
     if hi - lo < 64:
-        return -1
+        return 127
     return (lo + hi) // 2
 
 
@@ -164,11 +174,7 @@ def _despeckle(ink: np.ndarray) -> np.ndarray:
     """Drop fully isolated ink pixels (salt noise) — glyph ink is never
     isolated (import-time invariant above), so clean rasters pass through
     bit-identically."""
-    p = np.pad(ink.astype(np.uint8), 1)
-    nb = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-          + p[1:-1, :-2] + p[1:-1, 2:]
-          + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])
-    return ink & (nb > 0)
+    return ink & (_neighbor_count(ink) > 0)
 
 
 def _classify_cell(cell: np.ndarray, band_start: int, col0: int,
@@ -299,8 +305,9 @@ def recognize_gray(width: int, height: int, samples: bytes,
 
     Algorithm (hot steps numpy-vectorized):
 
-    1. global threshold — Otsu's method by default (``ink_threshold=None``;
-       adapts to anti-aliased / lossy-JPEG grayscale), or a fixed cut when
+    1. global threshold — min-max midpoint by default (``ink_threshold=
+       None``; adapts to anti-aliased / lossy-JPEG grayscale, falls back
+       to the fixed 127 cut on low-spread pages), or a fixed cut when
        given — then despeckle (drop fully isolated ink = salt noise);
     2. horizontal ink projection → contiguous row bands = text lines;
        bands tolerate ±2 px around the 7-row glyph height (lossy decode

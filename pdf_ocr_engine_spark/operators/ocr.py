@@ -47,6 +47,20 @@ __all__ = [
 ]
 
 
+def _decode_inverts(dec) -> bool:
+    """True iff a /Decode array remaps every component to the inverted
+    range: [1 0] for one component, [1 0 1 0 1 0] for RGB (ISO 32000
+    8.9.5.2 — one [Dmin Dmax] pair per component)."""
+    if not dec:
+        return False
+    try:
+        vals = tuple(float(v) for v in dec)
+    except (TypeError, ValueError):
+        return False
+    return (len(vals) >= 2 and len(vals) % 2 == 0
+            and vals == (1.0, 0.0) * (len(vals) // 2))
+
+
 def deterministic_recognizer():
     """Factory → the sandbox's deterministic recognizer.  Same signature a
     real model adapter implements: ``image dict → [(text, x0, y0, x1,
@@ -93,10 +107,10 @@ def deterministic_recognizer():
         if data[:8] == RASTER_MAGIC:
             _w, _h, words = decode_page_raster(data)
             return words
-        # /Decode [1 0] remaps samples to the inverted range (inverted
-        # B/W scans carry it); default [0 1] is identity.  Computed up
-        # front so EVERY codec branch honours it, not just raw rasters.
-        inverted = image.get("decode") in ((1.0, 0.0), (1, 0))
+        # /Decode [1 0] (per component) remaps samples to the inverted
+        # range (inverted B/W scans carry it); default is identity.
+        # Computed up front so EVERY codec branch honours it.
+        inverted = _decode_inverts(image.get("decode"))
         if image.get("filter") == "DCTDecode" or data[:2] == b"\xFF\xD8":
             try:
                 gray = decode_jpeg_gray(data)

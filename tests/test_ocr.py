@@ -713,3 +713,106 @@ class TestRobustRecognizer:
         assert self._rec(flat) == []
         faint = flat - (np.arange(self.W, dtype=np.uint8) % 32)[None, :]
         assert self._rec(faint) == []
+
+
+class TestPixelCodecEndToEnd:
+    """Every build_pixel_scanned_pdf codec must extract byte-identical
+    text through extract_document — including the degraded tiers added
+    for robust recognition (review finding: the new codecs had no
+    end-to-end pytest coverage)."""
+
+    TEXT = ("the quick brown fox jumps over lazy dog lorem ipsum dolor "
+            "sit amet consectetur adipiscing elit sed do eiusmod tempor")
+
+    def test_all_codecs_extract_identical_text(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_pixel_scanned_pdf_payload,
+        )
+
+        rec = deterministic_recognizer()
+        baseline = None
+        for codec in ("flate", "jpeg", "jpegprog", "jpeglossy",
+                      "jpegcolor", "rgb", "noisy", "ccitt", "jbig2",
+                      "jbig2sym", "gray1"):
+            pdf = text_to_pixel_scanned_pdf_payload(self.TEXT, codec=codec)
+            r = extract_document(pdf, "eng", recognizer=rec)
+            assert r["status"] == "ok", (codec, r.get("error"))
+            assert r["text"].split() == self.TEXT.split(), codec
+            if baseline is None:
+                baseline = r["text"]
+            elif codec != "noisy":
+                # jitter may legally move line boundaries by a pixel;
+                # every other codec must byte-match the flate extraction
+                assert r["text"] == baseline, codec
+
+    def test_noise_pipeline_never_splits_or_misreads(self):
+        # gap-sensitive narrow glyphs at EVERY pepper-grid x-phase and at
+        # line y-positions that put glyph top rows on the pepper rows —
+        # the exact geometry where a flip+despeckle cascade once split a
+        # word ("ti" -> "t i")
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.pdfscan import _noisify_gray
+        from pdf_ocr_engine_spark.core.rasterfont import (
+            recognize_gray,
+            render_words_gray,
+        )
+
+        w, h = 360, 140
+        tokens = ["ti", "t1", "it", "i1", "tt", "11"]
+        words, want = [], []
+        for row, y0 in enumerate(range(3, 120, 11)):
+            phase = row % 7
+            x = 8 + phase
+            for tok in tokens:
+                words.append((tok, x, y0, x + 11, y0 + 8))
+                want.append(tok)
+                x += 2 * 6 + 10
+        g = render_words_gray(w, h, words)
+        noisy = _noisify_gray(g, w, h)
+        assert noisy != g, "noise must actually flip pixels"
+        got = [t for t, *_ in recognize_gray(w, h, noisy)]
+        assert got == want
+
+    def test_rgb_decode_array_inverts_end_to_end(self):
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.pdfscan import _tint_rgb
+        from pdf_ocr_engine_spark.core.rasterfont import render_words_gray
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        w, h = 64, 20
+        gray = np.frombuffer(
+            render_words_gray(w, h, [("ok", 10, 5, 22, 13)]),
+            np.uint8).reshape(h, w)
+        rgb = 255 - _tint_rgb(gray)  # inverted color scan
+        words = deterministic_recognizer()(
+            {"data": rgb.tobytes(), "filter": None, "decode_parms": None,
+             "decode": (1.0, 0.0, 1.0, 0.0, 1.0, 0.0),
+             "width": w, "height": h,
+             "colorspace": "DeviceRGB", "bpc": 8})
+        assert [x[0] for x in words] == ["ok"]
+
+    def test_low_contrast_ink_still_read(self):
+        # review finding: spread < 64 must fall back to the fixed cut,
+        # not declare the page blank
+        import numpy as np
+
+        from pdf_ocr_engine_spark.core.rasterfont import (
+            recognize_gray,
+            render_words_gray,
+        )
+
+        w, h = 64, 20
+        g = np.frombuffer(
+            render_words_gray(w, h, [("ok", 10, 5, 22, 13)]),
+            np.uint8).reshape(h, w).copy()
+        faint = np.where(g < 128, 100, 140).astype(np.uint8)  # spread 40
+        got = [t for t, *_ in recognize_gray(w, h, faint.tobytes())]
+        assert got == ["ok"]
