@@ -818,19 +818,53 @@ def _simple_encoding_map(doc: _Doc, enc: Any,
         # Standard approximates — the same default pdf.js applies
         table = dict(STANDARD) if isinstance(diffs, list) else None
     if isinstance(diffs, list) and table is not None:
-        code = 0
-        for item in diffs:
-            item = doc.resolve(item)
-            if isinstance(item, (int, float)):
-                code = int(item)
-            elif isinstance(item, _Name):
-                u = glyph_to_unicode(str(item))
-                if u is None:
-                    counters["encoding_fallback"] += 1
-                    u = "�"
-                table[code] = u
-                code += 1
+        _apply_differences(doc, diffs, table, counters)
     return table
+
+
+def _apply_differences(doc: _Doc, diffs: list, table: dict[int, str],
+                       counters: dict[str, int]) -> None:
+    """Apply an /Encoding /Differences array onto ``table`` in place
+    (glyph names through the AGL subset; unresolvable names counted)."""
+    code = 0
+    for item in diffs:
+        item = doc.resolve(item)
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, _Name):
+            u = glyph_to_unicode(str(item))
+            if u is None:
+                counters["encoding_fallback"] += 1
+                u = "�"
+            table[code] = u
+            code += 1
+
+
+def _truetype_recovery(doc: _Doc, descr: Any,
+                       ) -> tuple[dict[int, str] | None,
+                                  dict[int, int] | None]:
+    """Embedded TrueType program (``/FontFile2``) → ``(gid→unicode,
+    code→gid)`` recovered from its ``cmap``/``post`` tables, or
+    ``(None, None)`` when absent/unreadable.  This is the tier the
+    reference gets from pdf.js for subsetted fonts with no /ToUnicode
+    (``extractor.ts:62-103``); spec: ISO/IEC 14496-22 (sfnt), ISO 32000
+    9.6.6.4 (symbolic TrueType code lookup)."""
+    if not isinstance(descr, dict):
+        return None, None
+    ff = doc.resolve(descr.get("FontFile2"))
+    if not isinstance(ff, _Stream):
+        return None, None
+    from .sfnt import SfntError, best_unicode_cmap, gid_to_unicode, \
+        parse_tables
+
+    try:
+        font = ff.decoded(doc)
+        g2u = gid_to_unicode(font)
+        cmap = parse_tables(font).get("cmap")
+        c2g = best_unicode_cmap(cmap) if cmap is not None else None
+        return (g2u or None), (c2g or None)
+    except (SfntError, ValueError):
+        return None, None
 
 
 def _load_font(doc: _Doc, font_obj: Any,
@@ -865,6 +899,33 @@ def _load_font(doc: _Doc, font_obj: Any,
         if isinstance(desc, list) and desc:
             d0 = doc.resolve(desc[0])
             if isinstance(d0, dict):
+                if (f.to_unicode is None
+                        and cmap_name in ("Identity-H", "Identity-V")):
+                    # subsetted CIDFontType2 without ToUnicode: recover
+                    # CID→Unicode through the embedded font program's
+                    # cmap/post tables (code → CID → gid → Unicode)
+                    descr0 = doc.resolve(d0.get("FontDescriptor"))
+                    g2u, _c2g = _truetype_recovery(doc, descr0)
+                    if g2u:
+                        c2gid = doc.resolve(d0.get("CIDToGIDMap"))
+                        if isinstance(c2gid, _Stream):
+                            try:
+                                raw = c2gid.decoded(doc)
+                            except ValueError:
+                                raw = b""
+                            f.encoding_map = {
+                                cid: g2u[gid]
+                                for cid in range(len(raw) // 2)
+                                if (gid := (raw[2 * cid] << 8)
+                                    | raw[2 * cid + 1]) in g2u}
+                        else:
+                            # /Identity (name or absent): CID == gid
+                            f.encoding_map = dict(g2u)
+                    else:
+                        # no recovery possible (font program absent or
+                        # uninformative) — text comes back as raw CIDs;
+                        # count the quality loss in lineage
+                        counters["encoding_fallback"] += 1
                 f.default_w = float(doc.resolve(d0.get("DW", 1000)) or 1000)
                 w_arr = doc.resolve(d0.get("W"))
                 if isinstance(w_arr, list):
@@ -914,6 +975,36 @@ def _load_font(doc: _Doc, font_obj: Any,
             except (TypeError, ValueError):
                 pass
     descr = doc.resolve(fd.get("FontDescriptor"))
+    if subtype == "TrueType" and f.to_unicode is None:
+        # symbolic/subsetted simple TrueType (print-driver PDFs): the
+        # content byte resolves through the font's own cmap — (3,0)
+        # Symbol wraps it as 0xF000+byte — to a gid, whose meaning only
+        # the Unicode cmap or post names record (ISO 32000 9.6.6.4).
+        g2u, c2g = _truetype_recovery(doc, descr)
+        if g2u and c2g:
+            rec = {code: g2u[gid] for code, gid in c2g.items()
+                   if 0 <= code < 256 and gid in g2u}
+            if rec:
+                flags = descr.get("Flags") if isinstance(descr, dict) \
+                    else None
+                symbolic = isinstance(flags, (int, float)) \
+                    and int(flags) & 4
+                if f.encoding_map is None or symbolic:
+                    # a symbolic font's base encoding IS its built-in
+                    # cmap; explicit /Differences still override it
+                    table = dict(rec)
+                    enc = doc.resolve(fd.get("Encoding"))
+                    if isinstance(enc, dict):
+                        diffs = doc.resolve(enc.get("Differences"))
+                        if isinstance(diffs, list):
+                            _apply_differences(doc, diffs, table,
+                                               counters)
+                    f.encoding_map = table
+                else:
+                    # nonsymbolic: the named encoding stays authoritative
+                    # and recovery fills its holes
+                    for c, u in rec.items():
+                        f.encoding_map.setdefault(c, u)
     if isinstance(descr, dict) and "MissingWidth" in descr:
         try:
             # MissingWidth lives in the same glyph space as /Widths — the

@@ -98,6 +98,28 @@ def text_to_real_pdf_payload(text: str,
     return build_searchable_pdf(pages)
 
 
+def text_to_truetype_pdf_payload(text: str,
+                                 words_per_line: int = WORDS_PER_LINE,
+                                 words_per_page: int | None = None,
+                                 variant: str = "cid") -> bytes:
+    """Genuine PDF whose text layer uses a subsetted EMBEDDED TRUETYPE
+    with NO /ToUnicode and deliberately scrambled codes — extraction must
+    recover glyph meaning from the font program's cmap/post tables
+    (``core/sfnt`` + ``core/pdfreal._truetype_recovery``; the reference
+    gets this from pdf.js, ``extractor.ts:62-103``).  Paginated exactly
+    like :func:`text_to_real_pdf_payload` so both share one oracle."""
+    from ..core.pdfwrite import build_truetype_pdf
+
+    tokens = text.split()
+    per_page = words_per_page or max(len(tokens), 1)
+    pages = [
+        {"width": 612.0, "height": 792.0,
+         "spans": layout_words(tokens[i:i + per_page], words_per_line)}
+        for i in range(0, len(tokens), per_page)
+    ] or [{"width": 612.0, "height": 792.0, "spans": []}]
+    return build_truetype_pdf(pages, variant=variant)
+
+
 def text_to_scanned_pdf_payload(text: str,
                                 words_per_line: int = WORDS_PER_LINE,
                                 words_per_page: int | None = None) -> bytes:

@@ -55,6 +55,35 @@ def _text_to_real_payload(text):
                                            REAL_PDF_WORDS_PER_PAGE))
 
 
+@F.pandas_udf(BinaryType())
+def _text_to_real_routed_payload(text, doc_id):
+    """Real-PDF corpus with EMBEDDED-FONT slices: doc_id % 8 == 3 →
+    Type0/Identity-H CIDFontType2 with FontFile2 and no ToUnicode (CIDs
+    are dense gids); doc_id % 8 == 7 → symbolic simple TrueType (scrambled
+    byte codes, (3,0) cmap + post names); everything else the plain
+    Helvetica writer.  All three paginate identically, so the one
+    token-stream oracle covers the recovery tier too — and the scrambled
+    codes mean a byte fallback provably cannot pass."""
+    import pandas as pd
+
+    from .fixtures import text_to_truetype_pdf_payload
+
+    out = []
+    for t, d in zip(text, doc_id):
+        d = int(d)
+        if d % 8 == 3:
+            out.append(text_to_truetype_pdf_payload(
+                t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE, "cid"))
+        elif d % 8 == 7:
+            out.append(text_to_truetype_pdf_payload(
+                t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE,
+                "symbolic"))
+        else:
+            out.append(text_to_real_pdf_payload(
+                t or "", WORDS_PER_LINE, REAL_PDF_WORDS_PER_PAGE))
+    return pd.Series(out)
+
+
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -202,13 +231,17 @@ def mixed_scan_pages_from_documents(spark: SparkSession,
 
 def real_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Like :func:`pages_from_documents` but the payloads are *genuine*
-    PDF 1.4 bytes (content streams, xref, Helvetica text layer) instead of
-    WBOX containers — the input for the real-parser round-trip query."""
+    PDF 1.4 bytes (content streams, xref, text layer) instead of WBOX
+    containers — the input for the real-parser round-trip query.  One in
+    four documents embeds a subsetted TrueType with no ToUnicode (see
+    ``_text_to_real_routed_payload``), so glyph-id recovery sits in the
+    checked path."""
     return documents(spark, sf_dir).select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
-        _text_to_real_payload(F.col("text")).alias("html"),
+        _text_to_real_routed_payload(F.col("text"),
+                                     F.col("doc_id")).alias("html"),
         F.lit("").alias("text"),
         lang3_col().alias("lang"),
         F.col("doc_id"),
