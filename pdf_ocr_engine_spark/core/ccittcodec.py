@@ -12,8 +12,14 @@ tables, and the stream ends with EOFB (two EOLs).
 Scope — what PDF producers actually emit for ``/CCITTFaxDecode``:
 
 * ``K < 0`` (pure G4/MMR, the overwhelmingly common case) — decoded
-  here.  ``K >= 0`` (G3 1-D / mixed) raises :class:`CcittUnsupported`,
-  which callers surface as undecodable data.
+  here.
+* ``K = 0`` (G3 1-D, T.4 §4.1 modified Huffman) and ``K > 0`` (G3
+  mixed, T.4 §4.2: EOL + 1-bit tag selects 1-D or 2-D per line) —
+  decoded by :func:`decode_g3`: old fax-origin PDFs and TIFF-G3
+  conversions.  EOLs (11+ zeros then 1, with optional fill) are
+  accepted anywhere a line may start and are OPTIONAL for ``K = 0``
+  (the PDF ``/EndOfLine false`` default); for ``K > 0`` each line's
+  tag bit follows its EOL when present, else leads the line.
 * ``/Columns`` / ``/Rows`` from DecodeParms (defaulting to the image
   XObject's declared width/height), ``/EncodedByteAlign``.
 * ``/BlackIs1`` changes only how decoded *bits* would be materialized;
@@ -36,7 +42,9 @@ import numpy as np
 __all__ = [
     "CcittError",
     "CcittUnsupported",
+    "decode_g3",
     "decode_g4",
+    "encode_g3",
     "encode_g4",
 ]
 
@@ -316,6 +324,196 @@ def _read_run(look: list[int], nbits: int, bitpos: int,
 
 
 # --------------------------------------------------------------------------
+# G3 (T.4) decoder — K = 0 pure 1-D, K > 0 mixed 1-D/2-D
+# --------------------------------------------------------------------------
+
+
+def _bit(look: list[int], p: int) -> int:
+    return (look[p >> 3] >> (31 - (p & 7))) & 1
+
+
+def _line_transitions(line: np.ndarray) -> list[int]:
+    """Changing-element columns of a decoded line (0=black 255=white) —
+    the reference-line shape the 2-D modes consume."""
+    black = line == 0
+    trans = np.concatenate([black[:1], black[1:] != black[:-1]])
+    return np.flatnonzero(trans).tolist()
+
+
+def _decode_1d_line(look: list[int], nbits: int, bitpos: int,
+                    w: int) -> tuple[np.ndarray, int]:
+    """One T.4 1-D (modified Huffman) coding line → (pixels, bitpos).
+    Runs alternate starting white (a zero-length first white run codes a
+    line that starts black); the run total must land exactly on the line
+    width."""
+    line = np.full(w, 255, np.uint8)
+    pos = 0
+    color = 0
+    n_runs = 0
+    while pos < w:
+        run, bitpos = _read_run(look, nbits, bitpos, color)
+        if pos + run > w:
+            raise CcittError("1-D run past line end")
+        if color:
+            line[pos:pos + run] = 0
+        pos += run
+        color ^= 1
+        n_runs += 1
+        if n_runs > 2 * w + 4:
+            raise CcittError("runaway zero-length 1-D runs")
+    return line, bitpos
+
+
+def _decode_2d_line(look: list[int], nbits: int, bitpos: int,
+                    ref: list[int], w: int,
+                    ) -> tuple[np.ndarray, list[int], int]:
+    """One 2-D coding line against ``ref`` → (pixels, transitions,
+    bitpos).  Same mode semantics as the G4 inner loop; an EOL prefix
+    mid-line is malformed here (G3 callers consume EOLs up front)."""
+    line = np.full(w, 255, np.uint8)
+    cur: list[int] = []
+    a0 = -1
+    color = 0
+    ptr = 0
+    while a0 < w:
+        v7 = (look[bitpos >> 3] >> (25 - (bitpos & 7))) & 0x7F
+        e = _MODE_LUT[v7]
+        mode = e & 15
+        if mode == _M_EXT:
+            raise CcittError(
+                "invalid 2-D mode code" if bitpos + 7 <= nbits
+                else "truncated G3 data")
+        bitpos += e >> 4
+        while ptr < len(ref) and ref[ptr] <= a0:
+            ptr += 1
+        bi = ptr if (ptr & 1) == color else ptr + 1
+        b1 = ref[bi] if bi < len(ref) else w
+        if mode == _M_PASS:
+            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
+            start = a0 if a0 > 0 else 0
+            if color:
+                line[start:b2] = 0
+            a0 = b2
+        elif mode == _M_HORIZ:
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(look, nbits, bitpos, color)
+            bitpos = r1[1]
+            r2 = _read_run(look, nbits, bitpos, color ^ 1)
+            bitpos = r2[1]
+            a1 = start + r1[0]
+            a2 = a1 + r2[0]
+            if a2 > w:
+                raise CcittError("horizontal run past line end")
+            if color:
+                line[start:a1] = 0
+            else:
+                line[a1:a2] = 0
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:
+            a1 = b1 + _VERT_DELTA[mode]
+            start = a0 if a0 > 0 else 0
+            if a1 < start or a1 > w or (a0 >= 0 and a1 == a0):
+                raise CcittError("vertical mode outside line")
+            if color:
+                line[start:a1] = 0
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        if bitpos > nbits:
+            raise CcittError("truncated G3 data")
+    return line, cur, bitpos
+
+
+#: fill-run sanity bound: T.4 fill pads to a byte/line boundary, so
+#: anything past a few kilobits of zeros is a corrupt stream, not fill
+_MAX_FILL_BITS = 4096
+
+
+def _g3_line_prefix(look: list[int], nbits: int, bitpos: int, k: int,
+                    ) -> tuple[int, bool | None]:
+    """Consume fill + EOL(s) (+ the K>0 tag bit) at a line start →
+    ``(bitpos, is_1d)``; ``is_1d`` None = clean end of data (RTC /
+    trailing pad / exhausted)."""
+    eols = 0
+    while bitpos < nbits:
+        zp = bitpos
+        cap = bitpos + _MAX_FILL_BITS
+        while zp < nbits and zp < cap and not _bit(look, zp):
+            zp += 1
+        if zp >= nbits:
+            return nbits, None        # only pad zeros remain
+        if zp >= cap:
+            raise CcittError("runaway fill before EOL")
+        if zp - bitpos >= 11:
+            bitpos = zp + 1           # one EOL consumed
+            eols += 1
+            if eols >= 2:
+                return nbits, None    # RTC / end-of-data
+            if k > 0:
+                if bitpos >= nbits:
+                    return nbits, None
+                tag = _bit(look, bitpos)
+                bitpos += 1
+                # EOL right behind the tag = the RTC pattern (EOL+1)*6
+                zp2 = bitpos
+                while zp2 < nbits and zp2 - bitpos < 12 \
+                        and not _bit(look, zp2):
+                    zp2 += 1
+                if zp2 - bitpos >= 11 or zp2 >= nbits:
+                    continue          # count it in the next iteration
+                return bitpos, tag == 1
+            continue                  # K=0: EOL consumed, rescan
+        # no EOL: codeword data starts here
+        if k > 0 and eols == 0:
+            # /EndOfLine false mixed stream: the tag bit leads the line
+            tag = _bit(look, bitpos)
+            return bitpos + 1, tag == 1
+        return bitpos, True
+    return nbits, None
+
+
+def decode_g3(data: bytes, columns: int, rows: int | None = None,
+              k: int = 0, encoded_byte_align: bool = False) -> np.ndarray:
+    """G3 (T.4) bytes → ``uint8 ndarray (rows, columns)``, 0 = black,
+    255 = white.  ``k = 0`` decodes pure 1-D modified-Huffman lines
+    (EOLs optional); ``k > 0`` decodes the mixed arrangement where each
+    line's 1-bit tag — after its EOL when present, else leading the
+    line — selects 1-D or 2-D coding against the previous line.  Raises
+    :class:`CcittError` on malformed streams."""
+    if columns <= 0:
+        raise CcittError(f"bad column count {columns}")
+    if k < 0:
+        raise CcittError("decode_g3 is for K >= 0 (use decode_g4)")
+    look, nbits = _look_words(data)
+    bitpos = 0
+    w = columns
+    out: list[np.ndarray] = []
+    ref: list[int] = [w, w, w, w]
+    while rows is None or len(out) < rows:
+        if encoded_byte_align:
+            bitpos = (bitpos + 7) & ~7
+        bitpos, is_1d = _g3_line_prefix(look, nbits, bitpos, k)
+        if is_1d is None:
+            break
+        if is_1d:
+            line, bitpos = _decode_1d_line(look, nbits, bitpos, w)
+            cur = _line_transitions(line)
+        else:
+            line, cur, bitpos = _decode_2d_line(look, nbits, bitpos,
+                                                ref, w)
+        out.append(line)
+        ref = cur + [w, w, w, w]
+    if rows is not None and len(out) < rows:
+        raise CcittError(
+            f"G3 stream ended after {len(out)} of {rows} rows")
+    if not out:
+        return np.zeros((0, w), dtype=np.uint8)
+    return np.stack(out)
+
+
+# --------------------------------------------------------------------------
 # Encoder (fixture authoring; vertical-preferred G4 + EOFB)
 # --------------------------------------------------------------------------
 
@@ -419,10 +617,14 @@ def encode_g4(bitmap: np.ndarray) -> bytes:
     eol_c, eol_l = int(_EOL, 2), len(_EOL)
     lens += [eol_l, eol_l]
     vals += [eol_c, eol_c]
+    return _pack_codes(lens, vals)
 
+
+def _pack_codes(lens: list[int], vals: list[int]) -> bytes:
+    """(code length, code value) streams → zero-padded bytes."""
     la = np.asarray(lens, dtype=np.int64)
     va = np.asarray(vals, dtype=np.int64)
-    j = np.arange(13, dtype=np.int64)
+    j = np.arange(int(la.max()) if la.size else 1, dtype=np.int64)
     shifts = np.maximum(la[:, None] - 1 - j[None, :], 0)
     bitmat = ((va[:, None] >> shifts) & 1).astype(np.uint8)
     bits = bitmat[j[None, :] < la[:, None]]
@@ -430,3 +632,114 @@ def encode_g4(bitmap: np.ndarray) -> bytes:
     if pad:
         bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
     return np.packbits(bits).tobytes()
+
+
+def _bitmap_transitions(bm: np.ndarray) -> list[list[int]]:
+    """Per-line changing-element columns for a truthy-is-black bitmap."""
+    black = bm != 0
+    trans_mask = np.concatenate(
+        [black[:, :1], black[:, 1:] != black[:, :-1]], axis=1)
+    rows_idx, cols_idx = np.nonzero(trans_mask)
+    splits = np.searchsorted(rows_idx, np.arange(1, bm.shape[0]))
+    return [c.tolist() for c in np.split(cols_idx, splits)]
+
+
+def _emit_1d_line(lens: list[int], vals: list[int], cur: list[int],
+                  w: int) -> None:
+    """T.4 1-D modified-Huffman line from its transition columns —
+    alternating runs starting white (zero-length first white run when
+    the line starts black)."""
+    prev = 0
+    color = 0
+    for t in [*cur, w]:
+        _emit_run(lens, vals, color, t - prev)
+        prev = t
+        color ^= 1
+
+
+def _emit_2d_line(lens: list[int], vals: list[int], cur: list[int],
+                  ref: list[int], w: int) -> None:
+    """One vertical-preferred 2-D coding line (shared by G4 and G3
+    mixed; same mode selection as the encode_g4 loop)."""
+    a0 = -1
+    color = 0
+    ci = 0
+    ptr = 0
+    while a0 < w:
+        a1 = cur[ci] if ci < len(cur) else w
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+        while ptr < len(ref) and ref[ptr] <= a0:
+            ptr += 1
+        bi = ptr if (ptr & 1) == color else ptr + 1
+        b1 = ref[bi] if bi < len(ref) else w
+        b2 = ref[bi + 1] if bi + 1 < len(ref) else w
+        if b2 < a1:
+            c, ln = _ENC_MODES[("p", 0)]
+            lens.append(ln)
+            vals.append(c)
+            a0 = b2
+        elif -3 <= a1 - b1 <= 3:
+            c, ln = _ENC_MODES[("v", a1 - b1)]
+            lens.append(ln)
+            vals.append(c)
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            c, ln = _ENC_MODES[("h", 0)]
+            lens.append(ln)
+            vals.append(c)
+            start = a0 if a0 > 0 else 0
+            _emit_run(lens, vals, color, a1 - start)
+            _emit_run(lens, vals, color ^ 1, a2 - a1)
+            a0 = a2
+            ci += 2
+
+
+def encode_g3(bitmap: np.ndarray, k: int = 0,
+              with_eol: bool = True) -> bytes:
+    """2-D bitmap (truthy = black ink) → G3 (T.4) bytes.  ``k = 0``
+    emits pure 1-D modified-Huffman lines; ``k > 0`` emits the mixed
+    arrangement (every ``k``-th line 1-D, the rest 2-D), each line
+    tagged after its EOL.  ``with_eol=False`` (K=0 only) emits bare
+    concatenated lines — the PDF ``/EndOfLine false`` shape.  Ends with
+    RTC so self-delimiting decoders stop cleanly.  Inverse of
+    :func:`decode_g3`."""
+    bm = np.asarray(bitmap)
+    if bm.ndim != 2:
+        raise ValueError("encode_g3 wants a 2-D bitmap")
+    h, w = bm.shape
+    if w == 0 or h == 0:
+        raise ValueError("encode_g3 wants a non-empty bitmap")
+    if k < 0:
+        raise ValueError("encode_g3 is for K >= 0 (use encode_g4)")
+    if k > 0 and not with_eol:
+        raise ValueError("K > 0 G3 needs EOL+tag line prefixes")
+    per_line = _bitmap_transitions(bm)
+    eol_c, eol_l = int(_EOL, 2), len(_EOL)
+    lens: list[int] = []
+    vals: list[int] = []
+    ref: list[int] = [w, w, w, w]
+    for li in range(h):
+        cur = per_line[li]
+        one_d = k == 0 or li % k == 0
+        if with_eol:
+            lens.append(eol_l)
+            vals.append(eol_c)
+            if k > 0:
+                lens.append(1)
+                vals.append(1 if one_d else 0)
+        if one_d:
+            _emit_1d_line(lens, vals, cur, w)
+        else:
+            _emit_2d_line(lens, vals, cur, ref, w)
+        ref = cur + [w, w, w, w]
+    # RTC: six EOLs (K=0) / six EOL+1 (K>0); two suffice for decode_g3
+    # but the full pattern keeps the stream standard
+    for _ in range(6):
+        lens.append(eol_l)
+        vals.append(eol_c)
+        if k > 0:
+            lens.append(1)
+            vals.append(1)
+    return _pack_codes(lens, vals)

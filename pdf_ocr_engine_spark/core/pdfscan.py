@@ -274,7 +274,8 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     from .rasterfont import render_words_gray
 
     if codec not in ("flate", "jpeg", "jpegprog", "jpeglossy", "jpegcolor",
-                     "ccitt", "jbig2", "jbig2sym", "gray1", "rgb", "noisy"):
+                     "ccitt", "g3", "g3mixed", "jbig2", "jbig2sym",
+                     "gray1", "rgb", "noisy"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -341,15 +342,20 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                 .reshape(int(h), int(w)) < 128)
             filter_name = "JBIG2Decode"
             bpc = 1
-        elif codec == "ccitt":
+        elif codec in ("ccitt", "g3", "g3mixed"):
             import numpy as np
 
-            from .ccittcodec import encode_g4
-            img = encode_g4(
-                np.frombuffer(samples, dtype=np.uint8)
-                .reshape(int(h), int(w)) < 128)
+            from .ccittcodec import encode_g3, encode_g4
+            ink = np.frombuffer(samples, dtype=np.uint8) \
+                .reshape(int(h), int(w)) < 128
+            if codec == "ccitt":
+                img, kparm = encode_g4(ink), -1
+            elif codec == "g3":
+                img, kparm = encode_g3(ink, k=0), 0
+            else:
+                img, kparm = encode_g3(ink, k=4), 4
             filter_name = "CCITTFaxDecode"
-            extra = (f" /DecodeParms << /K -1 /Columns {int(w)} "
+            extra = (f" /DecodeParms << /K {kparm} /Columns {int(w)} "
                      f"/Rows {int(h)} >>")
             bpc = 1
         elif codec == "gray1":

@@ -96,7 +96,7 @@ def deterministic_recognizer():
       foreign scanner would embed;
     * anything else → ``ValueError`` (undecodable pixels).
     """
-    from ..core.ccittcodec import CcittError, decode_g4
+    from ..core.ccittcodec import CcittError, decode_g3, decode_g4
     from ..core.jbig2codec import Jbig2Error, decode_jbig2_embedded
     from ..core.jpegcodec import JpegError, decode_jpeg_gray
     from ..core.pdfscan import RASTER_MAGIC, decode_page_raster
@@ -124,17 +124,24 @@ def deterministic_recognizer():
         if image.get("filter") == "CCITTFaxDecode":
             parms = image.get("decode_parms") or {}
             k = parms.get("K", 0)
-            if not isinstance(k, (int, float)) or k >= 0:
-                raise ValueError(
-                    f"unsupported CCITT K={k} (only G4/K<0 decodes)")
+            if not isinstance(k, (int, float)):
+                raise ValueError(f"unsupported CCITT K={k!r}")
             cols = parms.get("Columns", 1728)
             rows = parms.get("Rows", image.get("height"))
             try:
-                gray = decode_g4(
-                    data, int(cols),
-                    int(rows) if rows is not None else None,
-                    encoded_byte_align=bool(
-                        parms.get("EncodedByteAlign", False)))
+                if k < 0:  # G4 / pure MMR
+                    gray = decode_g4(
+                        data, int(cols),
+                        int(rows) if rows is not None else None,
+                        encoded_byte_align=bool(
+                            parms.get("EncodedByteAlign", False)))
+                else:      # G3: K=0 pure 1-D, K>0 mixed (T.4)
+                    gray = decode_g3(
+                        data, int(cols),
+                        int(rows) if rows is not None else None,
+                        k=int(k),
+                        encoded_byte_align=bool(
+                            parms.get("EncodedByteAlign", False)))
             except CcittError as exc:
                 raise ValueError(
                     f"undecodable CCITT page image: {exc}") from exc

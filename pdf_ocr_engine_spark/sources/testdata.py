@@ -137,7 +137,9 @@ def _text_to_mixed_payload(text, doc_id):
     (doc_id % 32 == 13 — nonzero decode error, the robust-recognition
     tier), 3-component color JPEG (doc_id % 32 == 21) and raw tinted
     DeviceRGB behind FlateDecode (doc_id % 32 == 29) — both through the
-    luma path — 1-bit Group 4 behind CCITTFaxDecode (doc_id % 16 == 9),
+    luma path — 1-bit Group 4 behind CCITTFaxDecode (doc_id % 32 == 9),
+    1-bit Group 3 1-D (doc_id % 64 == 25) and Group 3 mixed 2-D /K 4
+    (doc_id % 64 == 57) behind the same filter (old fax-origin PDFs),
     1-bit JBIG2 behind JBIG2Decode — generic-region arrangement at
     doc_id % 64 == 17, dictionary-coded symbol/text arrangement at
     doc_id % 64 == 49 — raw packed 1-bit rows behind plain FlateDecode
@@ -163,7 +165,9 @@ def _text_to_mixed_payload(text, doc_id):
                      else "jpeglossy" if d % 32 == 13
                      else "jpegcolor" if d % 32 == 21
                      else "rgb" if d % 32 == 29
-                     else "ccitt" if d % 16 == 9
+                     else "ccitt" if d % 32 == 9
+                     else "g3" if d % 64 == 25
+                     else "g3mixed" if d % 64 == 57
                      else "jbig2" if d % 64 == 17
                      else "jbig2sym" if d % 64 == 49
                      else "gray1" if d % 64 == 33

@@ -6,9 +6,13 @@ import pytest
 
 from pdf_ocr_engine_spark.core.ccittcodec import (
     CcittError,
+    decode_g3,
     decode_g4,
+    encode_g3,
     encode_g4,
 )
+from pdf_ocr_engine_spark.core.extract_doc import extract_document
+from pdf_ocr_engine_spark.operators.ocr import deterministic_recognizer
 
 
 class TestWireFormat:
@@ -202,14 +206,81 @@ class TestPdfIntegration:
                              recognizer=deterministic_recognizer())
         assert r["status"] == "decode_error"
 
-    def test_g3_k_zero_is_undecodable(self):
-        from pdf_ocr_engine_spark.operators.ocr import (
-            deterministic_recognizer,
-        )
-
+    def test_malformed_g3_stream_is_undecodable(self):
+        # K=0 decodes since r5 — garbage bytes must still surface as a
+        # clean ValueError (decode_error upstream), never wrong pixels
         rec = deterministic_recognizer()
-        with pytest.raises(ValueError, match="CCITT K"):
+        with pytest.raises(ValueError, match="undecodable CCITT"):
             rec({"data": b"\x00\x01", "filter": "CCITTFaxDecode",
                  "decode_parms": {"K": 0, "Columns": 8, "Rows": 1},
                  "width": 8, "height": 1,
                  "colorspace": "DeviceGray", "bpc": 1})
+
+
+class TestG3:
+    """G3 (T.4): K=0 pure 1-D modified Huffman, K>0 mixed 1-D/2-D with
+    EOL + tag prefixes — the old fax-origin PDF arrangement."""
+
+    def test_random_roundtrips_all_k(self):
+        rng = np.random.default_rng(5)
+        for _ in range(25):
+            h = int(rng.integers(1, 30))
+            w = int(rng.integers(1, 200))
+            bm = (rng.random((h, w)) < rng.random() * 0.9).astype(np.uint8)
+            want = np.where(bm, 0, 255)
+            for k in (0, 1, 2, 4):
+                got = decode_g3(encode_g3(bm, k=k), w, h, k=k)
+                assert (got == want).all(), (k, h, w)
+
+    def test_k0_without_eols(self):
+        # PDF /EndOfLine false: bare concatenated 1-D lines
+        rng = np.random.default_rng(9)
+        bm = (rng.random((10, 80)) < 0.4).astype(np.uint8)
+        enc = encode_g3(bm, k=0, with_eol=False)
+        assert b"\x00\x10" not in enc[:4]  # spot check: no leading EOL
+        got = decode_g3(enc, 80, 10, k=0)
+        assert (got == np.where(bm, 0, 255)).all()
+
+    def test_self_delimiting_via_rtc(self):
+        rng = np.random.default_rng(11)
+        bm = (rng.random((7, 64)) < 0.3).astype(np.uint8)
+        for k in (0, 2):
+            got = decode_g3(encode_g3(bm, k=k), 64, None, k=k)
+            assert got.shape == (7, 64)
+            assert (got == np.where(bm, 0, 255)).all()
+
+    def test_line_starting_black_needs_zero_white_run(self):
+        bm = np.ones((3, 40), dtype=np.uint8)  # all black
+        got = decode_g3(encode_g3(bm, k=0), 40, 3, k=0)
+        assert (got == 0).all()
+
+    def test_truncations_error_cleanly(self):
+        rng = np.random.default_rng(13)
+        bm = (rng.random((12, 64)) < 0.3).astype(np.uint8)
+        for k in (0, 2):
+            enc = encode_g3(bm, k=k)
+            for cut in range(0, len(enc), 2):
+                with np.errstate():
+                    try:
+                        decode_g3(enc[:cut], 64, 12, k=k)
+                    except CcittError:
+                        pass
+
+    def test_garbage_and_runaway_fill_rejected(self):
+        with pytest.raises(CcittError):
+            decode_g3(b"\x00" * 2048, 64, 4, k=0)  # zeros, never an EOL end
+        with pytest.raises(CcittError):
+            decode_g3(b"\xff" * 64, 64, 4, k=0)
+
+    def test_ocr_extraction_through_g3_pdf(self):
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_pixel_scanned_pdf_payload,
+        )
+
+        text = "group three fax words decode via the t4 tables"
+        for codec in ("g3", "g3mixed"):
+            pdf = text_to_pixel_scanned_pdf_payload(text, codec=codec)
+            r = extract_document(pdf, "eng",
+                                 recognizer=deterministic_recognizer())
+            assert r["status"] == "ok", codec
+            assert r["text"].split() == text.split(), codec
