@@ -352,6 +352,10 @@ def _decode_1d_line(look: list[int], nbits: int, bitpos: int,
     n_runs = 0
     while pos < w:
         run, bitpos = _read_run(look, nbits, bitpos, color)
+        if bitpos > nbits:
+            # zero-padded lookahead can alias a cut codeword to a valid
+            # run — reads past the real data are truncation, not pixels
+            raise CcittError("truncated G3 data")
         if pos + run > w:
             raise CcittError("1-D run past line end")
         if color:
@@ -566,53 +570,14 @@ def encode_g4(bitmap: np.ndarray) -> bytes:
     h, w = bm.shape
     if w == 0 or h == 0:
         raise ValueError("encode_g4 wants a non-empty bitmap")
-    black = bm != 0
-    # changing elements per line: column 0 when it starts black, then
-    # every color flip — all lines at once
-    trans_mask = np.concatenate(
-        [black[:, :1], black[:, 1:] != black[:, :-1]], axis=1)
-    rows_idx, cols_idx = np.nonzero(trans_mask)
-    splits = np.searchsorted(rows_idx, np.arange(1, h))
-    per_line = [c.tolist() for c in np.split(cols_idx, splits)]
+    per_line = _bitmap_transitions(bm)
 
     lens: list[int] = []
     vals: list[int] = []
     ref: list[int] = [w, w, w, w]
     for li in range(h):
         cur = per_line[li]
-        a0 = -1
-        color = 0
-        ci = 0
-        ptr = 0
-        while a0 < w:
-            a1 = cur[ci] if ci < len(cur) else w
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-            while ptr < len(ref) and ref[ptr] <= a0:
-                ptr += 1
-            bi = ptr if (ptr & 1) == color else ptr + 1
-            b1 = ref[bi] if bi < len(ref) else w
-            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
-            if b2 < a1:
-                c, ln = _ENC_MODES[("p", 0)]
-                lens.append(ln)
-                vals.append(c)
-                a0 = b2
-            elif -3 <= a1 - b1 <= 3:
-                c, ln = _ENC_MODES[("v", a1 - b1)]
-                lens.append(ln)
-                vals.append(c)
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                c, ln = _ENC_MODES[("h", 0)]
-                lens.append(ln)
-                vals.append(c)
-                start = a0 if a0 > 0 else 0
-                _emit_run(lens, vals, color, a1 - start)
-                _emit_run(lens, vals, color ^ 1, a2 - a1)
-                a0 = a2
-                ci += 2
+        _emit_2d_line(lens, vals, cur, ref, w)
         ref = cur + [w, w, w, w]
     eol_c, eol_l = int(_EOL, 2), len(_EOL)
     lens += [eol_l, eol_l]
@@ -659,8 +624,8 @@ def _emit_1d_line(lens: list[int], vals: list[int], cur: list[int],
 
 def _emit_2d_line(lens: list[int], vals: list[int], cur: list[int],
                   ref: list[int], w: int) -> None:
-    """One vertical-preferred 2-D coding line (shared by G4 and G3
-    mixed; same mode selection as the encode_g4 loop)."""
+    """One vertical-preferred 2-D coding line (the single mode-selection
+    loop shared by encode_g4 and encode_g3's mixed lines)."""
     a0 = -1
     color = 0
     ci = 0

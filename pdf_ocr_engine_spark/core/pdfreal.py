@@ -913,11 +913,18 @@ def _load_font(doc: _Doc, font_obj: Any,
                                 raw = c2gid.decoded(doc)
                             except ValueError:
                                 raw = b""
-                            f.encoding_map = {
+                            mapping = {
                                 cid: g2u[gid]
                                 for cid in range(len(raw) // 2)
                                 if (gid := (raw[2 * cid] << 8)
                                     | raw[2 * cid + 1]) in g2u}
+                            if mapping:
+                                f.encoding_map = mapping
+                            else:
+                                # corrupt/uninformative map: text comes
+                                # back as raw CIDs — count it, same as
+                                # the no-recovery branch below
+                                counters["encoding_fallback"] += 1
                         else:
                             # /Identity (name or absent): CID == gid
                             f.encoding_map = dict(g2u)
@@ -985,8 +992,8 @@ def _load_font(doc: _Doc, font_obj: Any,
             rec = {code: g2u[gid] for code, gid in c2g.items()
                    if 0 <= code < 256 and gid in g2u}
             if rec:
-                flags = descr.get("Flags") if isinstance(descr, dict) \
-                    else None
+                flags = doc.resolve(descr.get("Flags")) \
+                    if isinstance(descr, dict) else None
                 symbolic = isinstance(flags, (int, float)) \
                     and int(flags) & 4
                 if f.encoding_map is None or symbolic:

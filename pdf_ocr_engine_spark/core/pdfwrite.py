@@ -126,6 +126,13 @@ def build_searchable_pdf(pages: list[dict]) -> bytes:
         objects.append(b"<< /Length " + str(len(content)).encode()
                        + b" >>\nstream\n" + content + b"\nendstream")
 
+    return _assemble_objects(objects)
+
+
+def _assemble_objects(objects: list[bytes]) -> bytes:
+    """1-indexed object bodies → complete PDF bytes (header, sequential
+    bodies, hand-built xref with exact offsets, trailer) — the one
+    serialization tail shared by every writer in this module."""
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):
@@ -154,6 +161,8 @@ def _tt_page_content(spans, page_w: float, page_h: float,
         if width_at_12 <= 0 or word_w <= 0 or word_h <= 0:
             continue
         y = page_h - y1 + word_h * 0.2
+        if not (x0 == x0 and y == y):               # NaN guard
+            continue
         fitted = min((word_w / width_at_12) * 12.0, word_h * 0.9)
         if fitted <= 1 or not raw.strip():
             continue
@@ -309,19 +318,7 @@ def build_truetype_pdf(pages: list[dict], variant: str = "cid") -> bytes:
         objects.append(b"<< /Length " + str(len(content)).encode()
                        + b" >>\nstream\n" + content + b"\nendstream")
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(buf))
-        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_at = len(buf)
-    buf += f"xref\n0 {len(objects) + 1}\n".encode()
-    buf += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        buf += f"{off:010d} 00000 n \n".encode()
-    buf += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF").encode()
-    return bytes(buf)
+    return _assemble_objects(objects)
 
 
 def extract_pdf_text(data: bytes) -> list[list[str]]:

@@ -56,6 +56,12 @@ def _u32(d: bytes, p: int) -> int:
     return struct.unpack_from(">I", d, p)[0]
 
 
+def _i16(d: bytes, p: int) -> int:
+    if p + 2 > len(d):
+        raise SfntError("truncated sfnt data (i16)")
+    return struct.unpack_from(">h", d, p)[0]
+
+
 def parse_tables(data: bytes) -> dict[str, bytes]:
     """sfnt bytes → ``{tag: table bytes}``.  Accepts TrueType 1.0
     (0x00010000) and the legacy Apple ``true`` magic; rejects CFF-flavored
@@ -85,10 +91,17 @@ def parse_tables(data: bytes) -> dict[str, bytes]:
 # cmap
 # --------------------------------------------------------------------------
 
+#: total code points one cmap subtable may expand to — a malicious font
+#: with overlapping format-4 segments / format-12 groups otherwise costs
+#: minutes of CPU per document inside the extraction hot path
+_MAX_CMAP_CODES = 1 << 17
+
+
 def _cmap_subtable(sub: bytes) -> dict[int, int]:
     """One cmap subtable → ``{code: gid}`` (formats 0, 4, 6, 12)."""
     fmt = _u16(sub, 0)
     out: dict[int, int] = {}
+    budget = _MAX_CMAP_CODES
     if fmt == 0:
         if len(sub) < 6 + 256:
             raise SfntError("truncated format-0 cmap")
@@ -103,8 +116,7 @@ def _cmap_subtable(sub: bytes) -> dict[int, int]:
         seg = seg_x2 // 2
         ends = [_u16(sub, 14 + 2 * i) for i in range(seg)]
         starts = [_u16(sub, 16 + seg_x2 + 2 * i) for i in range(seg)]
-        deltas = [struct.unpack_from(">h", sub, 16 + 2 * seg_x2 + 2 * i)[0]
-                  for i in range(seg)]
+        deltas = [_i16(sub, 16 + 2 * seg_x2 + 2 * i) for i in range(seg)]
         range_off_at = 16 + 3 * seg_x2
         for i in range(seg):
             roff = _u16(sub, range_off_at + 2 * i)
@@ -113,6 +125,9 @@ def _cmap_subtable(sub: bytes) -> dict[int, int]:
                 raise SfntError("bad format-4 segment")
             if end == 0xFFFF and start == 0xFFFF:
                 continue  # the required terminal segment
+            budget -= end - start + 1
+            if budget < 0:
+                raise SfntError("cmap code budget exhausted")
             for code in range(start, end + 1):
                 if roff == 0:
                     gid = (code + deltas[i]) & 0xFFFF
@@ -141,6 +156,9 @@ def _cmap_subtable(sub: bytes) -> dict[int, int]:
                                      _u32(sub, at + 8))
             if start > end or end - start > 0xFFFF or end > 0x10FFFF:
                 raise SfntError("bad format-12 group")
+            budget -= end - start + 1
+            if budget < 0:
+                raise SfntError("cmap code budget exhausted")
             for i in range(end - start + 1):
                 out[start + i] = start_gid + i
     else:
@@ -170,7 +188,7 @@ def cmap_maps(cmap: bytes) -> dict[tuple[int, int], dict[int, int]]:
             raise SfntError("cmap subtable offset overruns the table")
         try:
             out[(plat, enc)] = _cmap_subtable(cmap[off:])
-        except SfntError:
+        except (SfntError, struct.error):
             continue
     return out
 
@@ -267,8 +285,14 @@ def gid_to_unicode(font: bytes) -> dict[int, str]:
         # are private-use font codes, NOT code points — inverting it here
         # would fabricate wrong text that outranks the post names
         maps = cmap_maps(cmap)
-        uni = next((maps[k] for k in _CMAP_PREFERENCE
+        key = next((k for k in _CMAP_PREFERENCE
                     if k != (3, 0) and maps.get(k)), None)
+        uni = maps.get(key) if key is not None else None
+        if key == (1, 0) and uni:
+            # Mac Roman: only the ASCII range coincides with Unicode;
+            # 0x80+ are Mac Roman codes — inverting them would fabricate
+            # C1 controls.  Leave those gids to the post names.
+            uni = {c: g for c, g in uni.items() if c < 0x80}
         if uni:
             for code in sorted(uni, reverse=True):
                 if code < 0x110000:

@@ -77,6 +77,20 @@ def text_to_pdf_payload(text: str, words_per_line: int = WORDS_PER_LINE) -> byte
     }])
 
 
+def _paginate_spans(text: str, words_per_line: int,
+                    words_per_page: int | None) -> list[dict]:
+    """Shared tokenize → grid-layout → paginate step for every span-based
+    PDF fixture writer — one implementation so the writers provably share
+    one pagination (and therefore one extraction oracle)."""
+    tokens = text.split()
+    per_page = words_per_page or max(len(tokens), 1)
+    return [
+        {"width": 612.0, "height": 792.0,
+         "spans": layout_words(tokens[i:i + per_page], words_per_line)}
+        for i in range(0, len(tokens), per_page)
+    ] or [{"width": 612.0, "height": 792.0, "spans": []}]
+
+
 def text_to_real_pdf_payload(text: str,
                              words_per_line: int = WORDS_PER_LINE,
                              words_per_page: int | None = None) -> bytes:
@@ -88,14 +102,8 @@ def text_to_real_pdf_payload(text: str,
     array would reorder the token stream)."""
     from ..core.pdfwrite import build_searchable_pdf
 
-    tokens = text.split()
-    per_page = words_per_page or max(len(tokens), 1)
-    pages = [
-        {"width": 612.0, "height": 792.0,
-         "spans": layout_words(tokens[i:i + per_page], words_per_line)}
-        for i in range(0, len(tokens), per_page)
-    ] or [{"width": 612.0, "height": 792.0, "spans": []}]
-    return build_searchable_pdf(pages)
+    return build_searchable_pdf(
+        _paginate_spans(text, words_per_line, words_per_page))
 
 
 def text_to_truetype_pdf_payload(text: str,
@@ -110,14 +118,9 @@ def text_to_truetype_pdf_payload(text: str,
     like :func:`text_to_real_pdf_payload` so both share one oracle."""
     from ..core.pdfwrite import build_truetype_pdf
 
-    tokens = text.split()
-    per_page = words_per_page or max(len(tokens), 1)
-    pages = [
-        {"width": 612.0, "height": 792.0,
-         "spans": layout_words(tokens[i:i + per_page], words_per_line)}
-        for i in range(0, len(tokens), per_page)
-    ] or [{"width": 612.0, "height": 792.0, "spans": []}]
-    return build_truetype_pdf(pages, variant=variant)
+    return build_truetype_pdf(
+        _paginate_spans(text, words_per_line, words_per_page),
+        variant=variant)
 
 
 def text_to_scanned_pdf_payload(text: str,

@@ -284,3 +284,25 @@ class TestG3:
                                  recognizer=deterministic_recognizer())
             assert r["status"] == "ok", codec
             assert r["text"].split() == text.split(), codec
+
+
+class TestG3TruncationGuard:
+    def test_truncated_stream_never_returns_full_raster(self):
+        # review repro: zero-padded lookahead aliased a cut codeword to a
+        # valid run landing exactly on the line width — must now raise
+        rng = np.random.default_rng(77)
+        silent_wrong = 0
+        for _ in range(100):
+            h = int(rng.integers(2, 8))
+            w = int(rng.integers(16, 96))
+            bm = (rng.random((h, w)) < 0.4).astype(np.uint8)
+            enc = encode_g3(bm, k=0, with_eol=False)
+            want = np.where(bm, 0, 255)
+            for cut in range(1, len(enc) - 1):
+                try:
+                    got = decode_g3(enc[:cut], w, h, k=0)
+                except CcittError:
+                    continue
+                if not (got == want).all():
+                    silent_wrong += 1
+        assert silent_wrong == 0

@@ -154,3 +154,66 @@ class TestNoToUnicodeExtraction:
         assert patched != pdf
         r = extract_document(patched, "eng")
         assert r["text"] == "zb"
+
+
+class TestHardeningReviewFixes:
+    """Regression tests for the r5 review findings."""
+
+    def test_truncated_iddelta_never_leaks_struct_error(self):
+        # format-4 header in bounds, idDelta array truncated: must be a
+        # skipped subtable, not a struct.error crashing extraction
+        cm = (struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12)
+              + struct.pack(">HHHHHHH", 4, 36, 0, 4, 4, 1, 0)
+              + struct.pack(">HH", 0x41, 0xFFFF) + b"\x00\x00"
+              + struct.pack(">HH", 0x41, 0xFFFF) + b"\x00")
+        assert sfnt.cmap_maps(cm) == {}
+
+    def test_overlapping_groups_hit_code_budget(self):
+        import time
+
+        groups = b"".join(struct.pack(">III", 0, 0xFFFE, 1)
+                          for _ in range(500))
+        sub = struct.pack(">HHIII", 12, 0, 16 + len(groups), 0,
+                          500) + groups
+        t0 = time.monotonic()
+        with pytest.raises(sfnt.SfntError, match="budget"):
+            sfnt._cmap_subtable(sub)
+        assert time.monotonic() - t0 < 2.0
+
+    def test_mac_roman_high_codes_not_fabricated(self):
+        # (1,0) cmap: 0x8E is Mac Roman 'é', NOT U+008E — the inversion
+        # must skip high codes and let post names cover those gids
+        tbl = bytearray(struct.pack(">HHH", 0, 262, 0)) + bytes(256)
+        tbl[6 + 0x61] = 1   # 'a' -> gid 1 (ASCII: legitimate)
+        tbl[6 + 0x8E] = 2   # Mac Roman high code -> gid 2
+        cm = (struct.pack(">HH", 0, 1)
+              + struct.pack(">HHI", 1, 0, 12) + bytes(tbl))
+        base = sfnt.build_minimal_truetype({"a": 1, "b": 2},
+                                           unicode_cmap=False,
+                                           post_names=True)
+        tables = sfnt.parse_tables(base)
+        # splice: rebuild a font whose cmap is the (1,0) table and whose
+        # post names gid 2 as 'b'
+        rebuilt = _rebuild_font({**tables, "cmap": cm})
+        got = sfnt.gid_to_unicode(rebuilt)
+        assert got[1] == "a"      # ASCII from the Mac table
+        assert got[2] == "b"      # post name, NOT chr(0x8E)
+
+
+def _rebuild_font(tables: dict[str, bytes]) -> bytes:
+    import math
+
+    items = sorted((tag.encode("latin-1"), data)
+                   for tag, data in tables.items())
+    n = len(items)
+    floor_pow = 1 << int(math.log2(n))
+    out = struct.pack(">IHHHH", 0x00010000, n, floor_pow * 16,
+                      int(math.log2(floor_pow)), n * 16 - floor_pow * 16)
+    offset = 12 + 16 * n
+    recs, body = b"", b""
+    for tag, data in items:
+        recs += struct.pack(">4sIII", tag, 0, offset, len(data))
+        pad = (4 - len(data) % 4) % 4
+        body += data + b"\x00" * pad
+        offset += len(data) + pad
+    return out + recs + body
