@@ -787,7 +787,8 @@ def _decode_symbol_dict(seg_data: bytes,
     flags = struct.unpack_from(">H", seg_data, 0)[0]
     pos = 2
     if flags & 1:
-        raise Jbig2Unsupported("huffman-coded symbol dictionary")
+        return _decode_symbol_dict_huffman(seg_data, flags, pos,
+                                           input_syms)
     if (flags >> 8) & 1:
         # SDCONTEXTUSED: MQ coding contexts imported from a referred
         # dictionary (7.4.3.1.1) — decoding with fresh contexts would
@@ -926,7 +927,8 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     flags = struct.unpack_from(">H", seg_data, pos)[0]
     pos += 2
     if flags & 1:
-        raise Jbig2Unsupported("huffman-coded text region")
+        return _decode_text_region_huffman(seg_data, syms, info, pos,
+                                           flags)
     sbrefine = (flags >> 1) & 1
     sbstrips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3  # 0=BL 1=TL 2=BR 3=TR (Table 34)
@@ -968,25 +970,6 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     # a malformed stream request num_instances × huge decodes.  Mirror
     # the symbol dictionary's px_budget (1<<26 total decoded pixels).
     ref_px_budget = _REF_PX_BUDGET
-
-    def draw(sym: np.ndarray, x0: int, y0: int) -> None:
-        sh, sw = sym.shape
-        sx0, sy0 = max(0, -x0), max(0, -y0)
-        x0, y0 = max(0, x0), max(0, y0)
-        sw = min(sw - sx0, w - x0)
-        sh = min(sh - sy0, h - y0)
-        if sw <= 0 or sh <= 0:
-            return
-        dst = page[y0:y0 + sh, x0:x0 + sw]
-        src = sym[sy0:sy0 + sh, sx0:sx0 + sw]
-        if sbcombop == 0:
-            dst |= src
-        elif sbcombop == 1:
-            dst &= src
-        elif sbcombop == 2:
-            dst ^= src
-        else:
-            dst ^= src ^ 1
 
     first_dt = _int_decode(mq, *iadt)
     if first_dt is None:
@@ -1041,29 +1024,641 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
                     mq, nw, nh, sbrtemplate, sym,
                     (rdw >> 1) + rdx, (rdh >> 1) + rdy, rat, False,
                     contexts=gr_ctx)
-            hi, wi = sym.shape
-            if not transposed:
-                if refcorner in (2, 3):       # right corners: advance first
-                    curs += wi - 1
-                    x0 = curs - wi + 1
-                else:
-                    x0 = curs
-                y0 = ti if refcorner in (1, 3) else ti - hi + 1
-                draw(sym, x0, y0)
-                if refcorner in (0, 1):       # left corners: advance after
-                    curs += wi - 1
-            else:
-                if refcorner in (0, 2):       # bottom corners: advance first
-                    curs += hi - 1
-                    y0 = curs - hi + 1
-                else:
-                    y0 = curs
-                x0 = ti if refcorner in (0, 1) else ti - wi + 1
-                draw(sym, x0, y0)
-                if refcorner in (1, 3):       # top corners: advance after
-                    curs += hi - 1
+            curs = _draw_instance(page, sym, int(curs), int(ti),
+                                  refcorner, transposed, sbcombop)
             inst += 1
     return info, page
+
+
+# --------------------------------------------------------------------------
+# Huffman-coded arrangement (T.88 SDHUFF/SBHUFF with Annex B tables) —
+# the alternative coding some encoders emit instead of MQ arithmetic.
+# Table data transcribed from the public ITU-T T.88 Annex B; canonical
+# prefix-code assignment per B.3.
+# --------------------------------------------------------------------------
+
+_HUFF_OOB = object()  # out-of-band sentinel distinct from every int
+
+
+class _BitReader:
+    """MSB-first bit reader with byte alignment and raw-byte access."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # in bits
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > 8 * len(self.data):
+            raise Jbig2Error("truncated huffman-coded data")
+        b0, b1 = self.pos >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        v = (chunk >> (8 * (b1 - b0) - (end - 8 * b0))) & ((1 << n) - 1)
+        self.pos = end
+        return v
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def read_bytes(self, n: int) -> bytes:
+        self.byte_align()
+        b0 = self.pos >> 3
+        if b0 + n > len(self.data):
+            raise Jbig2Error("truncated huffman-coded data")
+        self.pos = (b0 + n) * 8
+        return self.data[b0:b0 + n]
+
+
+class _BitWriter:
+    """MSB-first bit writer (fixture/encoder side)."""
+
+    __slots__ = ("bits",)
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def byte_align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def write_bytes(self, data: bytes) -> None:
+        self.byte_align()
+        for b in data:
+            self.write(b, 8)
+
+    def flush(self) -> bytes:
+        self.byte_align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for b in self.bits[i:i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+
+class _HuffTable:
+    """One Annex-B Huffman table: lines are ``("n", preflen, rangelen,
+    low)`` (value = low + rangelen extra bits), ``("l", preflen, low)``
+    (lower range: value = low - 32 extra bits), ``("u", preflen, low)``
+    (upper range: value = low + 32 extra bits), ``("o", preflen)``
+    (out-of-band).  Prefix codes are assigned canonically per B.3 in
+    table order; the constructor proves prefix-freeness (no collisions,
+    codes fit their length)."""
+
+    __slots__ = ("lines", "by_code")
+
+    def __init__(self, lines: list[tuple]) -> None:
+        self.lines = [ln for ln in lines if ln[1] > 0]
+        max_len = max((ln[1] for ln in self.lines), default=0)
+        count = [0] * (max_len + 2)
+        for ln in self.lines:
+            count[ln[1]] += 1
+        self.by_code: dict[tuple[int, int], tuple] = {}
+        firstcode = 0
+        for curlen in range(1, max_len + 1):
+            firstcode = (firstcode + count[curlen - 1]) << 1
+            code = firstcode
+            for ln in self.lines:
+                if ln[1] == curlen:
+                    if code >= (1 << curlen):
+                        raise AssertionError("huffman code overflow")
+                    key = (curlen, code)
+                    if key in self.by_code:
+                        raise AssertionError("huffman code collision")
+                    self.by_code[key] = ln
+                    code += 1
+
+    def decode(self, r: _BitReader):
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | r.read(1)
+            length += 1
+            ln = self.by_code.get((length, code))
+            if ln is not None:
+                kind = ln[0]
+                if kind == "n":
+                    return ln[3] + r.read(ln[2])
+                if kind == "u":
+                    return ln[2] + r.read(32)
+                if kind == "l":
+                    return ln[2] - r.read(32)
+                return _HUFF_OOB
+            if length > 32:
+                raise Jbig2Error("invalid huffman code")
+
+    # ---- encoder side (fixtures) ----
+
+    def _code_of(self, target) -> tuple[int, int]:
+        for (length, code), ln in self.by_code.items():
+            if ln is target:
+                return length, code
+        raise AssertionError("line not in table")
+
+    def encode(self, w: _BitWriter, value: int) -> None:
+        for ln in self.lines:
+            if ln[0] == "n" and ln[3] <= value < ln[3] + (1 << ln[2]):
+                length, code = self._code_of(ln)
+                w.write(code, length)
+                w.write(value - ln[3], ln[2])
+                return
+        for ln in self.lines:
+            if ln[0] == "u" and value >= ln[2]:
+                length, code = self._code_of(ln)
+                w.write(code, length)
+                w.write(value - ln[2], 32)
+                return
+            if ln[0] == "l" and value <= ln[2]:
+                length, code = self._code_of(ln)
+                w.write(code, length)
+                w.write(ln[2] - value, 32)
+                return
+        raise ValueError(f"value {value} not codable by this table")
+
+    def encode_oob(self, w: _BitWriter) -> None:
+        for ln in self.lines:
+            if ln[0] == "o":
+                length, code = self._code_of(ln)
+                w.write(code, length)
+                return
+        raise ValueError("table has no OOB code")
+
+
+#: ITU-T T.88 Annex B standard tables B.1-B.15 (public spec data)
+_STD_TABLE_LINES: dict[int, list[tuple]] = {
+    1: [("n", 1, 4, 0), ("n", 2, 8, 16), ("n", 3, 16, 272),
+        ("u", 3, 65808)],
+    2: [("n", 1, 0, 0), ("n", 2, 0, 1), ("n", 3, 0, 2), ("n", 4, 3, 3),
+        ("n", 5, 6, 11), ("u", 6, 75), ("o", 6)],
+    3: [("n", 8, 8, -256), ("n", 1, 0, 0), ("n", 2, 0, 1),
+        ("n", 3, 0, 2), ("n", 4, 3, 3), ("n", 5, 6, 11),
+        ("l", 8, -257), ("u", 7, 75), ("o", 6)],
+    4: [("n", 1, 0, 1), ("n", 2, 0, 2), ("n", 3, 0, 3), ("n", 4, 3, 4),
+        ("n", 5, 6, 12), ("u", 5, 76)],
+    5: [("n", 7, 8, -255), ("n", 1, 0, 1), ("n", 2, 0, 2),
+        ("n", 3, 0, 3), ("n", 4, 3, 4), ("n", 5, 6, 12),
+        ("l", 7, -256), ("u", 6, 76)],
+    6: [("n", 5, 10, -2048), ("n", 4, 9, -1024), ("n", 4, 8, -512),
+        ("n", 4, 7, -256), ("n", 5, 6, -128), ("n", 5, 5, -64),
+        ("n", 4, 5, -32), ("n", 2, 7, 0), ("n", 3, 7, 128),
+        ("n", 3, 8, 256), ("n", 4, 9, 512), ("n", 4, 10, 1024),
+        ("l", 6, -2049), ("u", 6, 2048)],
+    7: [("n", 4, 9, -1024), ("n", 3, 8, -512), ("n", 4, 7, -256),
+        ("n", 5, 6, -128), ("n", 5, 5, -64), ("n", 4, 5, -32),
+        ("n", 4, 5, 0), ("n", 5, 5, 32), ("n", 5, 6, 64),
+        ("n", 4, 7, 128), ("n", 3, 8, 256), ("n", 3, 9, 512),
+        ("n", 3, 10, 1024), ("l", 5, -1025), ("u", 5, 2048)],
+    8: [("n", 8, 3, -15), ("n", 9, 1, -7), ("n", 8, 1, -5),
+        ("n", 9, 0, -3), ("n", 7, 0, -2), ("n", 4, 0, -1),
+        ("n", 2, 1, 0), ("n", 5, 0, 2), ("n", 6, 0, 3),
+        ("n", 3, 4, 4), ("n", 6, 1, 20), ("n", 4, 4, 22),
+        ("n", 4, 5, 38), ("n", 5, 6, 70), ("n", 5, 7, 134),
+        ("n", 6, 7, 262), ("n", 7, 8, 390), ("n", 6, 10, 646),
+        ("l", 9, -16), ("u", 9, 1670), ("o", 2)],
+    9: [("n", 8, 4, -31), ("n", 9, 2, -15), ("n", 8, 2, -11),
+        ("n", 9, 1, -7), ("n", 7, 1, -5), ("n", 4, 1, -3),
+        ("n", 3, 1, -1), ("n", 3, 1, 1), ("n", 5, 1, 3),
+        ("n", 6, 1, 5), ("n", 3, 5, 7), ("n", 6, 2, 39),
+        ("n", 4, 5, 43), ("n", 4, 6, 75), ("n", 5, 7, 139),
+        ("n", 5, 8, 267), ("n", 6, 8, 523), ("n", 7, 9, 779),
+        ("n", 6, 11, 1291), ("l", 9, -32), ("u", 9, 3339), ("o", 2)],
+    10: [("n", 7, 4, -21), ("n", 8, 0, -5), ("n", 7, 0, -4),
+         ("n", 5, 0, -3), ("n", 2, 2, -2), ("n", 5, 0, 2),
+         ("n", 6, 0, 3), ("n", 7, 0, 4), ("n", 8, 0, 5),
+         ("n", 2, 6, 6), ("n", 5, 5, 70), ("n", 6, 5, 102),
+         ("n", 7, 6, 134), ("n", 8, 7, 198), ("n", 8, 8, 326),
+         ("n", 8, 9, 582), ("n", 8, 10, 1094), ("n", 7, 11, 2118),
+         ("l", 8, -22), ("u", 8, 4166), ("o", 2)],
+    11: [("n", 1, 0, 1), ("n", 2, 1, 2), ("n", 4, 0, 4), ("n", 4, 1, 5),
+         ("n", 5, 1, 7), ("n", 5, 2, 9), ("n", 6, 2, 13),
+         ("n", 7, 2, 17), ("n", 7, 3, 21), ("n", 7, 4, 29),
+         ("n", 7, 5, 45), ("n", 7, 6, 77), ("u", 7, 141)],
+    12: [("n", 1, 0, 1), ("n", 2, 0, 2), ("n", 3, 1, 3), ("n", 5, 0, 5),
+         ("n", 5, 1, 6), ("n", 6, 1, 8), ("n", 7, 0, 10),
+         ("n", 7, 1, 11), ("n", 7, 2, 13), ("n", 7, 3, 17),
+         ("n", 7, 4, 25), ("n", 8, 5, 41), ("u", 8, 73)],
+    13: [("n", 1, 0, 1), ("n", 3, 0, 2), ("n", 4, 0, 3), ("n", 5, 0, 4),
+         ("n", 4, 1, 5), ("n", 3, 3, 7), ("n", 6, 1, 15),
+         ("n", 6, 2, 17), ("n", 6, 3, 21), ("n", 6, 4, 29),
+         ("n", 6, 5, 45), ("n", 7, 6, 77), ("u", 7, 141)],
+    14: [("n", 3, 0, -2), ("n", 3, 0, -1), ("n", 1, 0, 0),
+         ("n", 3, 0, 1), ("n", 3, 0, 2)],
+    15: [("n", 7, 4, -24), ("n", 6, 2, -8), ("n", 5, 1, -4),
+         ("n", 4, 0, -2), ("n", 3, 0, -1), ("n", 1, 0, 0),
+         ("n", 3, 0, 1), ("n", 4, 0, 2), ("n", 5, 1, 3), ("n", 6, 2, 5),
+         ("n", 7, 4, 9), ("l", 7, -25), ("u", 7, 25)],
+}
+
+_STD_TABLES: dict[int, _HuffTable] = {}
+
+
+def _std_table(n: int) -> _HuffTable:
+    t = _STD_TABLES.get(n)
+    if t is None:
+        t = _HuffTable(_STD_TABLE_LINES[n])
+        _STD_TABLES[n] = t
+    return t
+
+
+# import-time proof: every standard table builds (prefix-free, no
+# overflow) and satisfies Kraft <= 1
+for _n, _lines in _STD_TABLE_LINES.items():
+    _t = _HuffTable(_lines)
+    _kraft = sum(2.0 ** -ln[1] for ln in _lines if ln[1] > 0)
+    assert _kraft <= 1.0 + 1e-12, f"table B.{_n} over-complete"
+
+
+def _decode_symbol_dict_huffman(seg_data: bytes, flags: int, pos: int,
+                                input_syms: list[np.ndarray],
+                                ) -> list[np.ndarray]:
+    """SDHUFF=1 symbol dictionary (T.88 §6.5 with Huffman tables,
+    REFAGG=0): per height class the symbols are coded COLLECTIVELY —
+    widths via the DW table, then one bitmap holding the class side by
+    side, stored raw (BMSIZE=0) or MMR-coded."""
+    if (flags >> 1) & 1:
+        raise Jbig2Unsupported(
+            "huffman symbol dictionary with refinement/aggregation")
+    sel_dh = (flags >> 2) & 3
+    sel_dw = (flags >> 4) & 3
+    if sel_dh > 1 or sel_dw > 1 or (flags >> 6) & 1 or (flags >> 7) & 1:
+        raise Jbig2Unsupported("custom huffman table in symbol dictionary")
+    t_dh = _std_table(4 + sel_dh)
+    t_dw = _std_table(2 + sel_dw)
+    t_bm = _std_table(1)
+    t_ex = _std_table(1)
+    if pos + 8 > len(seg_data):
+        raise Jbig2Error("truncated symbol dictionary header")
+    num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
+    pos += 8
+    if num_new > 1 << 16 or num_ex > 1 << 16:
+        raise Jbig2Error("implausible symbol counts")
+    r = _BitReader(seg_data[pos:])
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    px_budget = 1 << 26
+    empty_classes = 0
+    while len(newsyms) < num_new:
+        dh = t_dh.decode(r)
+        if dh is _HUFF_OOB:
+            raise Jbig2Error("OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 14:
+            raise Jbig2Error(f"bad height class {hcheight}")
+        symwidth = 0
+        totwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = t_dw.decode(r)
+            if dw is _HUFF_OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 14 \
+                    or len(newsyms) + len(widths) >= num_new:
+                raise Jbig2Error("bad symbol width sequence")
+            px_budget -= symwidth * hcheight
+            if px_budget < 0:
+                raise Jbig2Error("symbol dictionary pixel budget exceeded")
+            widths.append(symwidth)
+            totwidth += symwidth
+        if not widths:
+            empty_classes += 1
+            if empty_classes > num_new + 1:
+                raise Jbig2Error("runaway empty height classes")
+            continue
+        bmsize = t_bm.decode(r)
+        if bmsize is _HUFF_OOB or bmsize < 0:
+            raise Jbig2Error("bad collective bitmap size")
+        if bmsize == 0:
+            stride = (totwidth + 7) // 8
+            raw = r.read_bytes(stride * hcheight)
+            coll = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(hcheight, stride),
+                axis=1)[:, :totwidth]
+        else:
+            from .ccittcodec import CcittError, decode_g4
+
+            raw = r.read_bytes(bmsize)
+            try:
+                gray = decode_g4(raw, totwidth, hcheight)
+            except CcittError as exc:
+                raise Jbig2Error(
+                    f"bad MMR collective bitmap: {exc}") from exc
+            coll = (gray == 0).astype(np.uint8)
+        x = 0
+        for wd in widths:
+            newsyms.append(np.ascontiguousarray(coll[:, x:x + wd]))
+            x += wd
+    # export runs (alternating no-export/export, Table B.1)
+    pool = input_syms + newsyms
+    exported: list[np.ndarray] = []
+    exflag = 0
+    i = 0
+    while i < len(pool) and len(exported) <= num_ex:
+        run = t_ex.decode(r)
+        if run is _HUFF_OOB or run < 0:
+            raise Jbig2Error("bad export run")
+        if exflag:
+            exported.extend(pool[i:i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != num_ex:
+        raise Jbig2Error(
+            f"dictionary exported {len(exported)} != declared {num_ex}")
+    return exported
+
+
+def _decode_text_region_huffman(seg_data: bytes, syms: list[np.ndarray],
+                                info: dict, pos: int, flags: int,
+                                ) -> tuple[dict, np.ndarray]:
+    """SBHUFF=1 text region (T.88 §6.4 with Huffman tables): the strip
+    walk of the arithmetic decoder with table-coded values, a raw-bit
+    CURT residual, and the runcode-built symbol ID code (§7.4.3.1.7)."""
+    sbrefine = (flags >> 1) & 1
+    if sbrefine:
+        raise Jbig2Unsupported("huffman text region with refinement")
+    sbstrips = 1 << ((flags >> 2) & 3)
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sbcombop = (flags >> 7) & 3
+    sbdefpixel = (flags >> 9) & 1
+    sbdsoffset = (flags >> 10) & 0x1F
+    if sbdsoffset > 15:
+        sbdsoffset -= 32
+    if pos + 2 > len(seg_data):
+        raise Jbig2Error("truncated huffman text region flags")
+    hflags = struct.unpack_from(">H", seg_data, pos)[0]
+    pos += 2
+    sel_fs = hflags & 3
+    sel_ds = (hflags >> 2) & 3
+    sel_dt = (hflags >> 4) & 3
+    if sel_fs > 1 or sel_ds > 2 or sel_dt > 2 \
+            or (hflags >> 6) & 0xFF or (hflags >> 14) & 1:
+        raise Jbig2Unsupported("custom huffman table in text region")
+    t_fs = _std_table(6 + sel_fs)
+    t_ds = _std_table(8 + sel_ds)
+    t_dt = _std_table(11 + sel_dt)
+    if pos + 4 > len(seg_data):
+        raise Jbig2Error("truncated text region header")
+    num_instances = struct.unpack_from(">I", seg_data, pos)[0]
+    pos += 4
+    w, h = info["w"], info["h"]
+    if w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26 \
+            or num_instances > 1 << 22:
+        raise Jbig2Error("implausible text region")
+    if not syms:
+        raise Jbig2Error("text region with no symbols")
+    r = _BitReader(seg_data[pos:])
+    # symbol ID code lengths via the 35-runcode table (§7.4.3.1.7)
+    runlens = [r.read(4) for _ in range(35)]
+    t_run = _HuffTable([("n", ln, 0, i)
+                        for i, ln in enumerate(runlens) if ln])
+    lens: list[int] = []
+    prev = 0
+    while len(lens) < len(syms):
+        c = t_run.decode(r)
+        if c is _HUFF_OOB:
+            raise Jbig2Error("bad symbol-length runcode")
+        if c < 32:
+            lens.append(c)
+            prev = c
+        elif c == 32:
+            lens.extend([prev] * (r.read(2) + 3))
+        elif c == 33:
+            lens.extend([0] * (r.read(3) + 3))
+        else:
+            lens.extend([0] * (r.read(7) + 11))
+    if len(lens) != len(syms):
+        raise Jbig2Error("symbol-length run overshoot")
+    t_sym = _HuffTable([("n", ln, 0, i)
+                        for i, ln in enumerate(lens) if ln]) \
+        if len(syms) > 1 else None
+    r.byte_align()
+    page = np.full((h, w), sbdefpixel, dtype=np.uint8)
+    log_strips = (sbstrips - 1).bit_length()
+    first_dt = t_dt.decode(r)
+    if first_dt is _HUFF_OOB:
+        raise Jbig2Error("OOB strip T")
+    stript = -first_dt * sbstrips
+    firsts = 0
+    inst = 0
+    while inst < num_instances:
+        dt = t_dt.decode(r)
+        if dt is _HUFF_OOB:
+            raise Jbig2Error("OOB strip T delta")
+        stript += dt * sbstrips
+        dfs = t_fs.decode(r)
+        if dfs is _HUFF_OOB:
+            raise Jbig2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while inst < num_instances:
+            if first:
+                first = False
+            else:
+                ids = t_ds.decode(r)
+                if ids is _HUFF_OOB:
+                    break  # end of strip
+                curs += ids + sbdsoffset
+            curt = r.read(log_strips) if sbstrips > 1 else 0
+            ti = stript + curt
+            if t_sym is None:
+                sid = 0
+            else:
+                sid = t_sym.decode(r)
+                if sid is _HUFF_OOB:
+                    raise Jbig2Error("OOB symbol id")
+            if not 0 <= sid < len(syms):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = syms[sid]
+            curs = _draw_instance(page, sym, int(curs), int(ti),
+                                  refcorner, transposed, sbcombop)
+            inst += 1
+    return info, page
+
+
+def _draw_instance(page: np.ndarray, sym: np.ndarray, curs: int,
+                   ti: int, refcorner: int, transposed: int,
+                   sbcombop: int) -> int:
+    """Place one symbol instance per §6.4.5 (REFCORNER/TRANSPOSED
+    semantics shared by the arithmetic and huffman text decoders);
+    returns the advanced S coordinate."""
+    h, w = page.shape
+    hi, wi = sym.shape
+
+    def draw(x0: int, y0: int) -> None:
+        sh, sw = sym.shape
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        x0c, y0c = max(0, x0), max(0, y0)
+        sw2 = min(sw - sx0, w - x0c)
+        sh2 = min(sh - sy0, h - y0c)
+        if sw2 <= 0 or sh2 <= 0:
+            return
+        dst = page[y0c:y0c + sh2, x0c:x0c + sw2]
+        src = sym[sy0:sy0 + sh2, sx0:sx0 + sw2]
+        if sbcombop == 0:
+            dst |= src
+        elif sbcombop == 1:
+            dst &= src
+        elif sbcombop == 2:
+            dst ^= src
+        else:
+            dst ^= src ^ 1
+
+    if not transposed:
+        if refcorner in (2, 3):
+            curs += wi - 1
+            x0 = curs - wi + 1
+        else:
+            x0 = curs
+        y0 = ti if refcorner in (1, 3) else ti - hi + 1
+        draw(x0, y0)
+        if refcorner in (0, 1):
+            curs += wi - 1
+    else:
+        if refcorner in (0, 2):
+            curs += hi - 1
+            y0 = curs - hi + 1
+        else:
+            y0 = curs
+        x0 = ti if refcorner in (0, 1) else ti - wi + 1
+        draw(x0, y0)
+        if refcorner in (1, 3):
+            curs += hi - 1
+    return curs
+
+
+def _encode_huffman_symbol_dict(symbols: list[np.ndarray]) -> bytes:
+    """Symbols (sorted by ascending height, then width) → SDHUFF=1
+    dictionary segment data with B.4/B.2/B.1 tables and UNCOMPRESSED
+    collective bitmaps (BMSIZE=0) — the simplest conforming huffman
+    arrangement."""
+    flags = 1  # SDHUFF=1; all selectors 0 (standard tables)
+    header = struct.pack(">H", flags) + struct.pack(
+        ">II", len(symbols), len(symbols))
+    t_dh, t_dw, t_bm, t_ex = (_std_table(4), _std_table(2),
+                              _std_table(1), _std_table(1))
+    w = _BitWriter()
+    classes: dict[int, list[np.ndarray]] = {}
+    for sym in symbols:
+        classes.setdefault(sym.shape[0], []).append(sym)
+    prev_h = 0
+    for hh in sorted(classes):
+        t_dh.encode(w, hh - prev_h)
+        prev_h = hh
+        prev_w = 0
+        for sym in classes[hh]:
+            t_dw.encode(w, sym.shape[1] - prev_w)
+            prev_w = sym.shape[1]
+        t_dw.encode_oob(w)
+        t_bm.encode(w, 0)  # uncompressed collective bitmap
+        coll = np.hstack(classes[hh])
+        w.write_bytes(np.packbits(coll, axis=1).tobytes())
+    t_ex.encode(w, 0)              # run of 0 non-exports,
+    t_ex.encode(w, len(symbols))   # then export everything
+    return header + w.flush()
+
+
+def _encode_huffman_text_region(instances: list[tuple],
+                                symbols: list[np.ndarray],
+                                w: int, h: int,
+                                refcorner: int = 1) -> bytes:
+    """Instances ``[(x0, y0, symbol_id)]`` (top-left anchors) →
+    SBHUFF=1 text region segment data (standard tables, flat symbol ID
+    code, SBSTRIPS=1)."""
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    flags = 1 | ((refcorner & 3) << 4)  # SBHUFF=1, LOGSBSTRIPS=0
+    hflags = 0  # B.6 / B.8 / B.11, no refinement tables, RSIZE=B.1
+    t_fs, t_ds, t_dt = _std_table(6), _std_table(8), _std_table(11)
+    bw = _BitWriter()
+    n_syms = len(symbols)
+    scl = max((n_syms - 1).bit_length(), 1)
+    # 35 runcode lengths: only runcode `scl` is used, as a 1-bit code
+    for i in range(35):
+        bw.write(1 if i == scl else 0, 4)
+    for _ in range(n_syms):
+        bw.write(0, 1)  # every symbol's code length = scl (runcode 0b0)
+    bw.byte_align()
+    t_sym = _HuffTable([("n", scl, 0, i) for i in range(n_syms)]) \
+        if n_syms > 1 else None
+
+    def enc_t(y0: int, sid: int) -> int:
+        return y0 if refcorner in (1, 3) else y0 + symbols[sid].shape[0] - 1
+
+    strips: dict[int, list[tuple]] = {}
+    for x0, y0, sid in instances:
+        strips.setdefault(enc_t(y0, sid), []).append((x0, y0, sid))
+
+    t_dt.encode(bw, 1)  # initial STRIPT = -1
+    stript = -1
+    firsts = 0
+    for st in sorted(strips):
+        t_dt.encode(bw, st - stript)
+        stript = st
+        row = sorted(strips[st])
+        first = True
+        curs = 0
+        for x0, _y0, sid in row:
+            wi = symbols[sid].shape[1]
+            if first:
+                t_fs.encode(bw, x0 - firsts)
+                firsts = x0
+                first = False
+            else:
+                t_ds.encode(bw, x0 - curs)  # SBDSOFFSET = 0
+            curs = x0 + wi - 1
+            if t_sym is not None:
+                length, code = t_sym._code_of(t_sym.lines[sid])
+                bw.write(code, length)
+        t_ds.encode_oob(bw)
+    return (region_info + struct.pack(">H", flags)
+            + struct.pack(">H", hflags)
+            + struct.pack(">I", len(instances)) + bw.flush())
+
+
+def encode_jbig2_symbol_huffman_embedded(bitmap: np.ndarray,
+                                         refcorner: int = 1) -> bytes:
+    """2-D bitmap → PDF-embedded JBIG2 stream in the HUFFMAN-CODED
+    dictionary arrangement (SDHUFF=1 collective bitmaps + SBHUFF=1 text
+    region with standard Annex-B tables) — the non-arithmetic variant
+    some encoders emit.  Lossless; inverse of
+    :func:`decode_jbig2_embedded`."""
+    bm = np.asarray(bitmap)
+    if bm.ndim != 2:
+        raise ValueError(
+            "encode_jbig2_symbol_huffman_embedded wants a 2-D bitmap")
+    bm = bm.astype(bool).astype(np.uint8)
+    h, w = bm.shape
+    comps = _connected_components(bm)
+    page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01"
+                 + b"\x00\x00")
+    if not comps:
+        return (_segment(1, 48, 1, page_info)
+                + _segment(2, 49, 1, b""))
+    comp_keys = [(mask.shape[0], mask.shape[1], mask.tobytes())
+                 for _x0, _y0, mask in comps]
+    keys = sorted(set(comp_keys))  # ascending height, width, pixels
+    classes = {key: sid for sid, key in enumerate(keys)}
+    symbols = [np.frombuffer(key[2], dtype=np.uint8)
+               .reshape(key[0], key[1]) for key in keys]
+    instances = [(x0, y0, classes[key])
+                 for (x0, y0, _mask), key in zip(comps, comp_keys)]
+    return (_segment(1, 48, 1, page_info)
+            + _segment(2, 0, 1, _encode_huffman_symbol_dict(symbols))
+            + _segment(3, 7, 1,
+                       _encode_huffman_text_region(instances, symbols,
+                                                   w, h, refcorner),
+                       refs=(2,))
+            + _segment(4, 49, 1, b""))
 
 
 def _combine(dst: np.ndarray, src: np.ndarray, op: int) -> None:

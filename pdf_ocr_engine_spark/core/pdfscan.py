@@ -275,7 +275,7 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
 
     if codec not in ("flate", "jpeg", "jpegprog", "jpeglossy", "jpegcolor",
                      "ccitt", "g3", "g3mixed", "jbig2", "jbig2sym",
-                     "gray1", "rgb", "noisy"):
+                     "jbig2huff", "gray1", "rgb", "noisy"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -328,15 +328,17 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                 from .jpegcodec import encode_jpeg_rgb
                 img = encode_jpeg_rgb(rgb, quality=100, subsample=False)
                 filter_name = "DCTDecode"
-        elif codec in ("jbig2", "jbig2sym"):
+        elif codec in ("jbig2", "jbig2sym", "jbig2huff"):
             import numpy as np
 
             from .jbig2codec import (
                 encode_jbig2_embedded,
                 encode_jbig2_symbol_embedded,
+                encode_jbig2_symbol_huffman_embedded,
             )
             enc = (encode_jbig2_symbol_embedded if codec == "jbig2sym"
-                   else encode_jbig2_embedded)
+                   else encode_jbig2_symbol_huffman_embedded
+                   if codec == "jbig2huff" else encode_jbig2_embedded)
             img = enc(
                 np.frombuffer(samples, dtype=np.uint8)
                 .reshape(int(h), int(w)) < 128)

@@ -141,8 +141,9 @@ def _text_to_mixed_payload(text, doc_id):
     1-bit Group 3 1-D (doc_id % 64 == 25) and Group 3 mixed 2-D /K 4
     (doc_id % 64 == 57) behind the same filter (old fax-origin PDFs),
     1-bit JBIG2 behind JBIG2Decode — generic-region arrangement at
-    doc_id % 64 == 17, dictionary-coded symbol/text arrangement at
-    doc_id % 64 == 49 — raw packed 1-bit rows behind plain FlateDecode
+    doc_id % 64 == 17, arithmetic dictionary-coded symbol/text
+    arrangement at doc_id % 128 == 49, HUFFMAN dictionary-coded
+    arrangement (SDHUFF/SBHUFF, Annex-B tables) at doc_id % 128 == 113 — raw packed 1-bit rows behind plain FlateDecode
     (doc_id % 64 == 33), raw 8-bit DeviceGray behind FlateDecode
     (doc_id % 128 == 1), and the same with deterministic salt/pepper
     noise + per-line ±1-px jitter (doc_id % 128 == 65) — so the stdlib
@@ -169,7 +170,8 @@ def _text_to_mixed_payload(text, doc_id):
                      else "g3" if d % 64 == 25
                      else "g3mixed" if d % 64 == 57
                      else "jbig2" if d % 64 == 17
-                     else "jbig2sym" if d % 64 == 49
+                     else "jbig2sym" if d % 128 == 49
+                     else "jbig2huff" if d % 128 == 113
                      else "gray1" if d % 64 == 33
                      else "noisy" if d % 128 == 65 else "flate")
             payload = text_to_pixel_scanned_pdf_payload(

@@ -411,8 +411,10 @@ class TestSymbolText:
         expect[10:13, 4:6] = sym.astype(bool)
         assert (gray == np.where(expect, 0, 255)).all()
 
-    def test_huffman_dict_is_unsupported(self):
-        seg = struct.pack(">H", 1) + b"\x00" * 16
+    def test_huffman_dict_with_custom_tables_is_unsupported(self):
+        # SDHUFF decodes since r5; the CUSTOM-table selectors (value 3)
+        # remain out of scope and must reject loudly
+        seg = struct.pack(">H", 1 | (3 << 2)) + b"\x00" * 16
         blob = jb._segment(1, 0, 1, seg)
         with pytest.raises(Jbig2Unsupported):
             decode_jbig2_embedded(blob, width=8, height=8)
@@ -912,3 +914,128 @@ class TestRefinementBudget:
         monkeypatch.setattr(jb, "_REF_PX_BUDGET", 100)  # 2 x 64 px > 100
         with pytest.raises(Jbig2Error, match="budget"):
             jb._decode_text_region(seg, [sym])
+
+
+class TestHuffman:
+    """SDHUFF/SBHUFF huffman-coded arrangement (T.88 Annex B standard
+    tables) — the non-arithmetic variant some encoders emit."""
+
+    def test_standard_table_values_roundtrip(self):
+        # every standard table: encode/decode identity over its normal
+        # lines' ranges plus lower/upper extremes
+        for n, lines in jb._STD_TABLE_LINES.items():
+            t = jb._HuffTable(lines)
+            values = []
+            for ln in lines:
+                if ln[0] == "n":
+                    lo = ln[3]
+                    hi = ln[3] + (1 << ln[2]) - 1
+                    values += [lo, hi, (lo + hi) // 2]
+                elif ln[0] == "l":
+                    values += [ln[2], ln[2] - 1000]
+                elif ln[0] == "u":
+                    values += [ln[2], ln[2] + 100000]
+            w = jb._BitWriter()
+            for v in values:
+                t.encode(w, v)
+            r = jb._BitReader(w.flush())
+            got = [t.decode(r) for _ in values]
+            assert got == values, f"table B.{n}"
+
+    def test_oob_roundtrip(self):
+        for n in (2, 3, 8, 9, 10):
+            t = jb._std_table(n)
+            w = jb._BitWriter()
+            t.encode(w, 0 if n < 8 else 4)
+            t.encode_oob(w)
+            r = jb._BitReader(w.flush())
+            assert t.decode(r) is not jb._HUFF_OOB
+            assert t.decode(r) is jb._HUFF_OOB
+
+    def test_random_bitmaps_roundtrip(self):
+        rng = np.random.default_rng(21)
+        for _ in range(15):
+            h = int(rng.integers(4, 40))
+            w = int(rng.integers(8, 120))
+            bm = (rng.random((h, w)) < rng.random() * 0.6).astype(np.uint8)
+            blob = jb.encode_jbig2_symbol_huffman_embedded(bm)
+            gray = decode_jbig2_embedded(blob)
+            assert (gray == np.where(bm, 0, 255)).all(), (h, w)
+
+    def test_matches_arithmetic_arrangement_pixelwise(self):
+        rng = np.random.default_rng(22)
+        bm = (rng.random((30, 90)) < 0.35).astype(np.uint8)
+        a = decode_jbig2_embedded(jb.encode_jbig2_symbol_embedded(bm))
+        hf = decode_jbig2_embedded(
+            jb.encode_jbig2_symbol_huffman_embedded(bm))
+        assert (a == hf).all()
+
+    def test_empty_page(self):
+        bm = np.zeros((10, 20), np.uint8)
+        gray = decode_jbig2_embedded(
+            jb.encode_jbig2_symbol_huffman_embedded(bm), width=20,
+            height=10)
+        assert (gray == 255).all()
+
+    def test_truncations_error_cleanly(self):
+        bm = np.eye(14, 40, dtype=bool)
+        blob = jb.encode_jbig2_symbol_huffman_embedded(bm)
+        for cut in range(0, len(blob), 3):
+            try:
+                decode_jbig2_embedded(blob[:cut], width=40, height=14)
+            except Jbig2Error:
+                pass
+
+    def test_custom_text_region_tables_unsupported(self):
+        # huffman flags with a custom (3) FS selector must reject loudly
+        region_info = struct.pack(">IIIIB", 8, 8, 0, 0, 0)
+        seg = (region_info + struct.pack(">H", 1)   # SBHUFF=1
+               + struct.pack(">H", 3)               # FS selector = custom
+               + struct.pack(">I", 1))
+        sym = [np.ones((2, 2), np.uint8)]
+        with pytest.raises(Jbig2Unsupported):
+            jb._decode_text_region(seg, sym)
+
+    def test_ocr_extraction_through_huffman_pdf(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 200, "height": 60,
+                  "words": [("huffman", 10, 10, 52, 18),
+                            ("words", 60, 10, 90, 18),
+                            ("here", 10, 30, 34, 38)]}]
+        r = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jbig2huff"), "eng",
+            recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["text"] == "huffman words\nhere"
+
+    def test_mmr_collective_bitmap_class(self):
+        # hand-encode one height class whose collective bitmap is
+        # MMR-coded (BMSIZE > 0) — the other branch of §6.5.9
+        from pdf_ocr_engine_spark.core.ccittcodec import encode_g4
+
+        syms = [np.array([[1, 0], [1, 1]], np.uint8),
+                np.array([[1, 1, 1], [1, 0, 1]], np.uint8)]
+        coll = np.hstack(syms)
+        mmr = encode_g4(coll)
+        t_dh, t_dw = jb._std_table(4), jb._std_table(2)
+        t_bm, t_ex = jb._std_table(1), jb._std_table(1)
+        w = jb._BitWriter()
+        t_dh.encode(w, 2)           # height class 2
+        t_dw.encode(w, 2)           # width 2
+        t_dw.encode(w, 1)           # width 3
+        t_dw.encode_oob(w)
+        t_bm.encode(w, len(mmr))    # MMR-coded collective bitmap
+        w.write_bytes(mmr)
+        t_ex.encode(w, 0)
+        t_ex.encode(w, 2)
+        seg = (struct.pack(">H", 1) + struct.pack(">II", 2, 2)
+               + w.flush())
+        got = jb._decode_symbol_dict(seg, [])
+        assert len(got) == 2
+        assert (got[0] == syms[0]).all()
+        assert (got[1] == syms[1]).all()
