@@ -1,0 +1,1188 @@
+"""JPEG 2000 (ITU-T T.800 / ISO-IEC 15444-1) codec in pure stdlib+numpy.
+
+The last raster family the reference handles that this repo could not:
+pdf.js decodes **JPXDecode** page images transparently
+(``/root/reference/src/lib/ocr/extractor.ts:12-37`` renders any embedded
+raster before ``ocr.ts:50-110`` reads it); JPEG 2000 is the archive /
+ebook-scanner format (JSTOR-style scans, DjVu re-exports).  This module
+decodes the common PDF-embedded case from the public spec:
+
+* JP2 box wrapper or raw codestream (auto-detected),
+* single tile, single grayscale component, 1-8 bit unsigned,
+* reversible 5/3 integer wavelet (T.800 Annex F), any 0-10
+  decomposition levels,
+* no-quantization (reversible) QCD,
+* EBCOT Tier-1 coefficient coding (Annex D: significance-propagation /
+  magnitude-refinement / cleanup passes, run-length mode, sign
+  contexts) over the MQ arithmetic coder shared with
+  :mod:`core.jbig2codec` (T.88 Annex E ≡ T.800 Annex C — the two
+  standards specify the same coder),
+* Tier-2 packet headers (Annex B: tag trees, bit-stuffed headers,
+  Lblock length signalling), LRCP/RLCP progressions, multi-layer
+  pass accumulation, multiple tile-parts of the one tile.
+
+Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
+(a :class:`JpxError`): irreversible 9/7 streams, multi-component /
+subsampled images, custom precincts, COC/QCC/POC/PPM overrides, coder
+bypass/termination style bits.  Malformed streams raise
+:class:`JpxError` — error-as-value at the extraction layer
+(``operators/ocr.py`` maps it to ``status='decode_error'``), never a
+crash, and every allocation is budget-capped before it happens.
+
+The encoder half exists for fixtures (same convention as
+``core/ccittcodec`` / ``core/jbig2codec``): it emits real, spec-shaped
+codestreams — SIZ/COD/QCD/SOT/SOD markers, tag-tree-coded packet
+headers, per-block MQ codeword segments — that the decoder has no
+private knowledge of, so round-trip tests exercise the same structure a
+foreign encoder would produce.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jbig2codec import _MQDecoder, _MQEncoder
+
+__all__ = [
+    "JpxError",
+    "JpxUnsupported",
+    "decode_jpx_gray",
+    "encode_jp2_gray",
+]
+
+
+class JpxError(Exception):
+    """Malformed or truncated JPEG 2000 stream."""
+
+
+class JpxUnsupported(JpxError):
+    """Valid-looking stream using an arrangement outside this decoder's
+    scope (9/7 irreversible, multi-component, custom precincts, ...)."""
+
+
+# --------------------------------------------------------------------------
+# budgets — enforced before any allocation (repo codec convention)
+# --------------------------------------------------------------------------
+
+_MAX_PIXELS = 1 << 26          # whole-image pixel budget
+_MAX_DIM = 1 << 15             # per-axis cap; keeps default 2^15 precincts
+                               # single-precinct at every resolution
+_MAX_LEVELS = 10
+_MAX_LAYERS = 1 << 12
+_MAX_MB = 31                   # magnitude bitplanes per block
+_MAX_BLOCKS = 1 << 20          # total code-blocks across all bands
+
+
+# --------------------------------------------------------------------------
+# T1 context model (T.800 Annex D)
+# --------------------------------------------------------------------------
+
+#: context ids: 0-8 significance, 9-13 sign, 14-16 magnitude refinement,
+#: 17 run-length, 18 uniform
+_CTX_RL = 17
+_CTX_UNI = 18
+
+
+def _fresh_t1_ctx() -> tuple[list, list]:
+    """Initial MQ context states (T.800 Table D.7): all (index 0, MPS 0)
+    except the all-zero-neighbourhood significance context (index 4),
+    run-length (index 3) and uniform (index 46)."""
+    idx = [0] * 19
+    idx[0] = 4
+    idx[_CTX_RL] = 3
+    idx[_CTX_UNI] = 46
+    return idx, [0] * 19
+
+
+def _build_sig_luts() -> dict:
+    """Significance-coding context per (sum-H, sum-V, sum-D) and band
+    class (T.800 Table D.1).  LL and LH share the H-primary column, HL
+    swaps H and V, HH keys on the diagonal sum."""
+    luts = {}
+    for cls in ("ll_lh", "hl", "hh"):
+        t = [[[0] * 5 for _ in range(3)] for _ in range(3)]
+        for sh in range(3):
+            for sv in range(3):
+                for sd in range(5):
+                    if cls == "hh":
+                        hv = sh + sv
+                        if sd >= 3:
+                            c = 8
+                        elif sd == 2:
+                            c = 7 if hv >= 1 else 6
+                        elif sd == 1:
+                            c = 5 if hv >= 2 else 4 if hv == 1 else 3
+                        else:
+                            c = 2 if hv >= 2 else 1 if hv == 1 else 0
+                    else:
+                        h_, v_ = (sh, sv) if cls == "ll_lh" else (sv, sh)
+                        if h_ == 2:
+                            c = 8
+                        elif h_ == 1:
+                            c = 7 if v_ >= 1 else 6 if sd >= 1 else 5
+                        elif v_ == 2:
+                            c = 4
+                        elif v_ == 1:
+                            c = 3
+                        else:
+                            c = 2 if sd >= 2 else 1 if sd == 1 else 0
+                    t[sh][sv][sd] = c
+        luts[cls] = t
+    return luts
+
+
+_SIG_LUT = _build_sig_luts()
+
+#: sign-coding context and XOR bit per (Hc+1, Vc+1) (T.800 Table D.2)
+_SIGN_CTX = (
+    ((13, 1), (12, 1), (11, 1)),   # Hc = -1
+    ((10, 1), (9, 0), (10, 0)),    # Hc = 0
+    ((11, 0), (12, 0), (13, 0)),   # Hc = +1
+)
+
+
+class _T1State:
+    """Per-code-block coder state shared by the encode and decode passes:
+    flat significance / visited / refined / sign arrays plus per-stripe
+    significance counts (the skip accelerator for blank regions)."""
+
+    __slots__ = ("w", "h", "sig", "pi", "ref", "sgn",
+                 "stripe_cnt", "lut")
+
+    def __init__(self, w: int, h: int, cls: str) -> None:
+        n = w * h
+        self.w, self.h = w, h
+        self.sig = [0] * n
+        self.pi = [0] * n
+        self.ref = [0] * n
+        self.sgn = [0] * n
+        self.stripe_cnt = [0] * ((h + 3) // 4)
+        self.lut = _SIG_LUT[cls]
+
+    def counts(self, x: int, y: int, i: int) -> tuple[int, int, int]:
+        sig, w = self.sig, self.w
+        left, right = x > 0, x < w - 1
+        sh = sv = sd = 0
+        if left:
+            sh += sig[i - 1]
+        if right:
+            sh += sig[i + 1]
+        if y > 0:
+            j = i - w
+            sv += sig[j]
+            if left:
+                sd += sig[j - 1]
+            if right:
+                sd += sig[j + 1]
+        if y < self.h - 1:
+            j = i + w
+            sv += sig[j]
+            if left:
+                sd += sig[j - 1]
+            if right:
+                sd += sig[j + 1]
+        return sh, sv, sd
+
+    def sign_ctx(self, x: int, y: int, i: int) -> tuple[int, int]:
+        sig, sgn, w = self.sig, self.sgn, self.w
+        hc = vc = 0
+        if x > 0 and sig[i - 1]:
+            hc += -1 if sgn[i - 1] else 1
+        if x < w - 1 and sig[i + 1]:
+            hc += -1 if sgn[i + 1] else 1
+        if y > 0 and sig[i - w]:
+            vc += -1 if sgn[i - w] else 1
+        if y < self.h - 1 and sig[i + w]:
+            vc += -1 if sgn[i + w] else 1
+        hc = 1 if hc > 0 else -1 if hc < 0 else 0
+        vc = 1 if vc > 0 else -1 if vc < 0 else 0
+        return _SIGN_CTX[hc + 1][vc + 1]
+
+    def set_sig(self, y: int, i: int, neg: int) -> None:
+        self.sig[i] = 1
+        self.sgn[i] = neg
+        self.stripe_cnt[y >> 2] += 1
+
+    def stripe_live(self, k: int) -> bool:
+        """True iff stripe k or a neighbouring stripe holds significance
+        (conservative candidate test for the SPP stripe skip)."""
+        cnt = self.stripe_cnt
+        if cnt[k]:
+            return True
+        if k > 0 and cnt[k - 1]:
+            return True
+        return k + 1 < len(cnt) and bool(cnt[k + 1])
+
+
+def _t1_decode(data: bytes, w: int, h: int, npasses: int, nbps: int,
+               cls: str) -> np.ndarray:
+    """One code-block's codeword segment → (h, w) int32 coefficients."""
+    out = np.zeros((h, w), np.int32)
+    if nbps <= 0 or npasses <= 0:
+        return out
+    if npasses > 3 * nbps - 2:
+        raise JpxError(f"{npasses} passes exceed {nbps} bitplanes")
+    mq = _MQDecoder(bytes(data))
+    idx, mps = _fresh_t1_ctx()
+    dec = mq.decode
+    st = _T1State(w, h, cls)
+    sig, pi = st.sig, st.pi
+    lut = st.lut
+    mag = [0] * (w * h)
+    weight = nbps - 1
+    for p in range(npasses):
+        kind = 2 if p == 0 else (p - 1) % 3
+        bit = 1 << weight
+        if kind == 0:                                   # significance prop
+            for y0 in range(0, h, 4):
+                if not st.stripe_live(y0 >> 2):
+                    continue
+                ymax = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, ymax):
+                        i = y * w + x
+                        if sig[i]:
+                            continue
+                        sh, sv, sd = st.counts(x, y, i)
+                        if not (sh | sv | sd):
+                            continue
+                        if dec(idx, mps, lut[sh][sv][sd]):
+                            sc, xr = st.sign_ctx(x, y, i)
+                            st.set_sig(y, i, dec(idx, mps, sc) ^ xr)
+                            mag[i] = bit
+                        pi[i] = 1
+        elif kind == 1:                                 # magnitude refine
+            ref = st.ref
+            for y0 in range(0, h, 4):
+                if not st.stripe_cnt[y0 >> 2]:
+                    continue
+                ymax = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, ymax):
+                        i = y * w + x
+                        if not sig[i] or pi[i]:
+                            continue
+                        if ref[i]:
+                            c = 16
+                        else:
+                            sh, sv, sd = st.counts(x, y, i)
+                            c = 15 if (sh | sv | sd) else 14
+                            ref[i] = 1
+                        if dec(idx, mps, c):
+                            mag[i] |= bit
+        else:                                           # cleanup
+            for y0 in range(0, h, 4):
+                ymax = min(y0 + 4, h)
+                full = ymax - y0 == 4
+                clean = full and not st.stripe_live(y0 >> 2)
+                for x in range(w):
+                    y = y0
+                    rl = clean
+                    if full and not clean:
+                        rl = True
+                        for yy in range(y0, ymax):
+                            i = yy * w + x
+                            if sig[i] or pi[i]:
+                                rl = False
+                                break
+                            sh, sv, sd = st.counts(x, yy, i)
+                            if sh | sv | sd:
+                                rl = False
+                                break
+                    if rl:
+                        if not dec(idx, mps, _CTX_RL):
+                            continue
+                        r = (dec(idx, mps, _CTX_UNI) << 1) \
+                            | dec(idx, mps, _CTX_UNI)
+                        y = y0 + r
+                        i = y * w + x
+                        sc, xr = st.sign_ctx(x, y, i)
+                        st.set_sig(y, i, dec(idx, mps, sc) ^ xr)
+                        mag[i] = bit
+                        clean = False
+                        y += 1
+                    for yy in range(y, ymax):
+                        i = yy * w + x
+                        if sig[i] or pi[i]:
+                            continue
+                        sh, sv, sd = st.counts(x, yy, i)
+                        if dec(idx, mps, lut[sh][sv][sd]):
+                            sc, xr = st.sign_ctx(x, yy, i)
+                            st.set_sig(yy, i, dec(idx, mps, sc) ^ xr)
+                            mag[i] = bit
+                            clean = False
+            weight -= 1
+            for i, v in enumerate(pi):
+                if v:
+                    pi[i] = 0
+    flat = out.reshape(-1)
+    sgn = st.sgn
+    for i, m in enumerate(mag):
+        if m:
+            flat[i] = -m if sgn[i] else m
+    return out
+
+
+def _t1_encode(coeffs: np.ndarray, cls: str) -> tuple[bytes, int, int]:
+    """(h, w) int coefficients → (codeword segment, n passes, n bitplanes).
+    All-zero blocks return ``(b"", 0, 0)`` (not included in any packet)."""
+    h, w = coeffs.shape
+    absv = np.abs(coeffs).astype(np.int64)
+    vmax = int(absv.max()) if absv.size else 0
+    if vmax == 0:
+        return b"", 0, 0
+    nbps = vmax.bit_length()
+    npasses = 3 * nbps - 2
+    enc = _MQEncoder()
+    idx, mps = _fresh_t1_ctx()
+    code = enc.encode
+    st = _T1State(w, h, cls)
+    sig, pi = st.sig, st.pi
+    lut = st.lut
+    av = [int(v) for v in absv.reshape(-1)]
+    neg = [1 if v < 0 else 0 for v in coeffs.reshape(-1)]
+    weight = nbps - 1
+    for p in range(npasses):
+        kind = 2 if p == 0 else (p - 1) % 3
+        if kind == 0:                                   # significance prop
+            for y0 in range(0, h, 4):
+                if not st.stripe_live(y0 >> 2):
+                    continue
+                ymax = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, ymax):
+                        i = y * w + x
+                        if sig[i]:
+                            continue
+                        sh, sv, sd = st.counts(x, y, i)
+                        if not (sh | sv | sd):
+                            continue
+                        b = (av[i] >> weight) & 1
+                        code(idx, mps, lut[sh][sv][sd], b)
+                        if b:
+                            sc, xr = st.sign_ctx(x, y, i)
+                            code(idx, mps, sc, neg[i] ^ xr)
+                            st.set_sig(y, i, neg[i])
+                        pi[i] = 1
+        elif kind == 1:                                 # magnitude refine
+            ref = st.ref
+            for y0 in range(0, h, 4):
+                if not st.stripe_cnt[y0 >> 2]:
+                    continue
+                ymax = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, ymax):
+                        i = y * w + x
+                        if not sig[i] or pi[i]:
+                            continue
+                        if ref[i]:
+                            c = 16
+                        else:
+                            sh, sv, sd = st.counts(x, y, i)
+                            c = 15 if (sh | sv | sd) else 14
+                            ref[i] = 1
+                        code(idx, mps, c, (av[i] >> weight) & 1)
+        else:                                           # cleanup
+            for y0 in range(0, h, 4):
+                ymax = min(y0 + 4, h)
+                full = ymax - y0 == 4
+                clean = full and not st.stripe_live(y0 >> 2)
+                for x in range(w):
+                    y = y0
+                    rl = clean
+                    if full and not clean:
+                        rl = True
+                        for yy in range(y0, ymax):
+                            i = yy * w + x
+                            if sig[i] or pi[i]:
+                                rl = False
+                                break
+                            sh, sv, sd = st.counts(x, yy, i)
+                            if sh | sv | sd:
+                                rl = False
+                                break
+                    if rl:
+                        bits = [(av[(y0 + k) * w + x] >> weight) & 1
+                                for k in range(4)]
+                        if not any(bits):
+                            code(idx, mps, _CTX_RL, 0)
+                            continue
+                        code(idx, mps, _CTX_RL, 1)
+                        r = bits.index(1)
+                        code(idx, mps, _CTX_UNI, (r >> 1) & 1)
+                        code(idx, mps, _CTX_UNI, r & 1)
+                        y = y0 + r
+                        i = y * w + x
+                        sc, xr = st.sign_ctx(x, y, i)
+                        code(idx, mps, sc, neg[i] ^ xr)
+                        st.set_sig(y, i, neg[i])
+                        clean = False
+                        y += 1
+                    for yy in range(y, ymax):
+                        i = yy * w + x
+                        if sig[i] or pi[i]:
+                            continue
+                        sh, sv, sd = st.counts(x, yy, i)
+                        b = (av[i] >> weight) & 1
+                        code(idx, mps, lut[sh][sv][sd], b)
+                        if b:
+                            sc, xr = st.sign_ctx(x, yy, i)
+                            code(idx, mps, sc, neg[i] ^ xr)
+                            st.set_sig(yy, i, neg[i])
+                            clean = False
+            weight -= 1
+            for i, v in enumerate(pi):
+                if v:
+                    pi[i] = 0
+    return enc.flush(), npasses, nbps
+
+
+# --------------------------------------------------------------------------
+# 5/3 reversible wavelet (T.800 Annex F)
+# --------------------------------------------------------------------------
+
+def _fwd53_axis(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """1-D forward lifting along axis 0 with symmetric extension; even
+    absolute indices are low-pass (the image origin is 0)."""
+    n = a.shape[0]
+    if n == 1:
+        return a.astype(np.int64), a[:0].astype(np.int64)
+    xe = a[0::2].astype(np.int64)
+    xo = a[1::2].astype(np.int64)
+    ce, co = xe.shape[0], xo.shape[0]
+    re = xe[1:] if ce > co else np.concatenate([xe[1:], xe[-1:]])
+    hb = xo - ((xe[:co] + re) >> 1)
+    hl = np.concatenate([hb[:1], hb[:ce - 1]])
+    hr = hb[:ce] if co >= ce else np.concatenate([hb, hb[-1:]])
+    lb = xe + ((hl + hr + 2) >> 2)
+    return lb, hb
+
+
+def _inv53_axis(lb: np.ndarray, hb: np.ndarray) -> np.ndarray:
+    ce, co = lb.shape[0], hb.shape[0]
+    n = ce + co
+    if n == 1:
+        return lb.astype(np.int64)
+    lb = lb.astype(np.int64)
+    hb = hb.astype(np.int64)
+    hl = np.concatenate([hb[:1], hb[:ce - 1]])
+    hr = hb[:ce] if co >= ce else np.concatenate([hb, hb[-1:]])
+    xe = lb - ((hl + hr + 2) >> 2)
+    re = xe[1:] if ce > co else np.concatenate([xe[1:], xe[-1:]])
+    xo = hb + ((xe[:co] + re) >> 1)
+    out = np.empty((n,) + lb.shape[1:], np.int64)
+    out[0::2] = xe
+    out[1::2] = xo
+    return out
+
+
+def _fwd53_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
+    """One decomposition: vertical then horizontal lifting → LL, HL
+    (horizontally high-pass), LH, HH.  The inverse mirrors the order, so
+    reversibility is exact."""
+    lv, hv = _fwd53_axis(a)
+    ll_t, hl_t = _fwd53_axis(np.ascontiguousarray(lv.T))
+    lh_t, hh_t = _fwd53_axis(np.ascontiguousarray(hv.T))
+    return ll_t.T, hl_t.T, lh_t.T, hh_t.T
+
+
+def _inv53_2d(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray,
+              hh: np.ndarray) -> np.ndarray:
+    lv = _inv53_axis(np.ascontiguousarray(ll.T),
+                     np.ascontiguousarray(hl.T)).T
+    hv = _inv53_axis(np.ascontiguousarray(lh.T),
+                     np.ascontiguousarray(hh.T)).T
+    return _inv53_axis(np.ascontiguousarray(lv), np.ascontiguousarray(hv))
+
+
+def _band_dims(w: int, h: int, levels: int) -> list[dict]:
+    """Resolution-major band layout: entry 0 is ``LL_n``; entry r>0 holds
+    the HL/LH/HH triple at decomposition level ``n-r+1``.  Each band
+    carries its T1 context class and QCD gain."""
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    res = [{"bands": [("ll_lh", dims[levels][0], dims[levels][1], 0)]}]
+    for r in range(1, levels + 1):
+        lw, lh_ = dims[levels - r]
+        cw, ch = dims[levels - r + 1]
+        hw, hh_ = lw - cw, lh_ - ch
+        res.append({"bands": [("hl", hw, ch, 1),
+                              ("ll_lh", cw, hh_, 1),
+                              ("hh", hw, hh_, 2)]})
+    return res
+
+
+# --------------------------------------------------------------------------
+# Tier-2: tag trees and bit-stuffed packet headers (T.800 Annex B)
+# --------------------------------------------------------------------------
+
+class _HdrWriter:
+    """MSB-first bit writer with JPEG 2000 header stuffing: a byte after
+    an emitted 0xFF carries only 7 bits, and a header never ends 0xFF."""
+
+    __slots__ = ("out", "_acc", "_n", "_cap")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+        self._cap = 8
+
+    def bit(self, b: int) -> None:
+        self._acc = (self._acc << 1) | (b & 1)
+        self._n += 1
+        if self._n == self._cap:
+            self.out.append(self._acc)
+            self._cap = 7 if self._acc == 0xFF else 8
+            self._acc = 0
+            self._n = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.out.append(self._acc << (self._cap - self._n))
+            self._acc = 0
+            self._n = 0
+            self._cap = 8
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _HdrReader:
+    """Mirror of :class:`_HdrWriter` over a shared buffer + cursor."""
+
+    __slots__ = ("data", "pos", "_acc", "_n", "_prev")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self._prev = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise JpxError("truncated packet header")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self._prev == 0xFF:
+                if b & 0x80:
+                    raise JpxError("invalid packet-header bit stuffing")
+                self._n = 7
+            else:
+                self._n = 8
+            self._acc = b
+            self._prev = b
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """Finish the header: drop partial bits, consume the stuffing
+        byte a trailing 0xFF forces, return the body offset."""
+        self._n = 0
+        if self._prev == 0xFF:
+            if self.pos >= len(self.data):
+                raise JpxError("truncated packet header")
+            self.pos += 1
+        self._prev = 0
+        return self.pos
+
+
+class _TagTree:
+    """T.800 B.10.2 tag tree over a w×h leaf grid.  Decoder state
+    persists across packets (thresholds only ever grow)."""
+
+    __slots__ = ("sizes", "off", "value", "low", "known")
+
+    def __init__(self, w: int, h: int) -> None:
+        sizes = [(w, h)]
+        while sizes[-1] != (1, 1):
+            pw, ph = sizes[-1]
+            sizes.append(((pw + 1) // 2, (ph + 1) // 2))
+        self.sizes = sizes
+        self.off = [0]
+        for sw, sh in sizes:
+            self.off.append(self.off[-1] + sw * sh)
+        n = self.off[-1]
+        self.value = [1 << 30] * n
+        self.low = [0] * n
+        self.known = [False] * n
+
+    def _path(self, x: int, y: int) -> list[int]:
+        path = []
+        for lev, (sw, _sh) in enumerate(self.sizes):
+            path.append(self.off[lev] + y * sw + x)
+            x >>= 1
+            y >>= 1
+        path.reverse()              # root first
+        return path
+
+    def set(self, x: int, y: int, v: int) -> None:
+        node = self.off[0] + y * self.sizes[0][0] + x
+        self.value[node] = v
+
+    def finalize(self) -> None:
+        """Propagate child minima up — call once after all leaf values
+        are set (encoder side)."""
+        for lev in range(1, len(self.sizes)):
+            pw, _ph = self.sizes[lev]
+            cw, ch = self.sizes[lev - 1]
+            for cy in range(ch):
+                for cx in range(cw):
+                    child = self.off[lev - 1] + cy * cw + cx
+                    parent = self.off[lev] + (cy >> 1) * pw + (cx >> 1)
+                    if self.value[child] < self.value[parent]:
+                        self.value[parent] = self.value[child]
+
+    def encode(self, x: int, y: int, threshold: int, bw: _HdrWriter) -> None:
+        value, low, known = self.value, self.low, self.known
+        cur = 0
+        for node in self._path(x, y):
+            if cur > low[node]:
+                low[node] = cur
+            else:
+                cur = low[node]
+            while cur < threshold:
+                if cur >= value[node]:
+                    if not known[node]:
+                        bw.bit(1)
+                        known[node] = True
+                    break
+                bw.bit(0)
+                cur += 1
+            low[node] = cur
+
+    def decode(self, x: int, y: int, threshold: int,
+               br: _HdrReader) -> bool:
+        """True iff the leaf value is < threshold (refining state)."""
+        value, low, known = self.value, self.low, self.known
+        cur = 0
+        node = 0
+        for node in self._path(x, y):
+            if cur > low[node]:
+                low[node] = cur
+            else:
+                cur = low[node]
+            while cur < threshold and not known[node]:
+                if br.bit():
+                    value[node] = cur
+                    known[node] = True
+                else:
+                    cur += 1
+            low[node] = cur
+            if known[node]:
+                cur = max(cur, value[node])
+        return known[node] and self.value[node] < threshold
+
+
+def _write_npasses(bw: _HdrWriter, n: int) -> None:
+    """Coding-pass count codeword (T.800 Table B.4)."""
+    if n == 1:
+        bw.bit(0)
+    elif n == 2:
+        bw.bit(1)
+        bw.bit(0)
+    elif n <= 5:
+        bw.bits(0b11, 2)
+        bw.bits(n - 3, 2)
+    elif n <= 36:
+        bw.bits(0b1111, 4)
+        bw.bits(n - 6, 5)
+    elif n <= 164:
+        bw.bits(0b111111111, 9)
+        bw.bits(n - 37, 7)
+    else:
+        raise JpxError(f"cannot signal {n} coding passes")
+
+
+def _read_npasses(br: _HdrReader) -> int:
+    if not br.bit():
+        return 1
+    if not br.bit():
+        return 2
+    v = br.bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.bits(7)
+
+
+class _Block:
+    """Per-code-block packet-parsing state (persists across layers)."""
+
+    __slots__ = ("x", "y", "w", "h", "included", "nbps", "lblock",
+                 "npasses", "data")
+
+    def __init__(self, x: int, y: int, w: int, h: int) -> None:
+        self.x, self.y, self.w, self.h = x, y, w, h
+        self.included = False
+        self.nbps = 0
+        self.lblock = 3
+        self.npasses = 0
+        self.data = bytearray()
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+def _grid(n: int, step: int) -> int:
+    return (n + step - 1) // step
+
+
+def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
+                    cblk: int = 64, wrap_jp2: bool = True) -> bytes:
+    """Grayscale 2-D uint8 array → lossless JPEG 2000 bytes (JP2 file by
+    default; ``wrap_jp2=False`` emits the raw codestream).  ``bpc`` sets
+    the component precision: 8 stores samples as-is, lower depths
+    re-quantize (``bpc=1`` thresholds at 128 — the bilevel-scan form,
+    the fixture corpus's fast tier: ±1 coefficients keep the T1 pass
+    count tiny while exercising the whole wavelet/packet machinery)."""
+    if img.ndim != 2 or img.size == 0:
+        raise ValueError("need a non-empty 2-D grayscale array")
+    if not 1 <= bpc <= 8:
+        raise ValueError(f"unsupported bpc {bpc}")
+    if not 0 <= levels <= _MAX_LEVELS:
+        raise ValueError(f"unsupported decomposition levels {levels}")
+    if cblk & (cblk - 1) or not 4 <= cblk <= 64:
+        # square blocks: xcb + ycb <= 12 (T.800 A.6.1) caps a side at 64
+        raise ValueError(f"code-block size {cblk} not a power of two in "
+                         "[4, 64]")
+    h, w = img.shape
+    if w > _MAX_DIM or h > _MAX_DIM:
+        raise ValueError(f"image {w}x{h} exceeds {_MAX_DIM} per axis")
+    if bpc == 8:
+        samples = img.astype(np.int64)
+    else:
+        top = (1 << bpc) - 1
+        samples = ((img.astype(np.int64) * top + 127) // 255)
+    a = samples - (1 << (bpc - 1))
+
+    per_res: list[list[np.ndarray]] = []
+    ll = a
+    lvl_bands = []
+    for _ in range(levels):
+        ll, hl, lh, hh = _fwd53_2d(ll)
+        lvl_bands.append([hl, lh, hh])
+    per_res.append([ll])
+    for r in range(1, levels + 1):
+        per_res.append(lvl_bands[levels - r])
+
+    layout = _band_dims(w, h, levels)
+    guard = 2
+    # T1-encode every code-block; collect per-band block lists + exponents
+    res_blocks: list[list[list[dict]]] = []
+    exps: list[int] = []
+    for r, resol in enumerate(layout):
+        res_blocks.append([])
+        for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
+            arr = per_res[r][bi]
+            assert arr.shape == (bh_, bw_), (arr.shape, bw_, bh_)
+            blocks = []
+            band_max = 0
+            for by in range(_grid(bh_, cblk)):
+                for bx in range(_grid(bw_, cblk)):
+                    sub = arr[by * cblk:(by + 1) * cblk,
+                              bx * cblk:(bx + 1) * cblk]
+                    data, npasses, nbps = _t1_encode(sub, cls)
+                    band_max = max(band_max, nbps)
+                    blocks.append({"x": bx, "y": by, "data": data,
+                                   "npasses": npasses, "nbps": nbps})
+            mb = max(band_max, 1)
+            exps.append(mb - guard + 1 if mb - guard + 1 > 0 else 0)
+            mb = guard + exps[-1] - 1
+            for blk in blocks:
+                blk["p"] = mb - blk["nbps"]
+            res_blocks[r].append(blocks)
+
+    # Tier-2: one packet per resolution (single layer / component /
+    # precinct), LRCP order
+    body = bytearray()
+    for r, resol in enumerate(layout):
+        hdr = _HdrWriter()
+        included = [blk for band in res_blocks[r] for blk in band
+                    if blk["npasses"]]
+        if not included:
+            hdr.bit(0)
+            body += hdr.flush()
+            continue
+        hdr.bit(1)
+        payload = bytearray()
+        for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
+            if bw_ == 0 or bh_ == 0:
+                continue
+            gw, gh = _grid(bw_, cblk), _grid(bh_, cblk)
+            incl = _TagTree(gw, gh)
+            imsb = _TagTree(gw, gh)
+            for blk in res_blocks[r][bi]:
+                incl.set(blk["x"], blk["y"],
+                         0 if blk["npasses"] else 1)
+                imsb.set(blk["x"], blk["y"],
+                         blk["p"] if blk["npasses"] else 0)
+            incl.finalize()
+            imsb.finalize()
+            for blk in res_blocks[r][bi]:
+                incl.encode(blk["x"], blk["y"], 1, hdr)
+                if not blk["npasses"]:
+                    continue
+                imsb.encode(blk["x"], blk["y"], blk["p"] + 1, hdr)
+                _write_npasses(hdr, blk["npasses"])
+                length = len(blk["data"])
+                lblock = 3
+                nbits = lblock + blk["npasses"].bit_length() - 1
+                extra = max(0, length.bit_length() - nbits)
+                for _ in range(extra):
+                    hdr.bit(1)
+                hdr.bit(0)
+                hdr.bits(length, nbits + extra)
+                payload += blk["data"]
+        body += hdr.flush() + payload
+
+    # codestream markers
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1) \
+        + bytes([bpc - 1, 1, 1])
+    xcb = cblk.bit_length() - 1
+    cod = bytes([0]) + bytes([0]) + struct.pack(">H", 1) + bytes([0]) \
+        + bytes([levels, xcb - 2, xcb - 2, 0, 1])
+    if max(exps) > 31:
+        raise ValueError("coefficient range exceeds QCD exponent field")
+    qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
+    head = (b"\xffO"                      # SOC
+            + seg(0xFF51, siz)
+            + seg(0xFF52, cod)
+            + seg(0xFF5C, qcd))
+    sot_payload_len = 10                  # Lsot=10 fixed
+    psot = 2 + sot_payload_len + 2 + len(body)   # SOT..SOD..body
+    sot = seg(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))
+    stream = head + sot + b"\xff\x93" + bytes(body) + b"\xff\xd9"
+    if not wrap_jp2:
+        return stream
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, 1, bpc - 1, 7, 0, 0))
+    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", 17))
+    return (struct.pack(">I", 12) + b"jP  " + b"\x0d\x0a\x87\x0a"
+            + box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
+            + box(b"jp2h", ihdr + colr)
+            + box(b"jp2c", stream))
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+def _unwrap_jp2(data: bytes) -> bytes:
+    """JP2 box file → contained codestream; raw codestreams pass
+    through."""
+    if data[:4] == b"\xffO\xffQ":        # SOC + SIZ
+        return data
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        off = pos + 8
+        if ln == 1:
+            if pos + 16 > n:
+                raise JpxError("truncated XLBox")
+            (ln,) = struct.unpack_from(">Q", data, pos + 8)
+            off = pos + 16
+        elif ln == 0:
+            ln = n - pos
+        if ln < off - pos or pos + ln > n:
+            raise JpxError("malformed JP2 box length")
+        if btype == b"jp2c":
+            return data[off:pos + ln]
+        pos += ln
+    raise JpxError("no jp2c codestream box found")
+
+
+def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
+    """Main header + tile-parts → (params, concatenated packet bytes)."""
+    if cs[:2] != b"\xffO":
+        raise JpxError("missing SOC marker")
+    pos = 2
+    siz = cod = qcd = None
+    n = len(cs)
+    body = bytearray()
+    while True:
+        if pos + 2 > n:
+            raise JpxError("truncated codestream header")
+        (marker,) = struct.unpack_from(">H", cs, pos)
+        if marker == 0xFFD9:            # EOC
+            break
+        if marker == 0xFF93:
+            raise JpxError("SOD before SOT")
+        if pos + 4 > n:
+            raise JpxError("truncated codestream header")
+        (ln,) = struct.unpack_from(">H", cs, pos + 2)
+        seg_ = cs[pos + 4:pos + 2 + ln]
+        if len(seg_) != ln - 2:
+            raise JpxError("truncated marker segment")
+        if marker == 0xFF51:
+            siz = seg_
+            pos += 2 + ln
+        elif marker == 0xFF52:
+            cod = seg_
+            pos += 2 + ln
+        elif marker == 0xFF5C:
+            qcd = seg_
+            pos += 2 + ln
+        elif marker in (0xFF64, 0xFF55, 0xFF57, 0xFF63):  # COM/TLM/PLM/CRG
+            pos += 2 + ln
+        elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF58, 0xFF60,
+                        0xFF61):
+            raise JpxUnsupported(
+                f"marker 0x{marker:04X} (per-component/POC/PPM overrides)"
+                " not supported")
+        elif marker == 0xFF90:          # SOT
+            if ln != 10:
+                raise JpxError("bad SOT length")
+            isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg_)
+            if isot != 0:
+                raise JpxUnsupported("multi-tile images not supported")
+            part_end = pos + psot if psot else n - 2
+            if part_end > n or part_end <= pos:
+                raise JpxError("SOT Psot out of range")
+            tpos = pos + 12
+            # tile-part header: only SOD expected (overrides unsupported)
+            while True:
+                if tpos + 2 > n:
+                    raise JpxError("truncated tile-part header")
+                (tm,) = struct.unpack_from(">H", cs, tpos)
+                if tm == 0xFF93:
+                    tpos += 2
+                    break
+                if tm in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D, 0xFF5E, 0xFF61):
+                    raise JpxUnsupported("tile-part coding overrides not"
+                                         " supported")
+                if tpos + 4 > n:
+                    raise JpxError("truncated tile-part header")
+                (tln,) = struct.unpack_from(">H", cs, tpos + 2)
+                tpos += 2 + tln
+            body += cs[tpos:part_end]
+            pos = part_end
+            if pos + 2 <= n and cs[pos:pos + 2] == b"\xff\xd9":
+                break
+        else:
+            raise JpxError(f"unexpected marker 0x{marker:04X}")
+    if siz is None or cod is None or qcd is None:
+        raise JpxError("missing SIZ/COD/QCD marker")
+
+    if len(siz) < 39:
+        raise JpxError("truncated SIZ")
+    (rsiz, xs, ys, xos, yos, xts, yts, xtos, ytos, csiz) = \
+        struct.unpack_from(">HIIIIIIIIH", siz, 0)
+    del rsiz
+    if csiz != 1:
+        raise JpxUnsupported(f"{csiz}-component images not supported")
+    ssiz, xr, yr = siz[36], siz[37], siz[38]
+    if ssiz & 0x80:
+        raise JpxUnsupported("signed components not supported")
+    bpc = (ssiz & 0x7F) + 1
+    if bpc > 8:
+        raise JpxUnsupported(f"{bpc}-bit components not supported")
+    if xr != 1 or yr != 1:
+        raise JpxUnsupported("subsampled components not supported")
+    if xos or yos or xtos or ytos:
+        raise JpxUnsupported("image/tile offsets not supported")
+    w, h = xs, ys
+    if w == 0 or h == 0 or w > _MAX_DIM or h > _MAX_DIM \
+            or w * h > _MAX_PIXELS:
+        raise JpxError(f"image size {w}x{h} out of bounds")
+    if xts < w or yts < h:
+        raise JpxUnsupported("multi-tile images not supported")
+
+    if len(cod) < 10:
+        raise JpxError("truncated COD")
+    scod = cod[0]
+    if scod & 0x07:
+        raise JpxUnsupported("custom precincts / SOP / EPH not supported")
+    prog, layers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], cod[4]
+    if prog not in (0, 1):
+        raise JpxUnsupported(f"progression order {prog} not supported")
+    if not 1 <= layers <= _MAX_LAYERS:
+        raise JpxError(f"layer count {layers} out of bounds")
+    if mct:
+        raise JpxUnsupported("multiple component transform not supported")
+    levels, cbw, cbh, cbstyle, xfrm = cod[5:10]
+    if levels > _MAX_LEVELS:
+        raise JpxUnsupported(f"{levels} decomposition levels exceed cap")
+    if (cbw & 0xF0) or (cbh & 0xF0) or cbw + cbh > 8:
+        raise JpxError("invalid code-block size exponents")
+    if cbstyle:
+        raise JpxUnsupported("code-block style (bypass/termination/causal)"
+                             " not supported")
+    if xfrm != 1:
+        raise JpxUnsupported("irreversible 9/7 transform not supported")
+
+    if not qcd:
+        raise JpxError("empty QCD")
+    sqcd = qcd[0]
+    if sqcd & 0x1F:
+        raise JpxUnsupported("quantized (non-reversible) QCD not supported")
+    guard = sqcd >> 5
+    nsb = 3 * levels + 1
+    if len(qcd) < 1 + nsb:
+        raise JpxError("QCD too short for decomposition levels")
+    exps = [qcd[1 + i] >> 3 for i in range(nsb)]
+
+    return ({"w": w, "h": h, "bpc": bpc, "levels": levels,
+             "cblk_w": 1 << (cbw + 2), "cblk_h": 1 << (cbh + 2),
+             "layers": layers, "prog": prog, "guard": guard,
+             "exps": exps}, bytes(body))
+
+
+def decode_jpx_gray(data: bytes) -> np.ndarray:
+    """JPEG 2000 bytes (JP2 file or raw codestream) → (h, w) uint8
+    grayscale.  Sub-8-bit components are scaled to the full 8-bit range
+    (a 1-bit scan decodes to 0/255)."""
+    if len(data) < 12:
+        raise JpxError("not a JPEG 2000 stream (too short)")
+    if len(data) > (1 << 28):
+        raise JpxError("stream exceeds size budget")
+    cs = _unwrap_jp2(bytes(data))
+    prm, body = _parse_markers(cs)
+    w, h, levels = prm["w"], prm["h"], prm["levels"]
+    cw, ch = prm["cblk_w"], prm["cblk_h"]
+    layout = _band_dims(w, h, levels)
+
+    # per-band block grids + persistent tag trees
+    res_state = []
+    exp_i = 0
+    n_blocks = 0
+    for resol in layout:
+        bands = []
+        for cls, bw_, bh_, _gain in resol["bands"]:
+            mb = prm["guard"] + prm["exps"][exp_i] - 1
+            exp_i += 1
+            if mb < 0 or mb > _MAX_MB:
+                raise JpxError(f"magnitude bitplane count {mb} out of"
+                               " bounds")
+            if bw_ == 0 or bh_ == 0:
+                bands.append(None)
+                continue
+            gw, gh = _grid(bw_, cw), _grid(bh_, ch)
+            n_blocks += gw * gh
+            if n_blocks > _MAX_BLOCKS:
+                raise JpxError("code-block count exceeds budget")
+            blocks = []
+            for by in range(gh):
+                for bx in range(gw):
+                    blocks.append(_Block(
+                        bx, by,
+                        min(cw, bw_ - bx * cw), min(ch, bh_ - by * ch)))
+            bands.append({"cls": cls, "w": bw_, "h": bh_, "mb": mb,
+                          "gw": gw, "gh": gh, "blocks": blocks,
+                          "incl": _TagTree(gw, gh),
+                          "imsb": _TagTree(gw, gh)})
+        res_state.append(bands)
+
+    # packet walk — LRCP (layer outer) or RLCP (resolution outer)
+    pos = 0
+    if prm["prog"] == 0:
+        order = [(lay, r) for lay in range(prm["layers"])
+                 for r in range(levels + 1)]
+    else:
+        order = [(lay, r) for r in range(levels + 1)
+                 for lay in range(prm["layers"])]
+    for lay, r in order:
+        br = _HdrReader(body, pos)
+        seglens: list[tuple[_Block, int, int]] = []
+        if br.bit():                       # non-empty packet
+            for band in res_state[r]:
+                if band is None:
+                    continue
+                for blk in band["blocks"]:
+                    if not blk.included:
+                        inc = band["incl"].decode(blk.x, blk.y, lay + 1, br)
+                    else:
+                        inc = bool(br.bit())
+                    if not inc:
+                        continue
+                    if not blk.included:
+                        k = 1
+                        while not band["imsb"].decode(blk.x, blk.y, k, br):
+                            k += 1
+                            if k > _MAX_MB + 2:
+                                raise JpxError("runaway zero-bitplane tag"
+                                               " tree")
+                        p = k - 1
+                        blk.nbps = band["mb"] - p
+                        if blk.nbps <= 0:
+                            raise JpxError("non-positive bitplane count")
+                        blk.included = True
+                    np_ = _read_npasses(br)
+                    total = blk.npasses + np_
+                    if total > 3 * _MAX_MB - 2:
+                        raise JpxError("coding pass count out of bounds")
+                    while br.bit():
+                        blk.lblock += 1
+                        if blk.lblock > 32:
+                            raise JpxError("runaway Lblock signalling")
+                    nbits = blk.lblock + np_.bit_length() - 1
+                    ln = br.bits(nbits)
+                    if ln > len(body):
+                        raise JpxError("code-block segment length exceeds"
+                                       " stream")
+                    seglens.append((blk, np_, ln))
+        pos = br.align()
+        for blk, np_, ln in seglens:
+            chunk = body[pos:pos + ln]
+            if len(chunk) != ln:
+                raise JpxError("truncated code-block segment")
+            blk.data += chunk
+            blk.npasses += np_
+            pos += ln
+
+    # Tier-1 decode + band assembly + inverse wavelet
+    per_res: list[list[np.ndarray]] = []
+    for r, resol in enumerate(layout):
+        arrs = []
+        for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
+            band = res_state[r][bi]
+            arr = np.zeros((bh_, bw_), np.int32)
+            if band is not None:
+                for blk in band["blocks"]:
+                    if not blk.npasses:
+                        continue
+                    co = _t1_decode(bytes(blk.data), blk.w, blk.h,
+                                    blk.npasses, blk.nbps, cls)
+                    y0, x0 = blk.y * ch, blk.x * cw
+                    arr[y0:y0 + blk.h, x0:x0 + blk.w] = co
+            arrs.append(arr)
+        per_res.append(arrs)
+
+    ll = per_res[0][0].astype(np.int64)
+    for r in range(1, levels + 1):
+        hl, lh, hh = per_res[r]
+        ll = _inv53_2d(ll, hl, lh, hh)
+    bpc = prm["bpc"]
+    out = ll + (1 << (bpc - 1))
+    top = (1 << bpc) - 1
+    np.clip(out, 0, top, out=out)
+    if bpc != 8:
+        out = (out * 255) // top
+    return out.astype(np.uint8)

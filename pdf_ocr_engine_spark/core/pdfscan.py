@@ -256,7 +256,10 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     codec; ``"jbig2sym"`` embeds the same page in JBIG2's
     DICTIONARY-CODED arrangement (connected components → symbol
     dictionary → text region — what real scanner JBIG2 output
-    predominantly is); ``"gray1"`` embeds raw packed 1-bit rows behind
+    predominantly is); ``"jpx"`` embeds a bilevel lossless JPEG 2000
+    (``core/jpxcodec``: JP2 wrapper, 5/3 reversible wavelet, EBCOT)
+    behind **JPXDecode**, the archive/ebook scanner format; ``"gray1"``
+    embeds raw packed 1-bit rows behind
     plain FlateDecode (simple B/W scans with no image codec at all) —
     so the OCR tier exercises every raster decode path end to end.
 
@@ -275,7 +278,7 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
 
     if codec not in ("flate", "jpeg", "jpegprog", "jpeglossy", "jpegcolor",
                      "ccitt", "g3", "g3mixed", "jbig2", "jbig2sym",
-                     "jbig2huff", "gray1", "rgb", "noisy"):
+                     "jbig2huff", "jpx", "gray1", "rgb", "noisy"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -360,6 +363,19 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
             extra = (f" /DecodeParms << /K {kparm} /Columns {int(w)} "
                      f"/Rows {int(h)} >>")
             bpc = 1
+        elif codec == "jpx":
+            import numpy as np
+
+            from .jpxcodec import encode_jp2_gray
+            # bilevel JP2 (1-bit component, one 5/3 level): the lossless
+            # JPEG 2000 form whose T1 pass count stays codec-cheap; the
+            # bpc=1 re-quantizer thresholds at 128, and the decoder
+            # scales back to 0/255 gray for the recognizer
+            img = encode_jp2_gray(
+                np.frombuffer(samples, dtype=np.uint8)
+                .reshape(int(h), int(w)),
+                bpc=1, levels=1)
+            filter_name = "JPXDecode"
         elif codec == "gray1":
             import numpy as np
 

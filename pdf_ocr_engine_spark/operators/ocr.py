@@ -84,6 +84,10 @@ def deterministic_recognizer():
       pure-stdlib T.6 codec (``core/ccittcodec``; /K, /Columns, /Rows,
       /EncodedByteAlign honoured from the DecodeParms carried on the
       image dict) — the dominant 1-bit fax/TIFF-style scan encoding;
+    * **JPXDecode** image XObjects → JPEG 2000 decode via the
+      pure-stdlib T.800 codec (``core/jpxcodec``: JP2 box wrapper or raw
+      codestream, reversible 5/3 wavelet, EBCOT Tier-1 over the shared
+      MQ coder) — the archive/ebook scanner format;
     * **JBIG2Decode** image XObjects → embedded-stream decode via the
       pure-stdlib T.88 codec (``core/jbig2codec``: MQ arithmetic coder,
       generic regions, symbol-dictionary + text regions — the
@@ -99,6 +103,7 @@ def deterministic_recognizer():
     from ..core.ccittcodec import CcittError, decode_g3, decode_g4
     from ..core.jbig2codec import Jbig2Error, decode_jbig2_embedded
     from ..core.jpegcodec import JpegError, decode_jpeg_gray
+    from ..core.jpxcodec import JpxError, decode_jpx_gray
     from ..core.pdfscan import RASTER_MAGIC, decode_page_raster
     from ..core.rasterfont import recognize_gray
 
@@ -149,6 +154,16 @@ def deterministic_recognizer():
             # together cancel (a renderer composes them) — XOR.
             if bool(parms.get("BlackIs1")) != inverted:
                 gray = 255 - gray  # 1 bits are black: inverted semantics
+            gh, gw = gray.shape
+            return recognize_gray(gw, gh, gray.tobytes())
+        if image.get("filter") == "JPXDecode":
+            try:
+                gray = decode_jpx_gray(data)
+            except JpxError as exc:
+                raise ValueError(
+                    f"undecodable JPEG 2000 page image: {exc}") from exc
+            if inverted:
+                gray = 255 - gray
             gh, gw = gray.shape
             return recognize_gray(gw, gh, gray.tobytes())
         if image.get("filter") == "JBIG2Decode":

@@ -143,8 +143,11 @@ def _text_to_mixed_payload(text, doc_id):
     1-bit JBIG2 behind JBIG2Decode — generic-region arrangement at
     doc_id % 64 == 17, arithmetic dictionary-coded symbol/text
     arrangement at doc_id % 128 == 49, HUFFMAN dictionary-coded
-    arrangement (SDHUFF/SBHUFF, Annex-B tables) at doc_id % 128 == 113 — raw packed 1-bit rows behind plain FlateDecode
-    (doc_id % 64 == 33), raw 8-bit DeviceGray behind FlateDecode
+    arrangement (SDHUFF/SBHUFF, Annex-B tables) at doc_id % 128 == 113 —
+    bilevel lossless JPEG 2000 behind JPXDecode (doc_id % 128 == 97, the
+    archive/ebook scanner format), raw packed 1-bit rows behind plain
+    FlateDecode (doc_id % 128 == 33), raw 8-bit DeviceGray behind
+    FlateDecode
     (doc_id % 128 == 1), and the same with deterministic salt/pepper
     noise + per-line ±1-px jitter (doc_id % 128 == 65) — so the stdlib
     JPEG, T.6, and T.88 decoders, both raw-sample widths, color luma
@@ -172,6 +175,7 @@ def _text_to_mixed_payload(text, doc_id):
                      else "jbig2" if d % 64 == 17
                      else "jbig2sym" if d % 128 == 49
                      else "jbig2huff" if d % 128 == 113
+                     else "jpx" if d % 128 == 97
                      else "gray1" if d % 64 == 33
                      else "noisy" if d % 128 == 65 else "flate")
             payload = text_to_pixel_scanned_pdf_payload(

@@ -1,0 +1,320 @@
+"""JPEG 2000 (T.800) codec: wavelet/T1/tag-tree unit round-trips, wire
+format, error paths, and the JPXDecode OCR path through real PDF
+structures."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_ocr_engine_spark.core import jpxcodec as jx
+from pdf_ocr_engine_spark.core.jpxcodec import (
+    JpxError,
+    JpxUnsupported,
+    decode_jpx_gray,
+    encode_jp2_gray,
+)
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+class TestWavelet:
+    @pytest.mark.parametrize("shape", [(1, 1), (1, 7), (8, 1), (5, 5),
+                                       (16, 16), (17, 13), (2, 3)])
+    def test_2d_roundtrip(self, shape):
+        a = _rng().integers(-512, 512, shape).astype(np.int64)
+        ll, hl, lh, hh = jx._fwd53_2d(a)
+        back = jx._inv53_2d(ll, hl, lh, hh)
+        assert np.array_equal(back, a)
+
+    def test_band_dims_tile_exactly(self):
+        for w, h, lv in [(17, 13, 3), (64, 64, 2), (1, 9, 2), (5, 1, 1)]:
+            layout = jx._band_dims(w, h, lv)
+            # reassembling every level reproduces the full area
+            cw, ch = layout[0]["bands"][0][1], layout[0]["bands"][0][2]
+            for r in range(1, lv + 1):
+                (_, hw, hh2, _), (_, lw, lh2, _), (_, xw, xh, _) = \
+                    layout[r]["bands"]
+                assert (cw + hw, ch + lh2) == (cw + xw, ch + xh)
+                cw, ch = cw + hw, ch + lh2
+            assert (cw, ch) == (w, h)
+
+
+class TestT1:
+    @pytest.mark.parametrize("cls", ["ll_lh", "hl", "hh"])
+    @pytest.mark.parametrize("shape", [(4, 4), (7, 5), (13, 11), (64, 3)])
+    def test_block_roundtrip(self, cls, shape):
+        co = _rng(shape[0] * 100 + shape[1]).integers(
+            -300, 300, shape).astype(np.int64)
+        data, npasses, nbps = jx._t1_encode(co, cls)
+        got = jx._t1_decode(data, shape[1], shape[0], npasses, nbps, cls)
+        assert np.array_equal(got, co)
+
+    def test_sparse_block_roundtrip(self):
+        # mostly-zero block exercises the run-length and stripe-skip paths
+        co = np.zeros((32, 32), np.int64)
+        co[3, 7] = -5
+        co[30, 30] = 200
+        data, npasses, nbps = jx._t1_encode(co, "hh")
+        got = jx._t1_decode(data, 32, 32, npasses, nbps, "hh")
+        assert np.array_equal(got, co)
+
+    def test_zero_block_not_included(self):
+        data, npasses, nbps = jx._t1_encode(np.zeros((8, 8), np.int64),
+                                            "ll_lh")
+        assert (data, npasses, nbps) == (b"", 0, 0)
+
+    def test_pass_overrun_rejected(self):
+        with pytest.raises(JpxError):
+            jx._t1_decode(b"\x00\x00", 4, 4, 10, 2, "ll_lh")
+
+
+class TestTagTree:
+    def test_roundtrip_grid(self):
+        vals = [[0, 1, 3], [2, 0, 1]]
+        enc = jx._TagTree(3, 2)
+        for y, row in enumerate(vals):
+            for x, v in enumerate(row):
+                enc.set(x, y, v)
+        enc.finalize()
+        bw = jx._HdrWriter()
+        for y in range(2):
+            for x in range(3):
+                enc.encode(x, y, vals[y][x] + 1, bw)
+        data = bw.flush()
+        dec = jx._TagTree(3, 2)
+        br = jx._HdrReader(data, 0)
+        for y in range(2):
+            for x in range(3):
+                k = 1
+                while not dec.decode(x, y, k, br):
+                    k += 1
+                assert k - 1 == vals[y][x]
+
+    def test_header_stuffing(self):
+        # 16 one-bits force an 0xFF byte; the writer then emits a 7-bit
+        # byte and the reader mirrors it
+        bw = jx._HdrWriter()
+        for _ in range(16):
+            bw.bit(1)
+        bw.bit(0)
+        bw.bit(1)
+        data = bw.flush()
+        assert data[0] == 0xFF
+        assert data[1] & 0x80 == 0  # stuffed: MSB forced clear
+        br = jx._HdrReader(data, 0)
+        got = [br.bit() for _ in range(18)]
+        assert got == [1] * 16 + [0, 1]
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("shape,bpc,levels,cblk", [
+        ((8, 8), 8, 1, 64),
+        ((13, 17), 8, 2, 16),
+        ((1, 1), 8, 0, 64),
+        ((1, 5), 8, 1, 64),
+        ((9, 1), 8, 2, 64),
+        ((64, 64), 8, 3, 32),
+        ((47, 33), 1, 1, 64),
+        ((40, 100), 4, 2, 64),
+        ((31, 31), 8, 0, 16),
+    ])
+    def test_lossless(self, shape, bpc, levels, cblk):
+        img = _rng(sum(shape) * bpc + levels).integers(
+            0, 256, shape, dtype=np.uint8)
+        if bpc < 8:
+            top = (1 << bpc) - 1
+            img = (((img.astype(np.int64) * top + 127) // 255)
+                   * 255 // top).astype(np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, bpc=bpc, levels=levels,
+                                              cblk=cblk))
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, img)
+
+    def test_flat_and_gradient(self):
+        flat = np.full((20, 30), 255, np.uint8)
+        assert np.array_equal(decode_jpx_gray(encode_jp2_gray(flat)), flat)
+        grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+        assert np.array_equal(decode_jpx_gray(encode_jp2_gray(grad, levels=2)),
+                              grad)
+
+    def test_raw_codestream(self):
+        img = _rng(3).integers(0, 256, (12, 18), dtype=np.uint8)
+        raw = encode_jp2_gray(img, wrap_jp2=False)
+        assert raw[:4] == b"\xffO\xffQ"
+        assert np.array_equal(decode_jpx_gray(raw), img)
+
+    def test_bilevel_scales_to_0_255(self):
+        img = np.where(_rng(5).random((9, 9)) < 0.5, 0, 255).astype(np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, bpc=1, levels=1))
+        assert set(np.unique(out)) <= {0, 255}
+        assert np.array_equal(out, img)
+
+    def test_rlcp_progression_decodes(self):
+        # with one layer, RLCP packet order equals LRCP — patching the
+        # progression byte must not change the decode
+        img = _rng(11).integers(0, 256, (10, 14), dtype=np.uint8)
+        raw = bytearray(encode_jp2_gray(img, levels=2, wrap_jp2=False))
+        cod = raw.index(b"\xff\x52")
+        assert raw[cod + 5] == 0      # LRCP as written
+        raw[cod + 5] = 1              # RLCP
+        assert np.array_equal(decode_jpx_gray(bytes(raw)), img)
+
+
+class TestWireFormat:
+    def test_jp2_boxes(self):
+        data = encode_jp2_gray(np.zeros((4, 4), np.uint8))
+        assert data[:12] == struct.pack(">I", 12) + b"jP  \x0d\x0a\x87\x0a"
+        assert b"ftyp" in data[:40] and b"jp2h" in data and b"jp2c" in data
+
+    def test_marker_sequence(self):
+        raw = encode_jp2_gray(np.zeros((4, 4), np.uint8), wrap_jp2=False)
+        assert raw[:2] == b"\xffO"            # SOC
+        assert raw[2:4] == b"\xffQ"           # SIZ
+        assert b"\xff\x52" in raw and b"\xff\x5c" in raw   # COD, QCD
+        assert b"\xff\x90" in raw and b"\xff\x93" in raw   # SOT, SOD
+        assert raw[-2:] == b"\xff\xd9"        # EOC
+
+
+class TestErrors:
+    def _raw(self, **kw):
+        img = _rng(9).integers(0, 256, (8, 12), dtype=np.uint8)
+        return bytearray(encode_jp2_gray(img, wrap_jp2=False, **kw))
+
+    def test_truncated(self):
+        raw = self._raw()
+        for cut in (1, 8, len(raw) // 2, len(raw) - 3):
+            with pytest.raises(JpxError):
+                decode_jpx_gray(bytes(raw[:cut]))
+
+    def test_garbage(self):
+        with pytest.raises(JpxError):
+            decode_jpx_gray(b"not a jp2 stream at all, padded long enough")
+
+    def test_no_jp2c_box(self):
+        data = struct.pack(">I", 12) + b"jP  \x0d\x0a\x87\x0a" \
+            + struct.pack(">I", 8) + b"free"
+        with pytest.raises(JpxError):
+            decode_jpx_gray(data)
+
+    def test_irreversible_unsupported(self):
+        raw = self._raw()
+        cod = raw.index(b"\xff\x52")
+        raw[cod + 13] = 0             # transform: 9/7 irreversible
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_multicomponent_unsupported(self):
+        raw = self._raw()
+        siz = raw.index(b"\xffQ")
+        # Csiz lives 34 bytes into the SIZ payload
+        struct.pack_into(">H", raw, siz + 4 + 34, 3)
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_quantized_qcd_unsupported(self):
+        raw = self._raw()
+        qcd = raw.index(b"\xff\x5c")
+        raw[qcd + 4] |= 0x02          # scalar-derived quantization
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_custom_precincts_unsupported(self):
+        raw = self._raw()
+        cod = raw.index(b"\xff\x52")
+        raw[cod + 4] |= 0x01
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_signed_component_unsupported(self):
+        raw = self._raw()
+        siz = raw.index(b"\xffQ")
+        raw[siz + 4 + 36] |= 0x80     # Ssiz sign bit
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_mutation_fuzz_never_crashes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        base = bytes(self._raw(levels=1))
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.integers(0, len(base) - 1), st.integers(1, 255))
+        def run(pos, flip):
+            mut = bytearray(base)
+            mut[pos] ^= flip
+            try:
+                out = decode_jpx_gray(bytes(mut))
+            except JpxError:
+                return
+            assert isinstance(out, np.ndarray)
+
+        run()
+
+    def test_random_bytes_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.binary(min_size=12, max_size=96))
+        def run(blob):
+            with pytest.raises(JpxError):
+                decode_jpx_gray(b"\xffO\xffQ" + blob)
+
+        run()
+
+
+class TestOcrIntegration:
+    def test_ocr_extraction_through_jpx_pdf(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 200, "height": 60,
+                  "words": [("wavelet", 10, 10, 52, 18),
+                            ("words", 60, 10, 90, 18),
+                            ("here", 10, 30, 34, 38)]}]
+        r = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jpx"), "eng",
+            recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["text"] == "wavelet words\nhere"
+
+    def test_jpx_matches_flate_ocr(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+        from pdf_ocr_engine_spark.sources.fixtures import (
+            text_to_pixel_scanned_pdf_payload,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog " * 3
+        rec = deterministic_recognizer()
+        got = [extract_document(
+            text_to_pixel_scanned_pdf_payload(text, codec=c),
+            "eng", recognizer=rec)["text"] for c in ("flate", "jpx")]
+        assert got[0] == got[1]
+        assert got[0].split() == text.split()
+
+    def test_corrupt_jpx_is_decode_error(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pdf = build_pixel_scanned_pdf(
+            [{"width": 100, "height": 40,
+              "words": [("hi", 10, 10, 20, 18)]}], codec="jpx")
+        # zero out the tail of the embedded codestream (EOC + T1 data)
+        eoc = pdf.rindex(b"\xff\xd9")
+        broken = pdf[:eoc - 20] + b"\x00" * 22 + pdf[eoc + 2:]
+        r = extract_document(broken, "eng",
+                             recognizer=deterministic_recognizer())
+        assert r["status"] == "decode_error"
