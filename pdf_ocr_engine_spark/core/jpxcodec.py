@@ -8,7 +8,9 @@ ebook-scanner format (JSTOR-style scans, DjVu re-exports).  This module
 decodes the common PDF-embedded case from the public spec:
 
 * JP2 box wrapper or raw codestream (auto-detected),
-* single tile, single grayscale component, 1-8 bit unsigned,
+* single tile, 1-8 bit unsigned components: grayscale, or 3-component
+  color through the reversible color transform (Annex G.2 RCT) —
+  decoded to ITU-R BT.601 luma, the gray the OCR tier reads,
 * reversible 5/3 integer wavelet (T.800 Annex F), any 0-10
   decomposition levels,
 * no-quantization (reversible) QCD,
@@ -19,12 +21,13 @@ decodes the common PDF-embedded case from the public spec:
   standards specify the same coder),
 * Tier-2 packet headers (Annex B: tag trees, bit-stuffed headers,
   Lblock length signalling), LRCP/RLCP progressions, multi-layer
-  pass accumulation, multiple tile-parts of the one tile.
+  pass accumulation, SOP/EPH packet-boundary markers, multiple
+  tile-parts of the one tile.
 
 Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
-(a :class:`JpxError`): irreversible 9/7 streams, multi-component /
-subsampled images, custom precincts, COC/QCC/POC/PPM overrides, coder
-bypass/termination style bits.  Malformed streams raise
+(a :class:`JpxError`): irreversible 9/7 streams, component counts
+other than 1/3, subsampled images, custom precincts, COC/QCC/POC/PPM
+overrides, coder bypass/termination style bits.  Malformed streams raise
 :class:`JpxError` — error-as-value at the extraction layer
 (``operators/ocr.py`` maps it to ``status='decode_error'``), never a
 crash, and every allocation is budget-capped before it happens.
@@ -50,6 +53,7 @@ __all__ = [
     "JpxUnsupported",
     "decode_jpx_gray",
     "encode_jp2_gray",
+    "encode_jp2_rgb",
 ]
 
 
@@ -747,34 +751,10 @@ def _grid(n: int, step: int) -> int:
     return (n + step - 1) // step
 
 
-def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
-                    cblk: int = 64, wrap_jp2: bool = True) -> bytes:
-    """Grayscale 2-D uint8 array → lossless JPEG 2000 bytes (JP2 file by
-    default; ``wrap_jp2=False`` emits the raw codestream).  ``bpc`` sets
-    the component precision: 8 stores samples as-is, lower depths
-    re-quantize (``bpc=1`` thresholds at 128 — the bilevel-scan form,
-    the fixture corpus's fast tier: ±1 coefficients keep the T1 pass
-    count tiny while exercising the whole wavelet/packet machinery)."""
-    if img.ndim != 2 or img.size == 0:
-        raise ValueError("need a non-empty 2-D grayscale array")
-    if not 1 <= bpc <= 8:
-        raise ValueError(f"unsupported bpc {bpc}")
-    if not 0 <= levels <= _MAX_LEVELS:
-        raise ValueError(f"unsupported decomposition levels {levels}")
-    if cblk & (cblk - 1) or not 4 <= cblk <= 64:
-        # square blocks: xcb + ycb <= 12 (T.800 A.6.1) caps a side at 64
-        raise ValueError(f"code-block size {cblk} not a power of two in "
-                         "[4, 64]")
-    h, w = img.shape
-    if w > _MAX_DIM or h > _MAX_DIM:
-        raise ValueError(f"image {w}x{h} exceeds {_MAX_DIM} per axis")
-    if bpc == 8:
-        samples = img.astype(np.int64)
-    else:
-        top = (1 << bpc) - 1
-        samples = ((img.astype(np.int64) * top + 127) // 255)
-    a = samples - (1 << (bpc - 1))
-
+def _encode_component(a: np.ndarray, levels: int, cblk: int,
+                      layout: list[dict]) -> tuple[list, list]:
+    """DC-shifted int64 plane → (per-resolution T1-coded block lists,
+    flat resolution-major per-band max bitplane counts)."""
     per_res: list[list[np.ndarray]] = []
     ll = a
     lvl_bands = []
@@ -785,11 +765,8 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
     for r in range(1, levels + 1):
         per_res.append(lvl_bands[levels - r])
 
-    layout = _band_dims(w, h, levels)
-    guard = 2
-    # T1-encode every code-block; collect per-band block lists + exponents
     res_blocks: list[list[list[dict]]] = []
-    exps: list[int] = []
+    band_maxes: list[int] = []
     for r, resol in enumerate(layout):
         res_blocks.append([])
         for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
@@ -805,65 +782,92 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
                     band_max = max(band_max, nbps)
                     blocks.append({"x": bx, "y": by, "data": data,
                                    "npasses": npasses, "nbps": nbps})
-            mb = max(band_max, 1)
-            exps.append(mb - guard + 1 if mb - guard + 1 > 0 else 0)
-            mb = guard + exps[-1] - 1
-            for blk in blocks:
-                blk["p"] = mb - blk["nbps"]
+            band_maxes.append(band_max)
             res_blocks[r].append(blocks)
+    return res_blocks, band_maxes
 
-    # Tier-2: one packet per resolution (single layer / component /
-    # precinct), LRCP order
+
+def _emit_codestream(comps: list, band_maxes: list[int],
+                     layout: list[dict], w: int, h: int, bpc: int,
+                     levels: int, cblk: int, mct: int,
+                     sop: bool, eph: bool) -> bytes:
+    """Per-component T1-coded blocks → full codestream.  The QCD (shared
+    across components) is derived from the per-band maxima; packets go
+    out in LRCP order (single layer / precinct): resolution outer,
+    component inner."""
+    guard = 2
+    exps = [max(m, 1) - guard + 1 if max(m, 1) - guard + 1 > 0 else 0
+            for m in band_maxes]
+    mbs = [guard + e - 1 for e in exps]
+    for res_blocks in comps:
+        flat = 0
+        for r in range(levels + 1):
+            for band in res_blocks[r]:
+                for blk in band:
+                    blk["p"] = mbs[flat] - blk["nbps"]
+                flat += 1
+
     body = bytearray()
+    nsop = 0
     for r, resol in enumerate(layout):
-        hdr = _HdrWriter()
-        included = [blk for band in res_blocks[r] for blk in band
-                    if blk["npasses"]]
-        if not included:
-            hdr.bit(0)
-            body += hdr.flush()
-            continue
-        hdr.bit(1)
-        payload = bytearray()
-        for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
-            if bw_ == 0 or bh_ == 0:
-                continue
-            gw, gh = _grid(bw_, cblk), _grid(bh_, cblk)
-            incl = _TagTree(gw, gh)
-            imsb = _TagTree(gw, gh)
-            for blk in res_blocks[r][bi]:
-                incl.set(blk["x"], blk["y"],
-                         0 if blk["npasses"] else 1)
-                imsb.set(blk["x"], blk["y"],
-                         blk["p"] if blk["npasses"] else 0)
-            incl.finalize()
-            imsb.finalize()
-            for blk in res_blocks[r][bi]:
-                incl.encode(blk["x"], blk["y"], 1, hdr)
-                if not blk["npasses"]:
-                    continue
-                imsb.encode(blk["x"], blk["y"], blk["p"] + 1, hdr)
-                _write_npasses(hdr, blk["npasses"])
-                length = len(blk["data"])
-                lblock = 3
-                nbits = lblock + blk["npasses"].bit_length() - 1
-                extra = max(0, length.bit_length() - nbits)
-                for _ in range(extra):
-                    hdr.bit(1)
+        for res_blocks in comps:
+            if sop:
+                body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
+                nsop += 1
+            hdr = _HdrWriter()
+            included = [blk for band in res_blocks[r] for blk in band
+                        if blk["npasses"]]
+            if not included:
                 hdr.bit(0)
-                hdr.bits(length, nbits + extra)
-                payload += blk["data"]
-        body += hdr.flush() + payload
+                body += hdr.flush()
+                if eph:
+                    body += b"\xff\x92"
+                continue
+            hdr.bit(1)
+            payload = bytearray()
+            for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
+                if bw_ == 0 or bh_ == 0:
+                    continue
+                gw, gh = _grid(bw_, cblk), _grid(bh_, cblk)
+                incl = _TagTree(gw, gh)
+                imsb = _TagTree(gw, gh)
+                for blk in res_blocks[r][bi]:
+                    incl.set(blk["x"], blk["y"],
+                             0 if blk["npasses"] else 1)
+                    imsb.set(blk["x"], blk["y"],
+                             blk["p"] if blk["npasses"] else 0)
+                incl.finalize()
+                imsb.finalize()
+                for blk in res_blocks[r][bi]:
+                    incl.encode(blk["x"], blk["y"], 1, hdr)
+                    if not blk["npasses"]:
+                        continue
+                    imsb.encode(blk["x"], blk["y"], blk["p"] + 1, hdr)
+                    _write_npasses(hdr, blk["npasses"])
+                    length = len(blk["data"])
+                    lblock = 3
+                    nbits = lblock + blk["npasses"].bit_length() - 1
+                    extra = max(0, length.bit_length() - nbits)
+                    for _ in range(extra):
+                        hdr.bit(1)
+                    hdr.bit(0)
+                    hdr.bits(length, nbits + extra)
+                    payload += blk["data"]
+            body += hdr.flush()
+            if eph:
+                body += b"\xff\x92"
+            body += payload
 
-    # codestream markers
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1) \
-        + bytes([bpc - 1, 1, 1])
+    ncomp = len(comps)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp) \
+        + bytes([bpc - 1, 1, 1]) * ncomp
     xcb = cblk.bit_length() - 1
-    cod = bytes([0]) + bytes([0]) + struct.pack(">H", 1) + bytes([0]) \
-        + bytes([levels, xcb - 2, xcb - 2, 0, 1])
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    cod = bytes([scod]) + bytes([0]) + struct.pack(">H", 1) \
+        + bytes([mct]) + bytes([levels, xcb - 2, xcb - 2, 0, 1])
     if max(exps) > 31:
         raise ValueError("coefficient range exceeds QCD exponent field")
     qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
@@ -871,22 +875,93 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
             + seg(0xFF51, siz)
             + seg(0xFF52, cod)
             + seg(0xFF5C, qcd))
-    sot_payload_len = 10                  # Lsot=10 fixed
-    psot = 2 + sot_payload_len + 2 + len(body)   # SOT..SOD..body
+    psot = 2 + 10 + 2 + len(body)         # SOT..Lsot seg..SOD..body
     sot = seg(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))
-    stream = head + sot + b"\xff\x93" + bytes(body) + b"\xff\xd9"
-    if not wrap_jp2:
-        return stream
+    return head + sot + b"\xff\x93" + bytes(body) + b"\xff\xd9"
 
+
+def _wrap_boxes(stream: bytes, w: int, h: int, bpc: int,
+                ncomp: int) -> bytes:
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + btype + payload
 
-    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, 1, bpc - 1, 7, 0, 0))
-    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", 17))
+    ihdr = box(b"ihdr",
+               struct.pack(">IIHBBBB", h, w, ncomp, bpc - 1, 7, 0, 0))
+    colr = box(b"colr", bytes([1, 0, 0])
+               + struct.pack(">I", 17 if ncomp == 1 else 16))
     return (struct.pack(">I", 12) + b"jP  " + b"\x0d\x0a\x87\x0a"
             + box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
             + box(b"jp2h", ihdr + colr)
             + box(b"jp2c", stream))
+
+
+def _check_encode_args(shape: tuple, bpc: int, levels: int,
+                       cblk: int) -> None:
+    h, w = shape
+    if not 1 <= bpc <= 8:
+        raise ValueError(f"unsupported bpc {bpc}")
+    if not 0 <= levels <= _MAX_LEVELS:
+        raise ValueError(f"unsupported decomposition levels {levels}")
+    if cblk & (cblk - 1) or not 4 <= cblk <= 64:
+        # square blocks: xcb + ycb <= 12 (T.800 A.6.1) caps a side at 64
+        raise ValueError(f"code-block size {cblk} not a power of two in "
+                         "[4, 64]")
+    if w > _MAX_DIM or h > _MAX_DIM:
+        raise ValueError(f"image {w}x{h} exceeds {_MAX_DIM} per axis")
+
+
+def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
+                    cblk: int = 64, wrap_jp2: bool = True,
+                    sop: bool = False, eph: bool = False) -> bytes:
+    """Grayscale 2-D uint8 array → lossless JPEG 2000 bytes (JP2 file by
+    default; ``wrap_jp2=False`` emits the raw codestream).  ``bpc`` sets
+    the component precision: 8 stores samples as-is, lower depths
+    re-quantize (``bpc=1`` thresholds at 128 — the bilevel-scan form,
+    the fixture corpus's fast tier: ±1 coefficients keep the T1 pass
+    count tiny while exercising the whole wavelet/packet machinery).
+    ``sop``/``eph`` emit the optional packet-boundary markers some real
+    encoders use."""
+    if img.ndim != 2 or img.size == 0:
+        raise ValueError("need a non-empty 2-D grayscale array")
+    _check_encode_args(img.shape, bpc, levels, cblk)
+    h, w = img.shape
+    if bpc == 8:
+        samples = img.astype(np.int64)
+    else:
+        top = (1 << bpc) - 1
+        samples = ((img.astype(np.int64) * top + 127) // 255)
+    a = samples - (1 << (bpc - 1))
+    layout = _band_dims(w, h, levels)
+    res_blocks, band_maxes = _encode_component(a, levels, cblk, layout)
+    stream = _emit_codestream([res_blocks], band_maxes, layout, w, h,
+                              bpc, levels, cblk, mct=0, sop=sop, eph=eph)
+    return _wrap_boxes(stream, w, h, bpc, 1) if wrap_jp2 else stream
+
+
+def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
+                   wrap_jp2: bool = True, sop: bool = False,
+                   eph: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → lossless JPEG 2000 bytes: three 8-bit
+    components through the reversible color transform (T.800 Annex G.2
+    RCT) — the form real color archive scans use."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.size == 0:
+        raise ValueError("need a non-empty (h, w, 3) RGB array")
+    _check_encode_args(img.shape[:2], 8, levels, cblk)
+    h, w = img.shape[:2]
+    rgb = img.astype(np.int64) - 128          # DC level shift, then RCT
+    r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]   # Y, Cb, Cr
+    layout = _band_dims(w, h, levels)
+    comps, maxes = [], None
+    for plane in planes:
+        res_blocks, band_maxes = _encode_component(plane, levels, cblk,
+                                                   layout)
+        comps.append(res_blocks)
+        maxes = band_maxes if maxes is None else \
+            [max(a2, b2) for a2, b2 in zip(maxes, band_maxes)]
+    stream = _emit_codestream(comps, maxes, layout, w, h, 8, levels,
+                              cblk, mct=1, sop=sop, eph=eph)
+    return _wrap_boxes(stream, w, h, 8, 3) if wrap_jp2 else stream
 
 
 # --------------------------------------------------------------------------
@@ -996,16 +1071,25 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
     (rsiz, xs, ys, xos, yos, xts, yts, xtos, ytos, csiz) = \
         struct.unpack_from(">HIIIIIIIIH", siz, 0)
     del rsiz
-    if csiz != 1:
+    if csiz not in (1, 3):
         raise JpxUnsupported(f"{csiz}-component images not supported")
-    ssiz, xr, yr = siz[36], siz[37], siz[38]
-    if ssiz & 0x80:
-        raise JpxUnsupported("signed components not supported")
-    bpc = (ssiz & 0x7F) + 1
-    if bpc > 8:
-        raise JpxUnsupported(f"{bpc}-bit components not supported")
-    if xr != 1 or yr != 1:
-        raise JpxUnsupported("subsampled components not supported")
+    if len(siz) < 36 + 3 * csiz:
+        raise JpxError("truncated SIZ")
+    bpc = None
+    for c in range(csiz):
+        ssiz, xr, yr = siz[36 + 3 * c:39 + 3 * c]
+        if ssiz & 0x80:
+            raise JpxUnsupported("signed components not supported")
+        cb = (ssiz & 0x7F) + 1
+        if cb > 8:
+            raise JpxUnsupported(f"{cb}-bit components not supported")
+        if xr != 1 or yr != 1:
+            raise JpxUnsupported("subsampled components not supported")
+        if bpc is None:
+            bpc = cb
+        elif bpc != cb:
+            raise JpxUnsupported("mixed component precisions not"
+                                 " supported")
     if xos or yos or xtos or ytos:
         raise JpxUnsupported("image/tile offsets not supported")
     w, h = xs, ys
@@ -1018,15 +1102,18 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
     if len(cod) < 10:
         raise JpxError("truncated COD")
     scod = cod[0]
-    if scod & 0x07:
-        raise JpxUnsupported("custom precincts / SOP / EPH not supported")
+    if scod & 0x01:
+        raise JpxUnsupported("custom precincts not supported")
+    use_sop, use_eph = bool(scod & 0x02), bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], cod[4]
     if prog not in (0, 1):
         raise JpxUnsupported(f"progression order {prog} not supported")
     if not 1 <= layers <= _MAX_LAYERS:
         raise JpxError(f"layer count {layers} out of bounds")
-    if mct:
-        raise JpxUnsupported("multiple component transform not supported")
+    if mct not in (0, 1):
+        raise JpxUnsupported(f"component transform {mct} not supported")
+    if mct and csiz != 3:
+        raise JpxError("RCT requires three components")
     levels, cbw, cbh, cbstyle, xfrm = cod[5:10]
     if levels > _MAX_LEVELS:
         raise JpxUnsupported(f"{levels} decomposition levels exceed cap")
@@ -1052,7 +1139,8 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
     return ({"w": w, "h": h, "bpc": bpc, "levels": levels,
              "cblk_w": 1 << (cbw + 2), "cblk_h": 1 << (cbh + 2),
              "layers": layers, "prog": prog, "guard": guard,
-             "exps": exps}, bytes(body))
+             "exps": exps, "ncomp": csiz, "mct": mct,
+             "sop": use_sop, "eph": use_eph}, bytes(body))
 
 
 def decode_jpx_gray(data: bytes) -> np.ndarray:
@@ -1069,50 +1157,60 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
     cw, ch = prm["cblk_w"], prm["cblk_h"]
     layout = _band_dims(w, h, levels)
 
-    # per-band block grids + persistent tag trees
-    res_state = []
-    exp_i = 0
+    # per-component, per-band block grids + persistent tag trees
+    ncomp = prm["ncomp"]
+    comp_state = []
     n_blocks = 0
-    for resol in layout:
-        bands = []
-        for cls, bw_, bh_, _gain in resol["bands"]:
-            mb = prm["guard"] + prm["exps"][exp_i] - 1
-            exp_i += 1
-            if mb < 0 or mb > _MAX_MB:
-                raise JpxError(f"magnitude bitplane count {mb} out of"
-                               " bounds")
-            if bw_ == 0 or bh_ == 0:
-                bands.append(None)
-                continue
-            gw, gh = _grid(bw_, cw), _grid(bh_, ch)
-            n_blocks += gw * gh
-            if n_blocks > _MAX_BLOCKS:
-                raise JpxError("code-block count exceeds budget")
-            blocks = []
-            for by in range(gh):
-                for bx in range(gw):
-                    blocks.append(_Block(
-                        bx, by,
-                        min(cw, bw_ - bx * cw), min(ch, bh_ - by * ch)))
-            bands.append({"cls": cls, "w": bw_, "h": bh_, "mb": mb,
-                          "gw": gw, "gh": gh, "blocks": blocks,
-                          "incl": _TagTree(gw, gh),
-                          "imsb": _TagTree(gw, gh)})
-        res_state.append(bands)
+    for _c in range(ncomp):
+        res_state = []
+        exp_i = 0
+        for resol in layout:
+            bands = []
+            for cls, bw_, bh_, _gain in resol["bands"]:
+                mb = prm["guard"] + prm["exps"][exp_i] - 1
+                exp_i += 1
+                if mb < 0 or mb > _MAX_MB:
+                    raise JpxError(f"magnitude bitplane count {mb} out of"
+                                   " bounds")
+                if bw_ == 0 or bh_ == 0:
+                    bands.append(None)
+                    continue
+                gw, gh = _grid(bw_, cw), _grid(bh_, ch)
+                n_blocks += gw * gh
+                if n_blocks > _MAX_BLOCKS:
+                    raise JpxError("code-block count exceeds budget")
+                blocks = []
+                for by in range(gh):
+                    for bx in range(gw):
+                        blocks.append(_Block(
+                            bx, by,
+                            min(cw, bw_ - bx * cw),
+                            min(ch, bh_ - by * ch)))
+                bands.append({"cls": cls, "w": bw_, "h": bh_, "mb": mb,
+                              "gw": gw, "gh": gh, "blocks": blocks,
+                              "incl": _TagTree(gw, gh),
+                              "imsb": _TagTree(gw, gh)})
+            res_state.append(bands)
+        comp_state.append(res_state)
 
-    # packet walk — LRCP (layer outer) or RLCP (resolution outer)
+    # packet walk — LRCP (layer outer) or RLCP (resolution outer);
+    # component is always the inner loop ahead of the single precinct
     pos = 0
     if prm["prog"] == 0:
-        order = [(lay, r) for lay in range(prm["layers"])
-                 for r in range(levels + 1)]
+        order = [(lay, r, c) for lay in range(prm["layers"])
+                 for r in range(levels + 1) for c in range(ncomp)]
     else:
-        order = [(lay, r) for r in range(levels + 1)
-                 for lay in range(prm["layers"])]
-    for lay, r in order:
+        order = [(lay, r, c) for r in range(levels + 1)
+                 for lay in range(prm["layers"]) for c in range(ncomp)]
+    for lay, r, c in order:
+        if prm["sop"] and body[pos:pos + 2] == b"\xff\x91":
+            if body[pos + 2:pos + 4] != b"\x00\x04" or pos + 6 > len(body):
+                raise JpxError("malformed SOP marker")
+            pos += 6
         br = _HdrReader(body, pos)
         seglens: list[tuple[_Block, int, int]] = []
         if br.bit():                       # non-empty packet
-            for band in res_state[r]:
+            for band in comp_state[c][r]:
                 if band is None:
                     continue
                 for blk in band["blocks"]:
@@ -1149,6 +1247,10 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
                                        " stream")
                     seglens.append((blk, np_, ln))
         pos = br.align()
+        if prm["eph"]:
+            if body[pos:pos + 2] != b"\xff\x92":
+                raise JpxError("missing EPH marker")
+            pos += 2
         for blk, np_, ln in seglens:
             chunk = body[pos:pos + ln]
             if len(chunk) != ln:
@@ -1157,32 +1259,54 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
             blk.npasses += np_
             pos += ln
 
-    # Tier-1 decode + band assembly + inverse wavelet
-    per_res: list[list[np.ndarray]] = []
-    for r, resol in enumerate(layout):
-        arrs = []
-        for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
-            band = res_state[r][bi]
-            arr = np.zeros((bh_, bw_), np.int32)
-            if band is not None:
-                for blk in band["blocks"]:
-                    if not blk.npasses:
-                        continue
-                    co = _t1_decode(bytes(blk.data), blk.w, blk.h,
-                                    blk.npasses, blk.nbps, cls)
-                    y0, x0 = blk.y * ch, blk.x * cw
-                    arr[y0:y0 + blk.h, x0:x0 + blk.w] = co
-            arrs.append(arr)
-        per_res.append(arrs)
+    # Tier-1 decode + band assembly + inverse wavelet per component
+    planes = []
+    for res_state in comp_state:
+        per_res: list[list[np.ndarray]] = []
+        for r, resol in enumerate(layout):
+            arrs = []
+            for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
+                band = res_state[r][bi]
+                arr = np.zeros((bh_, bw_), np.int32)
+                if band is not None:
+                    for blk in band["blocks"]:
+                        if not blk.npasses:
+                            continue
+                        co = _t1_decode(bytes(blk.data), blk.w, blk.h,
+                                        blk.npasses, blk.nbps, cls)
+                        y0, x0 = blk.y * ch, blk.x * cw
+                        arr[y0:y0 + blk.h, x0:x0 + blk.w] = co
+                arrs.append(arr)
+            per_res.append(arrs)
+        ll = per_res[0][0].astype(np.int64)
+        for r in range(1, levels + 1):
+            hl, lh, hh = per_res[r]
+            ll = _inv53_2d(ll, hl, lh, hh)
+        planes.append(ll)
 
-    ll = per_res[0][0].astype(np.int64)
-    for r in range(1, levels + 1):
-        hl, lh, hh = per_res[r]
-        ll = _inv53_2d(ll, hl, lh, hh)
     bpc = prm["bpc"]
-    out = ll + (1 << (bpc - 1))
+    shift = 1 << (bpc - 1)
     top = (1 << bpc) - 1
-    np.clip(out, 0, top, out=out)
-    if bpc != 8:
-        out = (out * 255) // top
-    return out.astype(np.uint8)
+    if ncomp == 1:
+        out = planes[0] + shift
+        np.clip(out, 0, top, out=out)
+        if bpc != 8:
+            out = (out * 255) // top
+        return out.astype(np.uint8)
+    if prm["mct"]:                     # inverse RCT (T.800 G.2)
+        y_, cb, cr = planes
+        g_ = y_ - ((cb + cr) >> 2)
+        comps = [cr + g_, g_, cb + g_]
+    else:
+        comps = planes
+    rgb = []
+    for p in comps:
+        p = p + shift
+        np.clip(p, 0, top, out=p)
+        if bpc != 8:
+            p = (p * 255) // top
+        rgb.append(p)
+    # ITU-R BT.601 integer luma — the same gray the recognizer's color
+    # paths use (operators/ocr.py DeviceRGB branch)
+    return ((77 * rgb[0] + 150 * rgb[1] + 29 * rgb[2] + 128) >> 8) \
+        .astype(np.uint8)

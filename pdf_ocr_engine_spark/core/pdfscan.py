@@ -258,7 +258,10 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     dictionary → text region — what real scanner JBIG2 output
     predominantly is); ``"jpx"`` embeds a bilevel lossless JPEG 2000
     (``core/jpxcodec``: JP2 wrapper, 5/3 reversible wavelet, EBCOT)
-    behind **JPXDecode**, the archive/ebook scanner format; ``"gray1"``
+    behind **JPXDecode**, the archive/ebook scanner format, and
+    ``"jpxcolor"`` the tinted 3-component RCT form of the same (test
+    tiers use small pages; full-component color JP2 coding is ~1 s per
+    letter-size page); ``"gray1"``
     embeds raw packed 1-bit rows behind
     plain FlateDecode (simple B/W scans with no image codec at all) —
     so the OCR tier exercises every raster decode path end to end.
@@ -278,7 +281,8 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
 
     if codec not in ("flate", "jpeg", "jpegprog", "jpeglossy", "jpegcolor",
                      "ccitt", "g3", "g3mixed", "jbig2", "jbig2sym",
-                     "jbig2huff", "jpx", "gray1", "rgb", "noisy"):
+                     "jbig2huff", "jpx", "jpxcolor", "gray1", "rgb",
+                     "noisy"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -363,6 +367,18 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
             extra = (f" /DecodeParms << /K {kparm} /Columns {int(w)} "
                      f"/Rows {int(h)} >>")
             bpc = 1
+        elif codec == "jpxcolor":
+            import numpy as np
+
+            from .jpxcodec import encode_jp2_rgb
+            # 3-component color JP2 through the reversible color
+            # transform (RCT) — the decoder hands the recognizer BT.601
+            # luma, same as the DCT color path
+            img = encode_jp2_rgb(
+                _tint_rgb(np.frombuffer(samples, dtype=np.uint8)
+                          .reshape(int(h), int(w))),
+                levels=1)
+            filter_name = "JPXDecode"
         elif codec == "jpx":
             import numpy as np
 

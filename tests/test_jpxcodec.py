@@ -13,6 +13,7 @@ from pdf_ocr_engine_spark.core.jpxcodec import (
     JpxUnsupported,
     decode_jpx_gray,
     encode_jp2_gray,
+    encode_jp2_rgb,
 )
 
 
@@ -152,6 +153,32 @@ class TestRoundTrip:
         assert set(np.unique(out)) <= {0, 255}
         assert np.array_equal(out, img)
 
+    @pytest.mark.parametrize("sop,eph", [(True, False), (False, True),
+                                         (True, True)])
+    def test_sop_eph_markers(self, sop, eph):
+        img = _rng(21).integers(0, 256, (10, 14), dtype=np.uint8)
+        data = encode_jp2_gray(img, levels=2, wrap_jp2=False,
+                               sop=sop, eph=eph)
+        assert (b"\xff\x91" in data) == sop
+        assert (b"\xff\x92" in data) == eph
+        assert np.array_equal(decode_jpx_gray(data), img)
+
+    def test_rct_color_to_luma(self):
+        rgb = _rng(23).integers(0, 256, (11, 19, 3), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_rgb(rgb, levels=2))
+        r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+        luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+        assert np.array_equal(out, luma)
+
+    def test_rct_color_with_markers(self):
+        rgb = _rng(29).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_rgb(rgb, levels=1,
+                                             wrap_jp2=False,
+                                             sop=True, eph=True))
+        r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+        luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+        assert np.array_equal(out, luma)
+
     def test_rlcp_progression_decodes(self):
         # with one layer, RLCP packet order equals LRCP — patching the
         # progression byte must not change the decode
@@ -209,9 +236,18 @@ class TestErrors:
     def test_multicomponent_unsupported(self):
         raw = self._raw()
         siz = raw.index(b"\xffQ")
-        # Csiz lives 34 bytes into the SIZ payload
-        struct.pack_into(">H", raw, siz + 4 + 34, 3)
+        # Csiz lives 34 bytes into the SIZ payload; 2 components is the
+        # unsupported count (1 and 3 are handled)
+        struct.pack_into(">H", raw, siz + 4 + 34, 2)
         with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_missing_eph_rejected(self):
+        img = _rng(31).integers(0, 256, (8, 8), dtype=np.uint8)
+        raw = bytearray(encode_jp2_gray(img, wrap_jp2=False, eph=True))
+        i = raw.index(b"\xff\x92")
+        raw[i:i + 2] = b"\x00\x00"
+        with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
 
     def test_quantized_qcd_unsupported(self):
@@ -284,6 +320,22 @@ class TestOcrIntegration:
             recognizer=deterministic_recognizer())
         assert r["status"] == "ok"
         assert r["text"] == "wavelet words\nhere"
+
+    def test_ocr_extraction_through_color_jpx_pdf(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 160, "height": 50,
+                  "words": [("color", 10, 10, 40, 18),
+                            ("jp2", 48, 10, 66, 18)]}]
+        r = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jpxcolor"), "eng",
+            recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["text"] == "color jp2"
 
     def test_jpx_matches_flate_ocr(self):
         from pdf_ocr_engine_spark.core.extract_doc import extract_document
