@@ -21,8 +21,11 @@ this repo decodes them itself, from the public T.88 recommendation:
   arithmetic integer decoding IAx/IAID (Annex A), height-class symbol
   bitmaps over shared GB contexts, export-run selection, and instance
   placement with all four REFCORNERs, TRANSPOSED both ways, SBSTRIPS
-  T residuals and SBDSOFFSET.  Huffman-coded variants raise
-  :class:`Jbig2Unsupported`.
+  T residuals and SBDSOFFSET.  The HUFFMAN-coded arrangement
+  (SDHUFF/SBHUFF) decodes too: Annex-B standard tables, runcode-built
+  symbol ID codes, collective height-class bitmaps (raw or MMR), and
+  CUSTOM table segments (type 53, Annex B.2) resolved through the
+  referred-to list for every selector with the custom value.
 * **Refinement coding** (T.88 §6.3): generic refinement templates 0/1
   with adaptive pixels and TPGRON typical prediction, consumed by
   SDREFAGG symbol dictionaries (single-instance aggregates refining
@@ -40,11 +43,14 @@ this repo decodes them itself, from the public T.88 recommendation:
   referred-to forms, page info (type 48), symbol dictionaries (0),
   immediate text regions (6/7) resolving symbols from their
   referred-to dictionaries, immediate/intermediate generic regions
-  (36/38/39), end-of-stripe/page/file (50/49/51), and the PDF
-  ``/JBIG2Globals`` prefix stream.  Generic regions with ``MMR=1``
-  reuse the T.6 decoder (``core/ccittcodec``).  Halftone and
-  refinement segments raise :class:`Jbig2Unsupported` — callers
-  surface undecodable data as an error value, never a crash.
+  (36/38/39), halftone regions (22/23), standalone refinement regions
+  (42/43), custom table segments (53), end-of-stripe/page/file
+  (50/49/51), and the PDF ``/JBIG2Globals`` prefix stream.  Generic
+  regions with ``MMR=1`` reuse the T.6 decoder (``core/ccittcodec``).
+  The residual out-of-scope arrangements (intermediate regions,
+  multi-instance aggregates, EXTTEMPLATE, HENABLESKIP/MMR-gray
+  halftones) raise :class:`Jbig2Unsupported` — callers surface
+  undecodable data as an error value, never a crash.
 
 The decoder emits semantic pixels (0 = black ink, 255 = white), the
 input contract of the OCR tier (``core/rasterfont.recognize_gray``) and
@@ -779,16 +785,21 @@ def _encode_refinement(enc: _MQEncoder, bm: np.ndarray,
 
 
 def _decode_symbol_dict(seg_data: bytes,
-                        input_syms: list[np.ndarray]) -> list[np.ndarray]:
+                        input_syms: list[np.ndarray],
+                        custom_tables: list | None = None,
+                        ) -> list[np.ndarray]:
     """Symbol dictionary segment data → the EXPORTED symbol bitmaps
-    (referred-dict inputs prepended per §6.5.8.2.3's SDINSYMS order)."""
+    (referred-dict inputs prepended per §6.5.8.2.3's SDINSYMS order).
+    ``custom_tables`` are the referred type-53 tables in referred-to
+    order, consumed by Huffman selectors with the custom value."""
     if len(seg_data) < 2:
         raise Jbig2Error("short symbol dictionary")
     flags = struct.unpack_from(">H", seg_data, 0)[0]
     pos = 2
     if flags & 1:
         return _decode_symbol_dict_huffman(seg_data, flags, pos,
-                                           input_syms)
+                                           input_syms,
+                                           list(custom_tables or ()))
     if (flags >> 8) & 1:
         # SDCONTEXTUSED: MQ coding contexts imported from a referred
         # dictionary (7.4.3.1.1) — decoding with fresh contexts would
@@ -917,10 +928,12 @@ def _symcodelen(n_syms: int) -> int:
 
 
 def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
+                        custom_tables: list | None = None,
                         ) -> tuple[dict, np.ndarray]:
     """Text region segment data → (region info, 0/1 bitmap) with every
     symbol instance drawn per §6.4.5 (all four REFCORNERs, TRANSPOSED
-    both ways, strip T residuals)."""
+    both ways, strip T residuals).  ``custom_tables`` are the referred
+    type-53 tables for SBHUFF selectors with the custom value."""
     info, pos = _parse_region_info(seg_data, 0)
     if pos + 6 > len(seg_data):
         raise Jbig2Error("truncated text region header")
@@ -928,7 +941,8 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     pos += 2
     if flags & 1:
         return _decode_text_region_huffman(seg_data, syms, info, pos,
-                                           flags)
+                                           flags,
+                                           list(custom_tables or ()))
     sbrefine = (flags >> 1) & 1
     sbstrips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3  # 0=BL 1=TL 2=BR 3=TR (Table 34)
@@ -1111,8 +1125,10 @@ class _HuffTable:
     (lower range: value = low - 32 extra bits), ``("u", preflen, low)``
     (upper range: value = low + 32 extra bits), ``("o", preflen)``
     (out-of-band).  Prefix codes are assigned canonically per B.3 in
-    table order; the constructor proves prefix-freeness (no collisions,
-    codes fit their length)."""
+    table order; the constructor proves prefix-freeness.  Line sets can
+    be DATA-derived (runcode lengths, custom table segments), so an
+    unassignable length multiset raises :class:`Jbig2Error`, never an
+    assertion."""
 
     __slots__ = ("lines", "by_code")
 
@@ -1130,10 +1146,10 @@ class _HuffTable:
             for ln in self.lines:
                 if ln[1] == curlen:
                     if code >= (1 << curlen):
-                        raise AssertionError("huffman code overflow")
+                        raise Jbig2Error("huffman code overflow")
                     key = (curlen, code)
                     if key in self.by_code:
-                        raise AssertionError("huffman code collision")
+                        raise Jbig2Error("huffman code collision")
                     self.by_code[key] = ln
                     code += 1
 
@@ -1277,24 +1293,104 @@ for _n, _lines in _STD_TABLE_LINES.items():
     assert _kraft <= 1.0 + 1e-12, f"table B.{_n} over-complete"
 
 
+def _parse_table_segment(seg_data: bytes) -> _HuffTable:
+    """Custom Huffman table segment (type 53, T.88 §7.4.13 / Annex B.2):
+    flags byte (HTOOB, prefix/range field widths), signed low/high
+    bounds, then bit-packed (preflen, rangelen) pairs per value line
+    plus the lower-range, upper-range and optional OOB prefix lengths."""
+    if len(seg_data) < 9:
+        raise Jbig2Error("short table segment")
+    tflags = seg_data[0]
+    if tflags & 0x80:
+        raise Jbig2Error("reserved table flag bit set")
+    htoob = tflags & 1
+    htps = ((tflags >> 1) & 7) + 1
+    htrs = ((tflags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", seg_data, 1)
+    if hthigh <= htlow:
+        raise Jbig2Error("empty custom table range")
+    r = _BitReader(seg_data[9:])
+    lines: list[tuple] = []
+    cur = htlow
+    while cur < hthigh:
+        if len(lines) > 4096:
+            raise Jbig2Error("custom table line budget exceeded")
+        pl = r.read(htps)
+        rl = r.read(htrs)
+        if rl > 32:
+            raise Jbig2Error("custom table range length over 32 bits")
+        lines.append(("n", pl, rl, cur))
+        cur += 1 << rl
+    lines.append(("l", r.read(htps), htlow - 1))
+    lines.append(("u", r.read(htps), hthigh))
+    if htoob:
+        lines.append(("o", r.read(htps)))
+    return _HuffTable(lines)
+
+
+def _encode_table_segment(value_lines: list[tuple], low_pl: int,
+                          high_pl: int, oob_pl: int = 0) -> bytes:
+    """Fixture inverse of :func:`_parse_table_segment`: ``value_lines``
+    are ``(preflen, rangelen, low)`` triples tiling ``[low, high)`` from
+    the first line's low bound; ``oob_pl=0`` omits the OOB line."""
+    if not value_lines:
+        raise ValueError("need at least one value line")
+    htlow = value_lines[0][2]
+    cur = htlow
+    pls = [pl for pl, _rl, _lo in value_lines]
+    pls += [low_pl, high_pl] + ([oob_pl] if oob_pl else [])
+    rls = [rl for _pl, rl, _lo in value_lines]
+    htps = max(max(pls).bit_length(), 1)
+    htrs = max(max(rls).bit_length(), 1)
+    w = _BitWriter()
+    for pl, rl, lo in value_lines:
+        if lo != cur:
+            raise ValueError("value lines must tile the range")
+        w.write(pl, htps)
+        w.write(rl, htrs)
+        cur += 1 << rl
+    w.write(low_pl, htps)
+    w.write(high_pl, htps)
+    if oob_pl:
+        w.write(oob_pl, htps)
+    tflags = (1 if oob_pl else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    return bytes([tflags]) + struct.pack(">ii", htlow, cur) + w.flush()
+
+
+def _take_table(custom: list, what: str) -> _HuffTable:
+    if not custom:
+        raise Jbig2Error(f"selector asks for a custom {what} table but "
+                         "no referred table segment remains")
+    return custom.pop(0)
+
+
 def _decode_symbol_dict_huffman(seg_data: bytes, flags: int, pos: int,
                                 input_syms: list[np.ndarray],
+                                custom: list | None = None,
                                 ) -> list[np.ndarray]:
     """SDHUFF=1 symbol dictionary (T.88 §6.5 with Huffman tables,
     REFAGG=0): per height class the symbols are coded COLLECTIVELY —
     widths via the DW table, then one bitmap holding the class side by
-    side, stored raw (BMSIZE=0) or MMR-coded."""
+    side, stored raw (BMSIZE=0) or MMR-coded.  Selector value 3 (DH/DW)
+    or 1 (BMSIZE/AGGINST) takes the next referred custom table
+    (§7.4.3.1.6 consumption order DH, DW, BMSIZE, AGGINST)."""
     if (flags >> 1) & 1:
         raise Jbig2Unsupported(
             "huffman symbol dictionary with refinement/aggregation")
+    custom = custom if custom is not None else []
     sel_dh = (flags >> 2) & 3
     sel_dw = (flags >> 4) & 3
-    if sel_dh > 1 or sel_dw > 1 or (flags >> 6) & 1 or (flags >> 7) & 1:
-        raise Jbig2Unsupported("custom huffman table in symbol dictionary")
-    t_dh = _std_table(4 + sel_dh)
-    t_dw = _std_table(2 + sel_dw)
-    t_bm = _std_table(1)
+    if sel_dh == 2 or sel_dw == 2:
+        raise Jbig2Error("reserved huffman table selector")
+    t_dh = _take_table(custom, "DH") if sel_dh == 3 \
+        else _std_table(4 + sel_dh)
+    t_dw = _take_table(custom, "DW") if sel_dw == 3 \
+        else _std_table(2 + sel_dw)
+    t_bm = _take_table(custom, "BMSIZE") if (flags >> 6) & 1 \
+        else _std_table(1)
     t_ex = _std_table(1)
+    if (flags >> 7) & 1:   # AGGINST custom table: REFAGG=0 never reads
+        _take_table(custom, "AGGINST")   # it, but it consumes its slot
     if pos + 8 > len(seg_data):
         raise Jbig2Error("truncated symbol dictionary header")
     num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
@@ -1378,10 +1474,14 @@ def _decode_symbol_dict_huffman(seg_data: bytes, flags: int, pos: int,
 
 def _decode_text_region_huffman(seg_data: bytes, syms: list[np.ndarray],
                                 info: dict, pos: int, flags: int,
+                                custom: list | None = None,
                                 ) -> tuple[dict, np.ndarray]:
     """SBHUFF=1 text region (T.88 §6.4 with Huffman tables): the strip
     walk of the arithmetic decoder with table-coded values, a raw-bit
-    CURT residual, and the runcode-built symbol ID code (§7.4.3.1.7)."""
+    CURT residual, and the runcode-built symbol ID code (§7.4.3.1.7).
+    FS/DS/DT selector value 3 takes the next referred custom table
+    (§7.4.4.1.6; the refinement-table selectors stay rejected with
+    SBREFINE)."""
     sbrefine = (flags >> 1) & 1
     if sbrefine:
         raise Jbig2Unsupported("huffman text region with refinement")
@@ -1397,15 +1497,22 @@ def _decode_text_region_huffman(seg_data: bytes, syms: list[np.ndarray],
         raise Jbig2Error("truncated huffman text region flags")
     hflags = struct.unpack_from(">H", seg_data, pos)[0]
     pos += 2
+    custom = custom if custom is not None else []
     sel_fs = hflags & 3
     sel_ds = (hflags >> 2) & 3
     sel_dt = (hflags >> 4) & 3
-    if sel_fs > 1 or sel_ds > 2 or sel_dt > 2 \
-            or (hflags >> 6) & 0xFF or (hflags >> 14) & 1:
-        raise Jbig2Unsupported("custom huffman table in text region")
-    t_fs = _std_table(6 + sel_fs)
-    t_ds = _std_table(8 + sel_ds)
-    t_dt = _std_table(11 + sel_dt)
+    if sel_fs == 2:
+        raise Jbig2Error("reserved huffman FS table selector")
+    if (hflags >> 6) & 0xFF or (hflags >> 14) & 1:
+        # RDW/RDH/RDX/RDY/RSIZE tables are meaningful only with
+        # SBREFINE, which rejects above
+        raise Jbig2Unsupported("refinement huffman tables in text region")
+    t_fs = _take_table(custom, "FS") if sel_fs == 3 \
+        else _std_table(6 + sel_fs)
+    t_ds = _take_table(custom, "DS") if sel_ds == 3 \
+        else _std_table(8 + sel_ds)
+    t_dt = _take_table(custom, "DT") if sel_dt == 3 \
+        else _std_table(11 + sel_dt)
     if pos + 4 > len(seg_data):
         raise Jbig2Error("truncated text region header")
     num_instances = struct.unpack_from(">I", seg_data, pos)[0]
@@ -1537,16 +1644,35 @@ def _draw_instance(page: np.ndarray, sym: np.ndarray, curs: int,
     return curs
 
 
-def _encode_huffman_symbol_dict(symbols: list[np.ndarray]) -> bytes:
+#: custom DW table emitted by the ``custom_dw_table`` fixture tier:
+#: [0, 64) with 6 extra bits, [64, 1088) with 10 — covers every width
+#: delta the fixture pages produce; Kraft 31/32 (incomplete is legal)
+_CUSTOM_DW_SEG = None
+
+
+def _custom_dw_table_segment() -> bytes:
+    global _CUSTOM_DW_SEG
+    if _CUSTOM_DW_SEG is None:
+        _CUSTOM_DW_SEG = _encode_table_segment(
+            [(1, 6, 0), (2, 10, 64)], low_pl=5, high_pl=4, oob_pl=3)
+    return _CUSTOM_DW_SEG
+
+
+def _encode_huffman_symbol_dict(symbols: list[np.ndarray],
+                                custom_dw: bool = False) -> bytes:
     """Symbols (sorted by ascending height, then width) → SDHUFF=1
     dictionary segment data with B.4/B.2/B.1 tables and UNCOMPRESSED
     collective bitmaps (BMSIZE=0) — the simplest conforming huffman
-    arrangement."""
-    flags = 1  # SDHUFF=1; all selectors 0 (standard tables)
+    arrangement.  ``custom_dw=True`` codes the width deltas with the
+    type-53 custom table of :func:`_custom_dw_table_segment` instead
+    (selector value 3); the caller must emit that table segment in the
+    dictionary's referred-to list."""
+    flags = 1 | ((3 << 4) if custom_dw else 0)
     header = struct.pack(">H", flags) + struct.pack(
         ">II", len(symbols), len(symbols))
-    t_dh, t_dw, t_bm, t_ex = (_std_table(4), _std_table(2),
-                              _std_table(1), _std_table(1))
+    t_dh, t_bm, t_ex = (_std_table(4), _std_table(1), _std_table(1))
+    t_dw = _parse_table_segment(_custom_dw_table_segment()) \
+        if custom_dw else _std_table(2)
     w = _BitWriter()
     classes: dict[int, list[np.ndarray]] = {}
     for sym in symbols:
@@ -1626,12 +1752,16 @@ def _encode_huffman_text_region(instances: list[tuple],
 
 
 def encode_jbig2_symbol_huffman_embedded(bitmap: np.ndarray,
-                                         refcorner: int = 1) -> bytes:
+                                         refcorner: int = 1,
+                                         custom_dw_table: bool = False,
+                                         ) -> bytes:
     """2-D bitmap → PDF-embedded JBIG2 stream in the HUFFMAN-CODED
     dictionary arrangement (SDHUFF=1 collective bitmaps + SBHUFF=1 text
     region with standard Annex-B tables) — the non-arithmetic variant
-    some encoders emit.  Lossless; inverse of
-    :func:`decode_jbig2_embedded`."""
+    some encoders emit.  ``custom_dw_table=True`` additionally routes
+    the width deltas through a type-53 CUSTOM table segment (Annex
+    B.2) referred by the dictionary — the custom-table arrangement.
+    Lossless; inverse of :func:`decode_jbig2_embedded`."""
     bm = np.asarray(bitmap)
     if bm.ndim != 2:
         raise ValueError(
@@ -1652,13 +1782,23 @@ def encode_jbig2_symbol_huffman_embedded(bitmap: np.ndarray,
                .reshape(key[0], key[1]) for key in keys]
     instances = [(x0, y0, classes[key])
                  for (x0, y0, _mask), key in zip(comps, comp_keys)]
-    return (_segment(1, 48, 1, page_info)
-            + _segment(2, 0, 1, _encode_huffman_symbol_dict(symbols))
-            + _segment(3, 7, 1,
-                       _encode_huffman_text_region(instances, symbols,
-                                                   w, h, refcorner),
-                       refs=(2,))
-            + _segment(4, 49, 1, b""))
+    parts: list[tuple[int, bytes, str]] = [(48, page_info, "")]
+    if custom_dw_table:
+        parts.append((53, _custom_dw_table_segment(), ""))
+    parts.append((0, _encode_huffman_symbol_dict(
+        symbols, custom_dw=custom_dw_table),
+        "table" if custom_dw_table else ""))
+    parts.append((7, _encode_huffman_text_region(
+        instances, symbols, w, h, refcorner), "dict"))
+    parts.append((49, b"", ""))
+    out = bytearray()
+    num_of = {}
+    for num, (seg_type, payload, ref_kind) in enumerate(parts, start=1):
+        refs = (num_of[ref_kind],) if ref_kind else ()
+        if seg_type in (0, 53):
+            num_of["table" if seg_type == 53 else "dict"] = num
+        out += _segment(num, seg_type, 1, payload, refs=refs)
+    return bytes(out)
 
 
 def _combine(dst: np.ndarray, src: np.ndarray, op: int) -> None:
@@ -2003,6 +2143,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
     regions: list[tuple[dict, np.ndarray]] = []
     sym_exports: dict[int, list[np.ndarray]] = {}
     pat_dicts: dict[int, list[np.ndarray]] = {}
+    tables: dict[int, bytes] = {}   # type-53 raw payloads, parsed lazily
     for head, seg_data in segments:
         t = head["type"]
         if t == 48:  # page info
@@ -2022,12 +2163,17 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
             for r in head["refs"]:
                 inputs.extend(sym_exports.get(r, ()))
             sym_exports[head["number"]] = _decode_symbol_dict(
-                seg_data, inputs)
+                seg_data, inputs,
+                [_parse_table_segment(tables[r]) for r in head["refs"]
+                 if r in tables])
         elif t in (6, 7):  # immediate (lossless) text region
             syms: list[np.ndarray] = []
             for r in head["refs"]:
                 syms.extend(sym_exports.get(r, ()))
-            regions.append(_decode_text_region(seg_data, syms))
+            regions.append(_decode_text_region(
+                seg_data, syms,
+                [_parse_table_segment(tables[r]) for r in head["refs"]
+                 if r in tables]))
         elif t == 16:  # pattern dictionary
             pat_dicts[head["number"]] = _decode_pattern_dict(seg_data)
         elif t in (22, 23):  # immediate (lossless) halftone region
@@ -2046,7 +2192,11 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None,
             raise Jbig2Unsupported(
                 f"JBIG2 segment type {t} (intermediate region, needs "
                 "auxiliary-buffer plumbing) outside the decoded scope")
-        elif t in (52, 53, 62):  # retention / tables / extension: skip
+        elif t == 53:  # custom huffman table — parsed LAZILY at the
+            # referencing segment, so a malformed table nothing uses
+            # can't abort an otherwise-decodable page
+            tables[head["number"]] = seg_data
+        elif t in (52, 62):  # retention / extension: skip
             continue
         else:
             raise Jbig2Error(f"unknown JBIG2 segment type {t}")

@@ -256,7 +256,10 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
     codec; ``"jbig2sym"`` embeds the same page in JBIG2's
     DICTIONARY-CODED arrangement (connected components → symbol
     dictionary → text region — what real scanner JBIG2 output
-    predominantly is); ``"jpx"`` embeds a bilevel lossless JPEG 2000
+    predominantly is; ``"jbig2huff"`` the Huffman-coded arrangement
+    with standard Annex-B tables and ``"jbig2huffct"`` the same with a
+    type-53 CUSTOM DW table); ``"jpx"`` embeds a bilevel lossless JPEG
+    2000
     (``core/jpxcodec``: JP2 wrapper, 5/3 reversible wavelet, EBCOT)
     behind **JPXDecode**, the archive/ebook scanner format, and
     ``"jpxcolor"`` the tinted 3-component RCT form of the same (test
@@ -281,8 +284,8 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
 
     if codec not in ("flate", "jpeg", "jpegprog", "jpeglossy", "jpegcolor",
                      "ccitt", "g3", "g3mixed", "jbig2", "jbig2sym",
-                     "jbig2huff", "jpx", "jpxcolor", "gray1", "rgb",
-                     "noisy"):
+                     "jbig2huff", "jbig2huffct", "jpx", "jpxcolor",
+                     "gray1", "rgb", "noisy"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -335,7 +338,7 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                 from .jpegcodec import encode_jpeg_rgb
                 img = encode_jpeg_rgb(rgb, quality=100, subsample=False)
                 filter_name = "DCTDecode"
-        elif codec in ("jbig2", "jbig2sym", "jbig2huff"):
+        elif codec in ("jbig2", "jbig2sym", "jbig2huff", "jbig2huffct"):
             import numpy as np
 
             from .jbig2codec import (
@@ -343,12 +346,18 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                 encode_jbig2_symbol_embedded,
                 encode_jbig2_symbol_huffman_embedded,
             )
-            enc = (encode_jbig2_symbol_embedded if codec == "jbig2sym"
-                   else encode_jbig2_symbol_huffman_embedded
-                   if codec == "jbig2huff" else encode_jbig2_embedded)
-            img = enc(
-                np.frombuffer(samples, dtype=np.uint8)
-                .reshape(int(h), int(w)) < 128)
+            ink = np.frombuffer(samples, dtype=np.uint8) \
+                .reshape(int(h), int(w)) < 128
+            if codec == "jbig2sym":
+                img = encode_jbig2_symbol_embedded(ink)
+            elif codec == "jbig2huff":
+                img = encode_jbig2_symbol_huffman_embedded(ink)
+            elif codec == "jbig2huffct":
+                # huffman arrangement with a type-53 CUSTOM DW table
+                img = encode_jbig2_symbol_huffman_embedded(
+                    ink, custom_dw_table=True)
+            else:
+                img = encode_jbig2_embedded(ink)
             filter_name = "JBIG2Decode"
             bpc = 1
         elif codec in ("ccitt", "g3", "g3mixed"):

@@ -143,7 +143,9 @@ def _text_to_mixed_payload(text, doc_id):
     1-bit JBIG2 behind JBIG2Decode — generic-region arrangement at
     doc_id % 64 == 17, arithmetic dictionary-coded symbol/text
     arrangement at doc_id % 128 == 49, HUFFMAN dictionary-coded
-    arrangement (SDHUFF/SBHUFF, Annex-B tables) at doc_id % 128 == 113 —
+    arrangement (SDHUFF/SBHUFF) at doc_id % 128 == 113 — with Annex-B
+    STANDARD tables at doc_id % 256 == 113 and a type-53 CUSTOM DW
+    table (Annex B.2) at doc_id % 256 == 241 —
     bilevel lossless JPEG 2000 behind JPXDecode (doc_id % 128 == 97, the
     archive/ebook scanner format), raw packed 1-bit rows behind plain
     FlateDecode (doc_id % 128 == 33), raw 8-bit DeviceGray behind
@@ -174,6 +176,7 @@ def _text_to_mixed_payload(text, doc_id):
                      else "g3mixed" if d % 64 == 57
                      else "jbig2" if d % 64 == 17
                      else "jbig2sym" if d % 128 == 49
+                     else "jbig2huffct" if d % 256 == 241
                      else "jbig2huff" if d % 128 == 113
                      else "jpx" if d % 128 == 97
                      else "gray1" if d % 64 == 33

@@ -411,12 +411,13 @@ class TestSymbolText:
         expect[10:13, 4:6] = sym.astype(bool)
         assert (gray == np.where(expect, 0, 255)).all()
 
-    def test_huffman_dict_with_custom_tables_is_unsupported(self):
-        # SDHUFF decodes since r5; the CUSTOM-table selectors (value 3)
-        # remain out of scope and must reject loudly
+    def test_huffman_dict_custom_selector_needs_referred_table(self):
+        # CUSTOM-table selectors (value 3) decode since r5 — but only
+        # with a referred type-53 table segment; without one the stream
+        # is malformed and must reject loudly
         seg = struct.pack(">H", 1 | (3 << 2)) + b"\x00" * 16
         blob = jb._segment(1, 0, 1, seg)
-        with pytest.raises(Jbig2Unsupported):
+        with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob, width=8, height=8)
 
     def test_truncated_refagg_dict_is_error(self):
@@ -986,14 +987,15 @@ class TestHuffman:
             except Jbig2Error:
                 pass
 
-    def test_custom_text_region_tables_unsupported(self):
-        # huffman flags with a custom (3) FS selector must reject loudly
+    def test_custom_text_region_selector_needs_referred_table(self):
+        # a custom (3) FS selector without a referred type-53 table
+        # segment is malformed and must reject loudly
         region_info = struct.pack(">IIIIB", 8, 8, 0, 0, 0)
         seg = (region_info + struct.pack(">H", 1)   # SBHUFF=1
                + struct.pack(">H", 3)               # FS selector = custom
                + struct.pack(">I", 1))
         sym = [np.ones((2, 2), np.uint8)]
-        with pytest.raises(Jbig2Unsupported):
+        with pytest.raises(Jbig2Error):
             jb._decode_text_region(seg, sym)
 
     def test_ocr_extraction_through_huffman_pdf(self):
@@ -1039,3 +1041,182 @@ class TestHuffman:
         assert len(got) == 2
         assert (got[0] == syms[0]).all()
         assert (got[1] == syms[1]).all()
+
+
+class TestCustomTables:
+    """Custom Huffman table segments (type 53, Annex B.2) feeding the
+    SDHUFF/SBHUFF selectors with the custom value."""
+
+    # covers [0, 16) with one 4-extra-bit line; lower/upper/OOB present
+    _DW_LINES = [(1, 4, 0)]
+
+    def _table_seg(self, oob=3):
+        return jb._encode_table_segment(self._DW_LINES, low_pl=2,
+                                        high_pl=3, oob_pl=oob)
+
+    def test_table_segment_roundtrip(self):
+        t = jb._parse_table_segment(self._table_seg())
+        w = jb._BitWriter()
+        for v in (0, 7, 15, -4, 40):
+            t.encode(w, v)
+        t.encode_oob(w)
+        r = jb._BitReader(w.flush())
+        assert [t.decode(r) for _ in range(5)] == [0, 7, 15, -4, 40]
+        assert t.decode(r) is jb._HUFF_OOB
+
+    def test_short_or_reserved_table_rejects(self):
+        with pytest.raises(Jbig2Error):
+            jb._parse_table_segment(b"\x00\x00\x00")
+        bad = bytearray(self._table_seg())
+        bad[0] |= 0x80
+        with pytest.raises(Jbig2Error):
+            jb._parse_table_segment(bytes(bad))
+        # empty range (high <= low)
+        with pytest.raises(Jbig2Error):
+            jb._parse_table_segment(
+                b"\x01" + struct.pack(">ii", 5, 5) + b"\x00" * 4)
+
+    def test_degenerate_code_lengths_are_jbig2error(self):
+        # three length-1 prefixes cannot be canonically assigned —
+        # data-driven table construction must raise Jbig2Error, not an
+        # assertion (the runcode table is built from stream nibbles)
+        with pytest.raises(Jbig2Error):
+            jb._HuffTable([("n", 1, 0, 0), ("n", 1, 0, 1), ("n", 1, 0, 2)])
+
+    def _dict_with_custom_dw(self, symbols):
+        """Hand-encode an SDHUFF dictionary using the custom DW table
+        (sel_dw=3), mirroring _encode_huffman_symbol_dict otherwise."""
+        t = jb._parse_table_segment(self._table_seg())
+        flags = 1 | (3 << 4)   # SDHUFF=1, DW selector = custom
+        header = struct.pack(">H", flags) + struct.pack(
+            ">II", len(symbols), len(symbols))
+        t_dh, t_bm, t_ex = (jb._std_table(4), jb._std_table(1),
+                            jb._std_table(1))
+        w = jb._BitWriter()
+        classes = {}
+        for sym in symbols:
+            classes.setdefault(sym.shape[0], []).append(sym)
+        prev_h = 0
+        for hh in sorted(classes):
+            t_dh.encode(w, hh - prev_h)
+            prev_h = hh
+            prev_w = 0
+            for sym in classes[hh]:
+                t.encode(w, sym.shape[1] - prev_w)
+                prev_w = sym.shape[1]
+            t.encode_oob(w)
+            t_bm.encode(w, 0)
+            w.write_bytes(np.packbits(np.hstack(classes[hh]),
+                                      axis=1).tobytes())
+        t_ex.encode(w, 0)
+        t_ex.encode(w, len(symbols))
+        return header + w.flush()
+
+    def test_symbol_dict_with_custom_dw_table(self):
+        rng = np.random.default_rng(5)
+        syms = [(rng.random((4, 5)) < 0.5).astype(np.uint8),
+                (rng.random((4, 7)) < 0.5).astype(np.uint8)]
+        seg = self._dict_with_custom_dw(syms)
+        t = jb._parse_table_segment(self._table_seg())
+        got = jb._decode_symbol_dict(seg, [], [t])
+        assert len(got) == 2
+        assert (got[0] == syms[0]).all()
+        assert (got[1] == syms[1]).all()
+
+    def test_missing_custom_table_rejects(self):
+        syms = [np.ones((3, 3), np.uint8)]
+        seg = self._dict_with_custom_dw(syms)
+        with pytest.raises(Jbig2Error):
+            jb._decode_symbol_dict(seg, [], [])
+
+    def test_reserved_selector_rejects(self):
+        flags = 1 | (2 << 4)   # DW selector 2 is reserved
+        seg = struct.pack(">H", flags) + struct.pack(">II", 1, 1)
+        with pytest.raises(Jbig2Error):
+            jb._decode_symbol_dict(seg, [], [])
+
+    def test_embedded_stream_with_custom_table(self):
+        """Full embedded decode: page info + type-53 table + SDHUFF dict
+        (custom DW) + SBHUFF text region + EOP equals the standard-table
+        arrangement's page."""
+        rng = np.random.default_rng(11)
+        syms = [(rng.random((6, 5)) < 0.4).astype(np.uint8),
+                (rng.random((6, 9)) < 0.4).astype(np.uint8)]
+        dict_seg = self._dict_with_custom_dw(syms)
+        instances = [(2, 1, 0), (12, 1, 1), (24, 1, 0)]
+        w, h = 40, 10
+        region = jb._encode_huffman_text_region(instances, syms, w, h)
+        page_info = (struct.pack(">IIII", w, h, 0, 0)
+                     + b"\x01" + b"\x00\x00")
+        stream = (jb._segment(1, 48, 1, page_info)
+                  + jb._segment(2, 53, 1, self._table_seg())
+                  + jb._segment(3, 0, 1, dict_seg, refs=(2,))
+                  + jb._segment(4, 6, 1, region, refs=(3,))
+                  + jb._segment(5, 49, 1, b""))
+        got = decode_jbig2_embedded(stream)
+        want = np.full((h, w), 255, np.uint8)
+        for x0, y0, sid in instances:
+            sh, sw = syms[sid].shape
+            want[y0:y0 + sh, x0:x0 + sw] = np.where(syms[sid], 0, 255)
+        assert np.array_equal(got, want)
+
+    def test_text_region_with_custom_fs_table(self):
+        # FS values are first-instance x offsets (0 and 2 here): a tiny
+        # custom table over [0, 8) with OOB absent
+        tseg = jb._encode_table_segment([(1, 3, 0)], low_pl=2, high_pl=2)
+        t_fs = jb._parse_table_segment(tseg)
+        syms = [np.ones((3, 3), np.uint8)]
+        region_info = struct.pack(">IIIIB", 12, 5, 0, 0, 0)
+        flags = 1 | (1 << 4)            # SBHUFF=1, TL refcorner
+        hflags = 3                      # FS selector = custom
+        t_ds, t_dt = jb._std_table(8), jb._std_table(11)
+        bw = jb._BitWriter()
+        for i in range(35):
+            bw.write(1 if i == 1 else 0, 4)
+        bw.write(0, 1)                  # the single symbol's code length
+        bw.byte_align()
+        t_dt.encode(bw, 1)              # STRIPT = -1
+        t_dt.encode(bw, 2)              # strip at T=1
+        t_fs.encode(bw, 2)              # FIRSTS = 2
+        t_ds.encode_oob(bw)
+        seg = (region_info + struct.pack(">H", flags)
+               + struct.pack(">H", hflags) + struct.pack(">I", 1)
+               + bw.flush())
+        info, bm = jb._decode_text_region(seg, syms, [t_fs])
+        want = np.zeros((5, 12), np.uint8)
+        want[1:4, 2:5] = 1
+        assert np.array_equal(bm, want)
+
+    def test_encoder_custom_table_arrangement_roundtrip(self):
+        rng = np.random.default_rng(13)
+        bm = (rng.random((40, 120)) < 0.25).astype(np.uint8)
+        data = jb.encode_jbig2_symbol_huffman_embedded(
+            bm, custom_dw_table=True)
+        got = decode_jbig2_embedded(data)
+        assert np.array_equal(got, np.where(bm, 0, 255))
+
+    def test_custom_arrangement_ocr_extraction(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 200, "height": 60,
+                  "words": [("custom", 10, 10, 46, 18),
+                            ("tables", 54, 10, 90, 18)]}]
+        r = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jbig2huffct"), "eng",
+            recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["text"] == "custom tables"
+
+    def test_unreferenced_malformed_table_does_not_abort_page(self):
+        # type-53 payloads parse LAZILY: a broken table segment nothing
+        # references must not flip a decodable page into an error
+        bm = np.eye(10, 24, dtype=bool)
+        blob = encode_jbig2_embedded(bm)
+        bad_table = jb._segment(9, 53, 1,
+                                b"\x01" + struct.pack(">ii", 5, 5))
+        gray = decode_jbig2_embedded(blob + bad_table)
+        assert np.array_equal(gray, np.where(bm, 0, 255))
