@@ -8,9 +8,13 @@ ebook-scanner format (JSTOR-style scans, DjVu re-exports).  This module
 decodes the common PDF-embedded case from the public spec:
 
 * JP2 box wrapper or raw codestream (auto-detected),
-* single tile, 1-8 bit unsigned components: grayscale, or 3-component
-  color through the reversible color transform (Annex G.2 RCT) —
-  decoded to ITU-R BT.601 luma, the gray the OCR tier reads,
+* 1-8 bit unsigned components: grayscale, or 3-component color through
+  the reversible color transform (Annex G.2 RCT) — decoded to ITU-R
+  BT.601 luma, the gray the OCR tier reads,
+* tiled images (the way scanners tile large pages): any power-of-two-
+  aligned tile grid (tile size a multiple of 2^levels, so every tile
+  keeps even wavelet parity — true of every real tiler), each tile in
+  one or more tile-parts in any order,
 * reversible 5/3 integer wavelet (T.800 Annex F), any 0-10
   decomposition levels,
 * no-quantization (reversible) QCD,
@@ -21,8 +25,7 @@ decodes the common PDF-embedded case from the public spec:
   standards specify the same coder),
 * Tier-2 packet headers (Annex B: tag trees, bit-stuffed headers,
   Lblock length signalling), LRCP/RLCP progressions, multi-layer
-  pass accumulation, SOP/EPH packet-boundary markers, multiple
-  tile-parts of the one tile.
+  pass accumulation, SOP/EPH packet-boundary markers.
 
 Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
 (a :class:`JpxError`): irreversible 9/7 streams, component counts
@@ -787,18 +790,13 @@ def _encode_component(a: np.ndarray, levels: int, cblk: int,
     return res_blocks, band_maxes
 
 
-def _emit_codestream(comps: list, band_maxes: list[int],
-                     layout: list[dict], w: int, h: int, bpc: int,
-                     levels: int, cblk: int, mct: int,
-                     sop: bool, eph: bool) -> bytes:
-    """Per-component T1-coded blocks → full codestream.  The QCD (shared
-    across components) is derived from the per-band maxima; packets go
-    out in LRCP order (single layer / precinct): resolution outer,
-    component inner."""
-    guard = 2
-    exps = [max(m, 1) - guard + 1 if max(m, 1) - guard + 1 > 0 else 0
-            for m in band_maxes]
-    mbs = [guard + e - 1 for e in exps]
+def _emit_tile_body(comps: list, layout: list[dict], levels: int,
+                    cblk: int, mbs: list[int], sop: bool,
+                    eph: bool) -> bytes:
+    """One tile's per-component T1-coded blocks → packet bytes, LRCP
+    order (single layer / precinct): resolution outer, component inner.
+    ``mbs`` are the codestream-wide per-band magnitude bitplane counts
+    (QCD is shared)."""
     for res_blocks in comps:
         flat = 0
         for r in range(levels + 1):
@@ -857,13 +855,54 @@ def _emit_codestream(comps: list, band_maxes: list[int],
             if eph:
                 body += b"\xff\x92"
             body += payload
+    return bytes(body)
+
+
+def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
+                     levels: int, cblk: int, mct: int, sop: bool,
+                     eph: bool, tile: int | None) -> bytes:
+    """DC-shifted component planes → full codestream.  ``tile`` splits
+    the image into a ``tile``×``tile`` grid (one tile-part per tile);
+    None keeps the single whole-image tile.  The QCD (shared across
+    components and tiles) is derived from the global per-band maxima."""
+    if tile is None:
+        xts = yts = max(w, h)
+    else:
+        if tile < 1 or tile % (1 << levels):
+            raise ValueError(
+                f"tile size {tile} must be a multiple of 2^levels so "
+                "every tile origin keeps even wavelet parity")
+        xts = yts = tile
+    ntx, nty = _grid(w, xts), _grid(h, yts)
+    tiles = []                       # (layout, comps_res_blocks)
+    maxes: list[int] | None = None
+    for ty in range(nty):
+        for tx in range(ntx):
+            tw = min(xts, w - tx * xts)
+            th = min(yts, h - ty * yts)
+            layout = _band_dims(tw, th, levels)
+            comps = []
+            for plane in planes:
+                sub = plane[ty * yts:ty * yts + th,
+                            tx * xts:tx * xts + tw]
+                res_blocks, band_maxes = _encode_component(
+                    sub, levels, cblk, layout)
+                comps.append(res_blocks)
+                maxes = band_maxes if maxes is None else \
+                    [max(a2, b2) for a2, b2 in zip(maxes, band_maxes)]
+            tiles.append((layout, comps))
+
+    guard = 2
+    exps = [max(m, 1) - guard + 1 if max(m, 1) - guard + 1 > 0 else 0
+            for m in maxes]
+    mbs = [guard + e - 1 for e in exps]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    ncomp = len(comps)
-    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp) \
-        + bytes([bpc - 1, 1, 1]) * ncomp
+    ncomp = len(planes)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xts, yts, 0, 0,
+                      ncomp) + bytes([bpc - 1, 1, 1]) * ncomp
     xcb = cblk.bit_length() - 1
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
     cod = bytes([scod]) + bytes([0]) + struct.pack(">H", 1) \
@@ -871,13 +910,16 @@ def _emit_codestream(comps: list, band_maxes: list[int],
     if max(exps) > 31:
         raise ValueError("coefficient range exceeds QCD exponent field")
     qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
-    head = (b"\xffO"                      # SOC
-            + seg(0xFF51, siz)
-            + seg(0xFF52, cod)
-            + seg(0xFF5C, qcd))
-    psot = 2 + 10 + 2 + len(body)         # SOT..Lsot seg..SOD..body
-    sot = seg(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))
-    return head + sot + b"\xff\x93" + bytes(body) + b"\xff\xd9"
+    out = bytearray(b"\xffO" + seg(0xFF51, siz) + seg(0xFF52, cod)
+                    + seg(0xFF5C, qcd))
+    for i, (layout, comps) in enumerate(tiles):
+        body = _emit_tile_body(comps, layout, levels, cblk, mbs, sop,
+                               eph)
+        psot = 2 + 10 + 2 + len(body)     # SOT..Lsot seg..SOD..body
+        out += seg(0xFF90, struct.pack(">HIBB", i, psot, 0, 1))
+        out += b"\xff\x93" + body
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _wrap_boxes(stream: bytes, w: int, h: int, bpc: int,
@@ -912,7 +954,8 @@ def _check_encode_args(shape: tuple, bpc: int, levels: int,
 
 def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
                     cblk: int = 64, wrap_jp2: bool = True,
-                    sop: bool = False, eph: bool = False) -> bytes:
+                    sop: bool = False, eph: bool = False,
+                    tile: int | None = None) -> bytes:
     """Grayscale 2-D uint8 array → lossless JPEG 2000 bytes (JP2 file by
     default; ``wrap_jp2=False`` emits the raw codestream).  ``bpc`` sets
     the component precision: 8 stores samples as-is, lower depths
@@ -920,7 +963,8 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
     the fixture corpus's fast tier: ±1 coefficients keep the T1 pass
     count tiny while exercising the whole wavelet/packet machinery).
     ``sop``/``eph`` emit the optional packet-boundary markers some real
-    encoders use."""
+    encoders use; ``tile`` splits the image into a tile grid (one
+    tile-part each), the way scanners tile large pages."""
     if img.ndim != 2 or img.size == 0:
         raise ValueError("need a non-empty 2-D grayscale array")
     _check_encode_args(img.shape, bpc, levels, cblk)
@@ -931,16 +975,14 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
         top = (1 << bpc) - 1
         samples = ((img.astype(np.int64) * top + 127) // 255)
     a = samples - (1 << (bpc - 1))
-    layout = _band_dims(w, h, levels)
-    res_blocks, band_maxes = _encode_component(a, levels, cblk, layout)
-    stream = _emit_codestream([res_blocks], band_maxes, layout, w, h,
-                              bpc, levels, cblk, mct=0, sop=sop, eph=eph)
+    stream = _emit_codestream([a], w, h, bpc, levels, cblk, mct=0,
+                              sop=sop, eph=eph, tile=tile)
     return _wrap_boxes(stream, w, h, bpc, 1) if wrap_jp2 else stream
 
 
 def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
                    wrap_jp2: bool = True, sop: bool = False,
-                   eph: bool = False) -> bytes:
+                   eph: bool = False, tile: int | None = None) -> bytes:
     """(h, w, 3) uint8 RGB → lossless JPEG 2000 bytes: three 8-bit
     components through the reversible color transform (T.800 Annex G.2
     RCT) — the form real color archive scans use."""
@@ -951,16 +993,8 @@ def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
     rgb = img.astype(np.int64) - 128          # DC level shift, then RCT
     r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     planes = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]   # Y, Cb, Cr
-    layout = _band_dims(w, h, levels)
-    comps, maxes = [], None
-    for plane in planes:
-        res_blocks, band_maxes = _encode_component(plane, levels, cblk,
-                                                   layout)
-        comps.append(res_blocks)
-        maxes = band_maxes if maxes is None else \
-            [max(a2, b2) for a2, b2 in zip(maxes, band_maxes)]
-    stream = _emit_codestream(comps, maxes, layout, w, h, 8, levels,
-                              cblk, mct=1, sop=sop, eph=eph)
+    stream = _emit_codestream(planes, w, h, 8, levels, cblk, mct=1,
+                              sop=sop, eph=eph, tile=tile)
     return _wrap_boxes(stream, w, h, 8, 3) if wrap_jp2 else stream
 
 
@@ -994,14 +1028,14 @@ def _unwrap_jp2(data: bytes) -> bytes:
     raise JpxError("no jp2c codestream box found")
 
 
-def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
-    """Main header + tile-parts → (params, concatenated packet bytes)."""
+def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
+    """Main header + tile-parts → (params, per-tile packet bytes)."""
     if cs[:2] != b"\xffO":
         raise JpxError("missing SOC marker")
     pos = 2
     siz = cod = qcd = None
     n = len(cs)
-    body = bytearray()
+    bodies: dict[int, bytearray] = {}
     while True:
         if pos + 2 > n:
             raise JpxError("truncated codestream header")
@@ -1036,8 +1070,6 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
             if ln != 10:
                 raise JpxError("bad SOT length")
             isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg_)
-            if isot != 0:
-                raise JpxUnsupported("multi-tile images not supported")
             part_end = pos + psot if psot else n - 2
             if part_end > n or part_end <= pos:
                 raise JpxError("SOT Psot out of range")
@@ -1057,7 +1089,8 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
                     raise JpxError("truncated tile-part header")
                 (tln,) = struct.unpack_from(">H", cs, tpos + 2)
                 tpos += 2 + tln
-            body += cs[tpos:part_end]
+            bodies.setdefault(isot, bytearray()).extend(
+                cs[tpos:part_end])
             pos = part_end
             if pos + 2 <= n and cs[pos:pos + 2] == b"\xff\xd9":
                 break
@@ -1096,8 +1129,11 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
     if w == 0 or h == 0 or w > _MAX_DIM or h > _MAX_DIM \
             or w * h > _MAX_PIXELS:
         raise JpxError(f"image size {w}x{h} out of bounds")
-    if xts < w or yts < h:
-        raise JpxUnsupported("multi-tile images not supported")
+    if xts == 0 or yts == 0:
+        raise JpxError("zero tile size")
+    ntx, nty = _grid(w, xts), _grid(h, yts)
+    if ntx * nty > 1 << 16:
+        raise JpxError("tile count exceeds budget")
 
     if len(cod) < 10:
         raise JpxError("truncated COD")
@@ -1117,6 +1153,12 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
     levels, cbw, cbh, cbstyle, xfrm = cod[5:10]
     if levels > _MAX_LEVELS:
         raise JpxUnsupported(f"{levels} decomposition levels exceed cap")
+    if (ntx > 1 or nty > 1) and (xts % (1 << levels)
+                                 or yts % (1 << levels)):
+        # a tile whose origin is odd at some decomposition level flips
+        # the low/high parity of the wavelet; every real tiler uses
+        # power-of-two tiles, so this stays out of scope
+        raise JpxUnsupported("tile size not a multiple of 2^levels")
     if (cbw & 0xF0) or (cbh & 0xF0) or cbw + cbh > 8:
         raise JpxError("invalid code-block size exponents")
     if cbstyle:
@@ -1136,26 +1178,26 @@ def _parse_markers(cs: bytes) -> tuple[dict, bytes]:
         raise JpxError("QCD too short for decomposition levels")
     exps = [qcd[1 + i] >> 3 for i in range(nsb)]
 
+    ntiles = ntx * nty
+    for isot in bodies:
+        if isot >= ntiles:
+            raise JpxError(f"SOT tile index {isot} out of range")
     return ({"w": w, "h": h, "bpc": bpc, "levels": levels,
              "cblk_w": 1 << (cbw + 2), "cblk_h": 1 << (cbh + 2),
              "layers": layers, "prog": prog, "guard": guard,
              "exps": exps, "ncomp": csiz, "mct": mct,
-             "sop": use_sop, "eph": use_eph}, bytes(body))
+             "sop": use_sop, "eph": use_eph, "xts": xts, "yts": yts,
+             "ntx": ntx, "nty": nty},
+            [bodies.get(i, bytearray()) for i in range(ntiles)])
 
 
-def decode_jpx_gray(data: bytes) -> np.ndarray:
-    """JPEG 2000 bytes (JP2 file or raw codestream) → (h, w) uint8
-    grayscale.  Sub-8-bit components are scaled to the full 8-bit range
-    (a 1-bit scan decodes to 0/255)."""
-    if len(data) < 12:
-        raise JpxError("not a JPEG 2000 stream (too short)")
-    if len(data) > (1 << 28):
-        raise JpxError("stream exceeds size budget")
-    cs = _unwrap_jp2(bytes(data))
-    prm, body = _parse_markers(cs)
-    w, h, levels = prm["w"], prm["h"], prm["levels"]
+def _decode_tile(body: bytes, prm: dict, tw: int,
+                 th: int) -> list[np.ndarray]:
+    """One tile's packet bytes → per-component int64 coefficient planes
+    (inverse wavelet applied, DC shift / color transform NOT yet)."""
+    levels = prm["levels"]
     cw, ch = prm["cblk_w"], prm["cblk_h"]
-    layout = _band_dims(w, h, levels)
+    layout = _band_dims(tw, th, levels)
 
     # per-component, per-band block grids + persistent tag trees
     ncomp = prm["ncomp"]
@@ -1283,6 +1325,32 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
             hl, lh, hh = per_res[r]
             ll = _inv53_2d(ll, hl, lh, hh)
         planes.append(ll)
+    return planes
+
+
+def decode_jpx_gray(data: bytes) -> np.ndarray:
+    """JPEG 2000 bytes (JP2 file or raw codestream) → (h, w) uint8
+    grayscale.  Sub-8-bit components are scaled to the full 8-bit range
+    (a 1-bit scan decodes to 0/255); 3-component images decode to
+    ITU-R BT.601 luma (through the inverse RCT when signalled)."""
+    if len(data) < 12:
+        raise JpxError("not a JPEG 2000 stream (too short)")
+    if len(data) > (1 << 28):
+        raise JpxError("stream exceeds size budget")
+    cs = _unwrap_jp2(bytes(data))
+    prm, bodies = _parse_markers(cs)
+    w, h = prm["w"], prm["h"]
+    xts, yts, ntx = prm["xts"], prm["yts"], prm["ntx"]
+    ncomp = prm["ncomp"]
+    planes = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
+    for i, body in enumerate(bodies):
+        ty, tx = divmod(i, ntx)
+        tw = min(xts, w - tx * xts)
+        th = min(yts, h - ty * yts)
+        tile_planes = _decode_tile(bytes(body), prm, tw, th)
+        for c in range(ncomp):
+            planes[c][ty * yts:ty * yts + th,
+                      tx * xts:tx * xts + tw] = tile_planes[c]
 
     bpc = prm["bpc"]
     shift = 1 << (bpc - 1)

@@ -179,6 +179,42 @@ class TestRoundTrip:
         luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
         assert np.array_equal(out, luma)
 
+    @pytest.mark.parametrize("shape,tile,levels", [
+        ((13, 21), 8, 1),      # partial edge tiles both axes
+        ((32, 32), 16, 2),     # exact grid
+        ((9, 40), 8, 3),       # 1-row-tall bottom tiles
+        ((24, 24), 8, 0),      # no wavelet, tiles only
+    ])
+    def test_tiled_lossless(self, shape, tile, levels):
+        img = _rng(sum(shape) + tile).integers(0, 256, shape,
+                                               dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, levels=levels,
+                                              tile=tile))
+        assert np.array_equal(out, img)
+
+    def test_tiled_color_with_markers(self):
+        rgb = _rng(37).integers(0, 256, (20, 28, 3), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_rgb(rgb, levels=1, tile=16,
+                                             sop=True, eph=True))
+        r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+        luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+        assert np.array_equal(out, luma)
+
+    def test_odd_parity_tile_grid_rejected(self):
+        img = _rng(41).integers(0, 256, (16, 24), dtype=np.uint8)
+        raw = bytearray(encode_jp2_gray(img, levels=1, tile=8,
+                                        wrap_jp2=False))
+        siz = raw.index(b"\xffQ")
+        # XTsiz lives 18 bytes into the SIZ payload; 7 is odd at level 1
+        struct.pack_into(">I", raw, siz + 4 + 18, 7)
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_encoder_rejects_misaligned_tile(self):
+        img = np.zeros((16, 16), np.uint8)
+        with pytest.raises(ValueError):
+            encode_jp2_gray(img, levels=2, tile=6)
+
     def test_rlcp_progression_decodes(self):
         # with one layer, RLCP packet order equals LRCP — patching the
         # progression byte must not change the decode
