@@ -868,12 +868,18 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
     if tile is None:
         xts = yts = max(w, h)
     else:
-        if tile < 1 or tile % (1 << levels):
-            raise ValueError(
-                f"tile size {tile} must be a multiple of 2^levels so "
-                "every tile origin keeps even wavelet parity")
+        if tile < 1:
+            raise ValueError(f"tile size {tile} must be positive")
         xts = yts = tile
     ntx, nty = _grid(w, xts), _grid(h, yts)
+    if ((ntx > 1 and xts % (1 << levels))
+            or (nty > 1 and yts % (1 << levels))):
+        # only axes with >1 tile need even-origin parity
+        raise ValueError(
+            f"tile size {tile} must be a multiple of 2^levels so "
+            "every tile origin keeps even wavelet parity")
+    if ntx * nty > 1 << 16:
+        raise ValueError("tile count exceeds the 16-bit Isot field")
     tiles = []                       # (layout, comps_res_blocks)
     maxes: list[int] | None = None
     for ty in range(nty):
@@ -1153,11 +1159,12 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
     levels, cbw, cbh, cbstyle, xfrm = cod[5:10]
     if levels > _MAX_LEVELS:
         raise JpxUnsupported(f"{levels} decomposition levels exceed cap")
-    if (ntx > 1 or nty > 1) and (xts % (1 << levels)
-                                 or yts % (1 << levels)):
+    if ((ntx > 1 and xts % (1 << levels))
+            or (nty > 1 and yts % (1 << levels))):
         # a tile whose origin is odd at some decomposition level flips
-        # the low/high parity of the wavelet; every real tiler uses
-        # power-of-two tiles, so this stays out of scope
+        # the low/high parity of the wavelet; only axes with more than
+        # one tile have nonzero origins (strip-tiled images stay in
+        # scope).  Every real tiler uses power-of-two tiles.
         raise JpxUnsupported("tile size not a multiple of 2^levels")
     if (cbw & 0xF0) or (cbh & 0xF0) or cbw + cbh > 8:
         raise JpxError("invalid code-block size exponents")
@@ -1191,10 +1198,12 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
             [bodies.get(i, bytearray()) for i in range(ntiles)])
 
 
-def _decode_tile(body: bytes, prm: dict, tw: int,
-                 th: int) -> list[np.ndarray]:
+def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
+                 blocks_used: list[int]) -> list[np.ndarray]:
     """One tile's packet bytes → per-component int64 coefficient planes
-    (inverse wavelet applied, DC shift / color transform NOT yet)."""
+    (inverse wavelet applied, DC shift / color transform NOT yet).
+    ``blocks_used`` is the image-wide code-block counter (single-element
+    list) charged against ``_MAX_BLOCKS`` across all tiles."""
     levels = prm["levels"]
     cw, ch = prm["cblk_w"], prm["cblk_h"]
     layout = _band_dims(tw, th, levels)
@@ -1202,7 +1211,7 @@ def _decode_tile(body: bytes, prm: dict, tw: int,
     # per-component, per-band block grids + persistent tag trees
     ncomp = prm["ncomp"]
     comp_state = []
-    n_blocks = 0
+    n_blocks = blocks_used[0]
     for _c in range(ncomp):
         res_state = []
         exp_i = 0
@@ -1234,6 +1243,7 @@ def _decode_tile(body: bytes, prm: dict, tw: int,
                               "imsb": _TagTree(gw, gh)})
             res_state.append(bands)
         comp_state.append(res_state)
+    blocks_used[0] = n_blocks
 
     # packet walk — LRCP (layer outer) or RLCP (resolution outer);
     # component is always the inner loop ahead of the single precinct
@@ -1343,11 +1353,12 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
     xts, yts, ntx = prm["xts"], prm["yts"], prm["ntx"]
     ncomp = prm["ncomp"]
     planes = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
+    blocks_used = [0]
     for i, body in enumerate(bodies):
         ty, tx = divmod(i, ntx)
         tw = min(xts, w - tx * xts)
         th = min(yts, h - ty * yts)
-        tile_planes = _decode_tile(bytes(body), prm, tw, th)
+        tile_planes = _decode_tile(bytes(body), prm, tw, th, blocks_used)
         for c in range(ncomp):
             planes[c][ty * yts:ty * yts + th,
                       tx * xts:tx * xts + tw] = tile_planes[c]

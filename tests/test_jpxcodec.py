@@ -406,3 +406,45 @@ class TestOcrIntegration:
         r = extract_document(broken, "eng",
                              recognizer=deterministic_recognizer())
         assert r["status"] == "decode_error"
+
+
+class TestTileGuards:
+    def test_strip_tiling_with_odd_width_decodes(self):
+        # tiles only along y: the x axis has one tile column (origin 0),
+        # so odd XTsiz == w is parity-irrelevant and must decode — the
+        # strip-tiling layout some encoders emit for odd-width scans
+        img = _rng(43).integers(0, 256, (32, 7), dtype=np.uint8)
+        a = img.astype(np.int64) - 128
+        stream = bytearray(jx._emit_codestream(
+            [a], 7, 32, 8, 1, 64, mct=0, sop=False, eph=False, tile=8))
+        siz = stream.index(b"\xffQ")
+        struct.pack_into(">I", stream, siz + 4 + 18, 7)   # XTsiz = 7
+        assert np.array_equal(decode_jpx_gray(bytes(stream)), img)
+
+    def test_single_tile_grid_ignores_parity(self):
+        # tile >= both dims -> one tile, parity irrelevant (mirrors
+        # tile=None, whose xts=max(w,h) is not parity-checked either)
+        img = _rng(47).integers(0, 256, (16, 16), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, levels=2, tile=18))
+        assert np.array_equal(out, img)
+
+    def test_encoder_rejects_oversized_tile_count(self):
+        with pytest.raises(ValueError):
+            encode_jp2_gray(np.zeros((512, 512), np.uint8), levels=0,
+                            tile=1)
+
+    def test_block_budget_is_image_wide(self):
+        # per-tile resets must not multiply the cap away: a stream whose
+        # summed tile block counts exceed _MAX_BLOCKS rejects even when
+        # each tile alone is under it
+        import pdf_ocr_engine_spark.core.jpxcodec as jx2
+        old = jx2._MAX_BLOCKS
+        jx2._MAX_BLOCKS = 8
+        try:
+            img = np.zeros((32, 32), np.uint8)
+            data = encode_jp2_gray(img, levels=0, cblk=8, tile=16)
+            # 4 tiles x 4 blocks = 16 > 8 but each tile's 4 <= 8
+            with pytest.raises(JpxError):
+                decode_jpx_gray(data)
+        finally:
+            jx2._MAX_BLOCKS = old
