@@ -448,3 +448,55 @@ class TestTileGuards:
                 decode_jpx_gray(data)
         finally:
             jx2._MAX_BLOCKS = old
+
+
+class TestPropertyFuzz:
+    def test_parameter_space_roundtrip(self):
+        # every parameter interaction (shape x bpc x levels x cblk x
+        # tile x markers) must stay lossless — tiling/color corners are
+        # where integration bugs hide
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(1, 40), st.integers(1, 40),
+               st.sampled_from([1, 2, 4, 8]), st.integers(0, 3),
+               st.sampled_from([4, 16, 64]),
+               st.sampled_from([None, 8, 16]),
+               st.booleans(), st.booleans(), st.integers(0, 2 ** 31 - 1))
+        def run(w, h, bpc, levels, cblk, tile, sop, eph, seed):
+            if tile is not None and tile % (1 << levels):
+                tile = tile * (1 << levels)
+            img = np.random.default_rng(seed).integers(
+                0, 256, (h, w), dtype=np.uint8)
+            top = (1 << bpc) - 1
+            img = (((img.astype(np.int64) * top + 127) // 255)
+                   * 255 // top).astype(np.uint8)
+            out = decode_jpx_gray(encode_jp2_gray(
+                img, bpc=bpc, levels=levels, cblk=cblk, tile=tile,
+                sop=sop, eph=eph))
+            assert np.array_equal(out, img)
+
+        run()
+
+    def test_color_parameter_space_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.integers(1, 24), st.integers(1, 24),
+               st.integers(0, 2), st.sampled_from([None, 8]),
+               st.booleans(), st.integers(0, 2 ** 31 - 1))
+        def run(w, h, levels, tile, sop, seed):
+            if tile is not None and tile % (1 << levels):
+                tile = tile * (1 << levels)
+            rgb = np.random.default_rng(seed).integers(
+                0, 256, (h, w, 3), dtype=np.uint8)
+            out = decode_jpx_gray(encode_jp2_rgb(
+                rgb, levels=levels, tile=tile, sop=sop, eph=not sop))
+            r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+            luma = ((77 * r + 150 * g + 29 * b + 128) >> 8) \
+                .astype(np.uint8)
+            assert np.array_equal(out, luma)
+
+        run()
