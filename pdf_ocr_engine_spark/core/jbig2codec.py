@@ -29,9 +29,11 @@ this repo decodes them itself, from the public T.88 recommendation:
 * **Refinement coding** (T.88 §6.3): generic refinement templates 0/1
   with adaptive pixels and TPGRON typical prediction, consumed by
   SDREFAGG symbol dictionaries (single-instance aggregates refining
-  referred-dict symbols) and SBREFINE text regions (per-instance RI +
-  RDW/RDH/RDX/RDY refinement of the placed symbol).  Multi-instance
-  aggregates raise :class:`Jbig2Unsupported`.
+  referred-dict symbols, multi-instance aggregates decoded as a text
+  region over the symbols known so far per §6.5.8.2.2) and SBREFINE
+  text regions (per-instance RI + RDW/RDH/RDX/RDY refinement of the
+  placed symbol).  Refinement/aggregation stays arithmetic-only: the
+  Huffman-coded (SDHUFF=1) REFAGG arrangement rejects as unsupported.
 * **Pattern dictionaries + halftone regions** (T.88 §6.7 / §6.6, the
   screened-scan tier): collectively-coded pattern bitmaps (arithmetic
   or MMR), gray-coded bitplane decoding of the gray-scale image
@@ -48,9 +50,9 @@ this repo decodes them itself, from the public T.88 recommendation:
   (50/49/51), and the PDF ``/JBIG2Globals`` prefix stream.  Generic
   regions with ``MMR=1`` reuse the T.6 decoder (``core/ccittcodec``).
   The residual out-of-scope arrangements (intermediate regions,
-  multi-instance aggregates, EXTTEMPLATE, HENABLESKIP/MMR-gray
-  halftones) raise :class:`Jbig2Unsupported` — callers surface
-  undecodable data as an error value, never a crash.
+  EXTTEMPLATE, HENABLESKIP/MMR-gray halftones) raise
+  :class:`Jbig2Unsupported` — callers surface undecodable data as an
+  error value, never a crash.
 
 The decoder emits semantic pixels (0 = black ink, 255 = white), the
 input contract of the OCR tier (``core/rasterfont.recognize_gray``) and
@@ -84,9 +86,9 @@ class Jbig2Error(ValueError):
 
 
 class Jbig2Unsupported(Jbig2Error):
-    """Valid JBIG2 outside the decoded scope (huffman-coded variants,
-    multi-instance aggregates, halftones, standalone refinement
-    segments, unknown-length segments)."""
+    """Valid JBIG2 outside the decoded scope (intermediate regions,
+    Huffman-coded REFAGG dictionaries / refinement tables, EXTTEMPLATE,
+    HENABLESKIP / MMR-gray halftones, unknown-length segments)."""
 
 
 # --------------------------------------------------------------------------
@@ -838,6 +840,7 @@ def _decode_symbol_dict(seg_data: bytes,
     iaid = _iaid_ctx(scl)
     gb_ctx = _fresh_contexts(template)
     gr_ctx = _ref_ctx()
+    agg_ctxs: dict | None = None   # lazily built on first multi-instance
     newsyms: list[np.ndarray] = []
     hcheight = 0
     px_budget = 1 << 26  # total decoded symbol pixels, matching regions
@@ -871,12 +874,29 @@ def _decode_symbol_dict(seg_data: bytes,
                     contexts=gb_ctx))
                 continue
             # refinement/aggregate coding (§6.5.8.2): the common
-            # single-instance arrangement refines an earlier symbol
+            # single-instance arrangement refines an earlier symbol;
+            # multi-instance aggregates decode as a TEXT REGION over
+            # the symbols known so far (§6.5.8.2.2)
             n_inst = _int_decode(mq, *iaai)
+            if n_inst is None or not 0 < n_inst <= 1 << 22:
+                raise Jbig2Error(f"bad aggregate instance count "
+                                 f"{n_inst}")
             if n_inst != 1:
-                raise Jbig2Unsupported(
-                    f"aggregate symbol with {n_inst} instances "
-                    "(text-region aggregation)")
+                if agg_ctxs is None:
+                    # strip-walk integer contexts persist across the
+                    # dictionary's aggregates; IAID / IARDX / IARDY and
+                    # the GR bitmap contexts are the dictionary's own
+                    # (§6.5.8.2.3)
+                    agg_ctxs = _text_ctxs(scl, iaid=iaid, iardx=iardx,
+                                          iardy=iardy, gr=gr_ctx)
+                page = np.zeros((hcheight, symwidth), np.uint8)
+                _text_strip_walk(
+                    mq, agg_ctxs, input_syms + newsyms, page, n_inst,
+                    sbstrips=1, refcorner=1, transposed=0, sbcombop=0,
+                    sbdsoffset=0, sbrefine=1, sbrtemplate=rtemplate,
+                    rat=rat)
+                newsyms.append(page)
+                continue
             rid = _iaid_decode(mq, *iaid, scl) if scl else 0
             rdx = _int_decode(mq, *iardx)
             rdy = _int_decode(mq, *iardy)
@@ -973,17 +993,53 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
     if not syms:
         raise Jbig2Error("text region with no symbols")
     mq = _MQDecoder(seg_data[pos:])
-    iadt, iafs, iads, iait = (_int_ctx() for _ in range(4))
-    iari, iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(5))
-    gr_ctx = _ref_ctx()
-    scl = _symcodelen(len(syms))
-    iaid = _iaid_ctx(scl)
+    ctxs = _text_ctxs(_symcodelen(len(syms)))
     page = np.full((h, w), sbdefpixel, dtype=np.uint8)
+    _text_strip_walk(mq, ctxs, syms, page, num_instances,
+                     sbstrips=sbstrips, refcorner=refcorner,
+                     transposed=transposed, sbcombop=sbcombop,
+                     sbdsoffset=sbdsoffset, sbrefine=sbrefine,
+                     sbrtemplate=sbrtemplate, rat=rat)
+    return info, page
+
+
+def _text_ctxs(scl: int, iaid: tuple | None = None,
+               iardx: tuple | None = None, iardy: tuple | None = None,
+               gr: tuple | None = None) -> dict:
+    """Arithmetic integer contexts for one text-region strip walk.  A
+    symbol dictionary's aggregates pass their own IAID / IARDX / IARDY
+    and GR bitmap contexts (§6.5.8.2.3 shares them with the
+    single-instance refinement path); text region segments leave them
+    fresh."""
+    ctxs = {name: _int_ctx() for name in
+            ("iadt", "iafs", "iads", "iait", "iari", "iardw", "iardh")}
+    ctxs["scl"] = scl
+    ctxs["iaid"] = iaid if iaid is not None else _iaid_ctx(scl)
+    ctxs["iardx"] = iardx if iardx is not None else _int_ctx()
+    ctxs["iardy"] = iardy if iardy is not None else _int_ctx()
+    ctxs["gr"] = gr if gr is not None else _ref_ctx()
     # Cumulative refined-instance pixel budget: SBREFINE decodes a fresh
     # bitmap per refined instance, so per-dimension caps alone still let
     # a malformed stream request num_instances × huge decodes.  Mirror
     # the symbol dictionary's px_budget (1<<26 total decoded pixels).
-    ref_px_budget = _REF_PX_BUDGET
+    ctxs["ref_px"] = [_REF_PX_BUDGET]
+    return ctxs
+
+
+def _text_strip_walk(mq: _MQDecoder, ctxs: dict, syms: list[np.ndarray],
+                     page: np.ndarray, num_instances: int, *,
+                     sbstrips: int, refcorner: int, transposed: int,
+                     sbcombop: int, sbdsoffset: int, sbrefine: int,
+                     sbrtemplate: int, rat: tuple) -> None:
+    """The §6.4.5 strip walk, drawing onto ``page`` — called by text
+    region segments AND by symbol-dictionary multi-instance aggregates
+    (§6.5.8.2.2), which pass their own persistent ``ctxs``."""
+    iadt, iafs, iads, iait = (ctxs["iadt"], ctxs["iafs"], ctxs["iads"],
+                              ctxs["iait"])
+    iari, iardw, iardh = ctxs["iari"], ctxs["iardw"], ctxs["iardh"]
+    iardx, iardy = ctxs["iardx"], ctxs["iardy"]
+    iaid, scl, gr_ctx = ctxs["iaid"], ctxs["scl"], ctxs["gr"]
+    ref_px = ctxs["ref_px"]
 
     first_dt = _int_decode(mq, *iadt)
     if first_dt is None:
@@ -1030,8 +1086,8 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
                 if not (0 < nw <= 1 << 14 and 0 < nh <= 1 << 14) \
                         or nw * nh > 1 << 26:
                     raise Jbig2Error("bad refined symbol size")
-                ref_px_budget -= nw * nh
-                if ref_px_budget < 0:
+                ref_px[0] -= nw * nh
+                if ref_px[0] < 0:
                     raise Jbig2Error(
                         "refinement pixel budget exhausted")
                 sym = _decode_refinement(
@@ -1041,7 +1097,6 @@ def _decode_text_region(seg_data: bytes, syms: list[np.ndarray],
             curs = _draw_instance(page, sym, int(curs), int(ti),
                                   refcorner, transposed, sbcombop)
             inst += 1
-    return info, page
 
 
 # --------------------------------------------------------------------------

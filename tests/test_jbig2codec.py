@@ -542,25 +542,146 @@ class TestRefinement:
         expect[2:8, 15:20] |= sym
         assert (gray == np.where(expect, 0, 255)).all()
 
-    def test_multi_instance_aggregate_is_unsupported(self):
-        # REFAGGNINST != 1 needs text-region aggregation — rejected
-        sym = np.ones((3, 3), dtype=np.uint8)
+    def _aggregate_dict_seg(self, base, truncate=False):
+        """Hand-encode a REFAGG dictionary whose one NEW symbol is a
+        two-instance aggregate of ``base`` on a 3x8 canvas (§6.5.8.2.2:
+        text-region walk, SBSTRIPS=1, TL corner, shared IAID)."""
         enc = jb._MQEncoder()
-        iadh, iadw, iaai = (jb._int_ctx() for _ in range(3))
-        jb._int_encode(enc, *iadh, 3)
-        jb._int_encode(enc, *iadw, 3)
-        jb._int_encode(enc, *iaai, 2)  # two instances
+        iadh, iadw, iaai, iaex = (jb._int_ctx() for _ in range(4))
+        iadt, iafs, iads, iari = (jb._int_ctx() for _ in range(4))
+        scl = jb._symcodelen(2)          # one input + one new symbol
+        iaid = jb._iaid_ctx(scl)
+        jb._int_encode(enc, *iadh, 3)    # height class 3
+        jb._int_encode(enc, *iadw, 8)    # aggregate canvas width 8
+        jb._int_encode(enc, *iaai, 2)    # TWO instances
+        if truncate:
+            return (struct.pack(">H", 2)
+                    + b"".join(struct.pack("bb", dx, dy)
+                               for dx, dy in jb._NOMINAL_AT[0])
+                    + b"".join(struct.pack("bb", dx, dy)
+                               for dx, dy in jb._REF_NOMINAL_AT)
+                    + struct.pack(">II", 1, 1) + enc.flush())
+        jb._int_encode(enc, *iadt, 0)    # STRIPT init
+        jb._int_encode(enc, *iadt, 0)    # strip at T=0
+        jb._int_encode(enc, *iafs, 0)    # FIRSTS = 0
+        jb._iaid_encode(enc, *iaid, 0, scl)   # instance 1: base at x=0
+        jb._int_encode(enc, *iari, 0)    # no per-instance refinement
+        # CURS after TL draw = 0 + 3 - 1 = 2; next instance at x=5
+        jb._int_encode(enc, *iads, 3)
+        jb._iaid_encode(enc, *iaid, 0, scl)   # instance 2: base at x=5
+        jb._int_encode(enc, *iari, 0)
+        jb._int_encode(enc, *iadw, None)      # OOB: end of height class
+        jb._int_encode(enc, *iaex, 1)    # skip the input symbol,
+        jb._int_encode(enc, *iaex, 1)    # export the aggregate
+        return (struct.pack(">H", 2)     # SDHUFF=0 REFAGG=1 template 0
+                + b"".join(struct.pack("bb", dx, dy)
+                           for dx, dy in jb._NOMINAL_AT[0])
+                + b"".join(struct.pack("bb", dx, dy)
+                           for dx, dy in jb._REF_NOMINAL_AT)
+                + struct.pack(">II", 1, 1) + enc.flush())
+
+    def test_multi_instance_aggregate_decodes(self):
+        base = np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], np.uint8)
+        got = jb._decode_symbol_dict(self._aggregate_dict_seg(base),
+                                     [base])
+        assert len(got) == 1
+        want = np.zeros((3, 8), np.uint8)
+        want[:, 0:3] |= base
+        want[:, 5:8] |= base
+        assert (got[0] == want).all()
+
+    def test_multi_instance_aggregate_e2e(self):
+        base = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], np.uint8)
+        dict_seg = self._aggregate_dict_seg(base)
+        segT = jb._encode_text_region([(2, 1, 0)], [np.zeros((3, 8),
+                                                             np.uint8)],
+                                      14, 6)
+        blob = (jb._segment(1, 48, 1,
+                            struct.pack(">IIII", 14, 6, 0, 0)
+                            + b"\x01\x00\x00")
+                + jb._segment(2, 0, 1, jb._encode_symbol_dict([base]))
+                + jb._segment(3, 0, 1, dict_seg, refs=(2,))
+                + jb._segment(4, 7, 1, segT, refs=(3,))
+                + jb._segment(5, 49, 1, b""))
+        gray = decode_jbig2_embedded(blob)
+        want = np.zeros((6, 14), np.uint8)
+        want[1:4, 2:5] |= base
+        want[1:4, 7:10] |= base
+        assert (gray == np.where(want, 0, 255)).all()
+
+    def test_aggregate_refined_instance_and_persistence(self):
+        """Two aggregates in ONE dictionary (persistent walk contexts,
+        §6.5.8.2.3) where the second aggregate refines an instance
+        (IARI=1 through the dictionary's shared GR/IARDX/IARDY)."""
+        base = np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], np.uint8)
+        target = np.array([[1, 1, 0, 1], [0, 1, 1, 0], [1, 0, 1, 1]],
+                          np.uint8)
+        enc = jb._MQEncoder()
+        iadh, iadw, iaai, iaex = (jb._int_ctx() for _ in range(4))
+        iadt, iafs, iads, iari = (jb._int_ctx() for _ in range(4))
+        iardw, iardh, iardx, iardy = (jb._int_ctx() for _ in range(4))
+        gr = jb._ref_ctx()
+        scl = jb._symcodelen(3)          # one input + two new
+        iaid = jb._iaid_ctx(scl)
+        jb._int_encode(enc, *iadh, 3)    # height class 3
+        # aggregate 1: width 8, two unrefined placements of base
+        jb._int_encode(enc, *iadw, 8)
+        jb._int_encode(enc, *iaai, 2)
+        jb._int_encode(enc, *iadt, 0)
+        jb._int_encode(enc, *iadt, 0)
+        jb._int_encode(enc, *iafs, 0)
+        jb._iaid_encode(enc, *iaid, 0, scl)
+        jb._int_encode(enc, *iari, 0)
+        jb._int_encode(enc, *iads, 3)    # CURS 2 -> 5
+        jb._iaid_encode(enc, *iaid, 0, scl)
+        jb._int_encode(enc, *iari, 0)
+        # aggregate 2 (same class, width 9): persistent contexts; the
+        # second instance is REFINED (target = 3x4 variant of base)
+        jb._int_encode(enc, *iadw, 1)    # width 8 -> 9
+        jb._int_encode(enc, *iaai, 2)
+        jb._int_encode(enc, *iadt, 0)
+        jb._int_encode(enc, *iadt, 0)
+        jb._int_encode(enc, *iafs, 0)
+        jb._iaid_encode(enc, *iaid, 0, scl)
+        jb._int_encode(enc, *iari, 0)
+        jb._int_encode(enc, *iads, 3)    # CURS 2 -> 5
+        jb._iaid_encode(enc, *iaid, 0, scl)
+        jb._int_encode(enc, *iari, 1)
+        jb._int_encode(enc, *iardw, 1)   # 3 -> 4 wide
+        jb._int_encode(enc, *iardh, 0)
+        jb._int_encode(enc, *iardx, 0)
+        jb._int_encode(enc, *iardy, 0)
+        jb._encode_refinement(enc, target, 0, base, 0, 0, contexts=gr)
+        jb._int_encode(enc, *iadw, None)      # end of height class
+        jb._int_encode(enc, *iaex, 1)    # skip the input symbol,
+        jb._int_encode(enc, *iaex, 2)    # export both aggregates
         seg = (struct.pack(">H", 2)
                + b"".join(struct.pack("bb", dx, dy)
                           for dx, dy in jb._NOMINAL_AT[0])
                + b"".join(struct.pack("bb", dx, dy)
                           for dx, dy in jb._REF_NOMINAL_AT)
-               + struct.pack(">II", 1, 1) + enc.flush())
+               + struct.pack(">II", 2, 2) + enc.flush())
+        got = jb._decode_symbol_dict(seg, [base])
+        assert len(got) == 2
+        want1 = np.zeros((3, 8), np.uint8)
+        want1[:, 0:3] |= base
+        want1[:, 5:8] |= base
+        assert (got[0] == want1).all()
+        want2 = np.zeros((3, 9), np.uint8)
+        want2[:, 0:3] |= base
+        want2[:, 5:9] |= target
+        assert (got[1] == want2).all()
+
+    def test_truncated_aggregate_is_error(self):
+        # instance count present but no walk behind it: the 1s-fed MQ
+        # tail must surface as a data error, never hang or mis-decode
+        base = np.ones((3, 3), np.uint8)
+        seg = self._aggregate_dict_seg(base, truncate=True)
         blob = (jb._segment(1, 0, 1, seg)
                 + jb._segment(2, 48, 1,
                               struct.pack(">IIII", 8, 8, 0, 0)
                               + b"\x01\x00\x00"))
-        with pytest.raises(Jbig2Unsupported):
+        with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob)
 
 
