@@ -209,7 +209,49 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
     """
     if columns <= 0:
         raise CcittError(f"bad column count {columns}")
-    look, nbits, bitpos = *_look_words(data), 0
+    look, nbits = _look_words(data)
+    out, _pos = _g4_lines(look, nbits, 0, columns, rows,
+                          encoded_byte_align)
+    if rows is not None and len(out) < rows:
+        raise CcittError(
+            f"G4 stream ended after {len(out)} of {rows} rows")
+    if not out:
+        return np.zeros((0, columns), dtype=np.uint8)
+    return np.stack(out)
+
+
+def decode_g4_planes(data: bytes, columns: int, rows: int,
+                     nplanes: int) -> list[np.ndarray]:
+    """``nplanes`` consecutive EOFB-terminated G4 bitplanes from ONE
+    continuous bit stream (no byte alignment between planes — T.88
+    Annex C.5's HMMR halftone gray coding) → list of ``(rows, columns)``
+    arrays in stream order, 0 = black."""
+    if columns <= 0 or rows <= 0 or nplanes <= 0:
+        raise CcittError("bad plane geometry")
+    look, nbits = _look_words(data)
+    pos = 0
+    planes: list[np.ndarray] = []
+    for j in range(nplanes):
+        # rows caps the decode (a malformed stream cannot amplify N
+        # input bits into unbounded lines); the plane's EOFB is then
+        # consumed explicitly so the cursor lands on the next plane
+        lines, pos = _g4_lines(look, nbits, pos, columns, rows, False)
+        if len(lines) != rows:
+            raise CcittError(
+                f"G4 bitplane {j} has {len(lines)} of {rows} rows")
+        for _ in range(2):               # EOFB = two EOLs
+            if pos + 12 <= nbits and \
+                    (look[pos >> 3] >> (20 - (pos & 7))) & 0xFFF == 1:
+                pos += 12
+        planes.append(np.stack(lines))
+    return planes
+
+
+def _g4_lines(look: list[int], nbits: int, bitpos: int, columns: int,
+              rows: int | None, encoded_byte_align: bool,
+              ) -> tuple[list[np.ndarray], int]:
+    """The T.6 2-D line loop from ``bitpos`` → (decoded lines, cursor
+    after the final line / consumed EOFB)."""
     w = columns
     out: list[np.ndarray] = []
     # reference line = imaginary all-white line above the first:
@@ -294,12 +336,7 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             break
         out.append(line)
         ref = cur + [w, w, w, w]
-    if rows is not None and len(out) < rows:
-        raise CcittError(
-            f"G4 stream ended after {len(out)} of {rows} rows")
-    if not out:
-        return np.zeros((0, w), dtype=np.uint8)
-    return np.stack(out)
+    return out, bitpos
 
 
 def _read_run(look: list[int], nbits: int, bitpos: int,
@@ -558,6 +595,20 @@ def _emit_run(lens: list[int], vals: list[int], color: int,
     vals.append(c)
 
 
+def _emit_g4(lens: list[int], vals: list[int], bm: np.ndarray) -> None:
+    """One bitmap's 2-D lines + EOFB appended to the code streams."""
+    h, w = bm.shape
+    per_line = _bitmap_transitions(bm)
+    ref: list[int] = [w, w, w, w]
+    for li in range(h):
+        cur = per_line[li]
+        _emit_2d_line(lens, vals, cur, ref, w)
+        ref = cur + [w, w, w, w]
+    eol_c, eol_l = int(_EOL, 2), len(_EOL)
+    lens += [eol_l, eol_l]
+    vals += [eol_c, eol_c]
+
+
 def encode_g4(bitmap: np.ndarray) -> bytes:
     """2-D bitmap (nonzero/True = black ink) → G4 bytes ending in EOFB,
     zero-padded to a byte boundary.  Inverse of :func:`decode_g4` and
@@ -570,18 +621,31 @@ def encode_g4(bitmap: np.ndarray) -> bytes:
     h, w = bm.shape
     if w == 0 or h == 0:
         raise ValueError("encode_g4 wants a non-empty bitmap")
-    per_line = _bitmap_transitions(bm)
-
     lens: list[int] = []
     vals: list[int] = []
-    ref: list[int] = [w, w, w, w]
-    for li in range(h):
-        cur = per_line[li]
-        _emit_2d_line(lens, vals, cur, ref, w)
-        ref = cur + [w, w, w, w]
-    eol_c, eol_l = int(_EOL, 2), len(_EOL)
-    lens += [eol_l, eol_l]
-    vals += [eol_c, eol_c]
+    _emit_g4(lens, vals, bm)
+    return _pack_codes(lens, vals)
+
+
+def encode_g4_planes(planes: list[np.ndarray]) -> bytes:
+    """Bitplanes → ONE bit-continuous G4 stream, each plane EOFB-
+    terminated with the next starting at the following bit (no byte
+    alignment) — the T.88 Annex C.5 halftone form.  Inverse of
+    :func:`decode_g4_planes`."""
+    if not planes:
+        raise ValueError("encode_g4_planes wants at least one plane")
+    lens: list[int] = []
+    vals: list[int] = []
+    shape = None
+    for bm in planes:
+        bm = np.asarray(bm)
+        if bm.ndim != 2 or bm.size == 0:
+            raise ValueError("planes must be non-empty 2-D bitmaps")
+        if shape is None:
+            shape = bm.shape
+        elif bm.shape != shape:
+            raise ValueError("planes disagree in shape")
+        _emit_g4(lens, vals, bm)
     return _pack_codes(lens, vals)
 
 

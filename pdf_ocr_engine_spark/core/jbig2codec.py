@@ -37,9 +37,10 @@ this repo decodes them itself, from the public T.88 recommendation:
 * **Pattern dictionaries + halftone regions** (T.88 §6.7 / §6.6, the
   screened-scan tier): collectively-coded pattern bitmaps (arithmetic
   or MMR), gray-coded bitplane decoding of the gray-scale image
-  (Annex C) over shared contexts, and grid-vector pattern placement
-  with all combination operators.  HENABLESKIP and MMR gray planes
-  raise :class:`Jbig2Unsupported`.
+  (Annex C) over shared arithmetic contexts OR as HMMR=1 G4 bitplanes
+  in one bit-continuous stream (C.5), and grid-vector pattern
+  placement with all combination operators.  HENABLESKIP raises
+  :class:`Jbig2Unsupported`.
 * **Embedded segment layer** (T.88 §7.2, the "embedded stream" format
   PDF requires — no file header): segment headers with short/long
   referred-to forms, page info (type 48), symbol dictionaries (0),
@@ -50,9 +51,9 @@ this repo decodes them itself, from the public T.88 recommendation:
   (50/49/51), and the PDF ``/JBIG2Globals`` prefix stream.  Generic
   regions with ``MMR=1`` reuse the T.6 decoder (``core/ccittcodec``).
   The residual out-of-scope arrangements (intermediate regions,
-  EXTTEMPLATE, HENABLESKIP/MMR-gray halftones) raise
-  :class:`Jbig2Unsupported` — callers surface undecodable data as an
-  error value, never a crash.
+  EXTTEMPLATE, HENABLESKIP halftones) raise :class:`Jbig2Unsupported`
+  — callers surface undecodable data as an error value, never a
+  crash.
 
 The decoder emits semantic pixels (0 = black ink, 255 = white), the
 input contract of the OCR tier (``core/rasterfont.recognize_gray``) and
@@ -88,7 +89,7 @@ class Jbig2Error(ValueError):
 class Jbig2Unsupported(Jbig2Error):
     """Valid JBIG2 outside the decoded scope (intermediate regions,
     Huffman-coded REFAGG dictionaries / refinement tables, EXTTEMPLATE,
-    HENABLESKIP / MMR-gray halftones, unknown-length segments)."""
+    HENABLESKIP halftones, unknown-length segments)."""
 
 
 # --------------------------------------------------------------------------
@@ -1952,8 +1953,7 @@ def _decode_halftone_region(seg_data: bytes,
         raise Jbig2Error("truncated halftone region header")
     flags = seg_data[pos]
     pos += 1
-    if flags & 1:
-        raise Jbig2Unsupported("MMR-coded halftone gray planes")
+    hmmr = flags & 1
     template = (flags >> 1) & 3
     if (flags >> 3) & 1:
         raise Jbig2Unsupported("HENABLESKIP halftone region")
@@ -1971,18 +1971,36 @@ def _decode_halftone_region(seg_data: bytes,
         # the gray image costs hgw*hgh MQ pixel decodes PER BITPLANE —
         # budget the product like every other region type
         raise Jbig2Error("implausible halftone region")
-    mq = _MQDecoder(seg_data[pos:])
-    gb_ctx = _fresh_contexts(template)
-    at = ((3 if template <= 1 else 2, -1),) + (((-3, -1), (2, -2),
-                                                (-2, -2))
-                                               if template == 0 else ())
-    # Annex C.5: planes MSB→LSB over one MQ stream with shared contexts;
-    # gray decode: bit_j = plane_j XOR bit_{j+1}
+    if hmmr:
+        # Annex C.5 with HMMR=1: the bitplanes are EOFB-terminated G4
+        # codings in one bit-continuous stream (pdf.js decodes these;
+        # same gray accumulation as the arithmetic path below)
+        from .ccittcodec import CcittError, decode_g4_planes
+
+        planes = []
+        if bpv:
+            try:
+                raw_planes = decode_g4_planes(seg_data[pos:], hgw, hgh,
+                                              bpv)
+            except CcittError as exc:
+                raise Jbig2Error(
+                    f"bad MMR halftone gray planes: {exc}") from exc
+            planes = [(g == 0).astype(np.uint8) for g in raw_planes]
+    else:
+        mq = _MQDecoder(seg_data[pos:])
+        gb_ctx = _fresh_contexts(template)
+        at = ((3 if template <= 1 else 2, -1),) + (((-3, -1), (2, -2),
+                                                    (-2, -2))
+                                                   if template == 0
+                                                   else ())
+        planes = [_decode_generic(mq, hgw, hgh, template, at, False,
+                                  contexts=gb_ctx)
+                  for _j in range(bpv)]
+    # Annex C.5: planes MSB→LSB; gray decode: bit_j = plane_j XOR
+    # bit_{j+1}
     gray = np.zeros((hgh, hgw), dtype=np.int64)
     prev = np.zeros((hgh, hgw), dtype=np.uint8)
-    for _j in range(bpv):
-        plane = _decode_generic(mq, hgw, hgh, template, at, False,
-                                contexts=gb_ctx)
+    for plane in planes:
         prev = plane ^ prev
         gray = (gray << 1) | prev
     if (gray >= len(patterns)).any():
@@ -2019,40 +2037,51 @@ def _encode_pattern_dict(patterns: list[np.ndarray]) -> bytes:
 
 
 def _encode_halftone_region(gray: np.ndarray, patterns: list[np.ndarray],
-                            w: int, h: int) -> bytes:
+                            w: int, h: int, mmr: bool = False) -> bytes:
     """Gray-scale pattern-index grid → halftone region segment data on
-    a regular grid (square patterns; HRX = HDPW<<8, HRY = 0)."""
+    a regular grid (square patterns; HRX = HDPW<<8, HRY = 0).
+    ``mmr=True`` codes the gray bitplanes as one bit-continuous G4
+    stream (HMMR=1, Annex C.5) instead of MQ arithmetic."""
     ph, pw = patterns[0].shape
     if ph != pw:
         raise ValueError("fixture halftone grid wants square patterns")
     hgh, hgw = gray.shape
     region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
     bpv = (len(patterns) - 1).bit_length()
-    enc = _MQEncoder()
-    gb_ctx = _fresh_contexts(0)
-    at = ((3, -1), (-3, -1), (2, -2), (-2, -2))
     g = gray.astype(np.int64)
     planes = [((g >> j) & 1).astype(np.uint8)
               for j in range(bpv - 1, -1, -1)]  # MSB first
+    coded: list[np.ndarray] = []
     prev = np.zeros_like(g, dtype=np.uint8)
     for bits in planes:
-        plane = bits ^ prev  # gray-code the bitplane
-        _encode_generic(plane, template=0, tpgdon=False, enc=enc,
-                        contexts=gb_ctx, at=at)
+        coded.append(bits ^ prev)  # gray-code the bitplane
         prev = bits
-    return (region_info + bytes([0])  # arithmetic, template 0, OR
+    if mmr:
+        from .ccittcodec import encode_g4_planes
+
+        body = encode_g4_planes(coded) if coded else b""
+    else:
+        enc = _MQEncoder()
+        gb_ctx = _fresh_contexts(0)
+        at = ((3, -1), (-3, -1), (2, -2), (-2, -2))
+        for plane in coded:
+            _encode_generic(plane, template=0, tpgdon=False, enc=enc,
+                            contexts=gb_ctx, at=at)
+        body = enc.flush()
+    return (region_info + bytes([1 if mmr else 0])  # template 0, OR
             + struct.pack(">II", hgw, hgh)
             + struct.pack(">ii", 0, 0)
             + struct.pack(">HH", pw << 8, 0)
-            + enc.flush())
+            + body)
 
 
 def encode_jbig2_halftone_embedded(gray: np.ndarray,
                                    patterns: list[np.ndarray],
-                                   ) -> bytes:
+                                   mmr: bool = False) -> bytes:
     """Pattern-index grid (values < len(patterns)) + square patterns →
     PDF-embedded JBIG2 stream: page info + pattern dictionary +
-    immediate lossless halftone region + end of page."""
+    immediate lossless halftone region + end of page.  ``mmr=True``
+    emits the HMMR=1 (G4-coded gray planes) arrangement."""
     g = np.asarray(gray)
     ph, pw = patterns[0].shape
     hgh, hgw = g.shape
@@ -2061,7 +2090,8 @@ def encode_jbig2_halftone_embedded(gray: np.ndarray,
     return (_segment(1, 48, 1, page_info)
             + _segment(2, 16, 1, _encode_pattern_dict(patterns))
             + _segment(3, 23, 1,  # immediate lossless halftone region
-                       _encode_halftone_region(g, patterns, w, h),
+                       _encode_halftone_region(g, patterns, w, h,
+                                               mmr=mmr),
                        refs=(2,))
             + _segment(4, 49, 1, b""))
 

@@ -823,6 +823,49 @@ class TestHalftone:
         with pytest.raises(Jbig2Error):
             decode_jbig2_embedded(blob)
 
+    def test_mmr_gray_planes_round_trip(self):
+        # HMMR=1: the gray bitplanes are EOFB-terminated G4 codings in
+        # ONE bit-continuous stream (Annex C.5) — the arrangement
+        # pdf.js also decodes
+        rng = np.random.default_rng(14)
+        gray = rng.integers(0, 4, (7, 11))
+        blob = jb.encode_jbig2_halftone_embedded(gray, self.PATTERNS,
+                                                 mmr=True)
+        out = decode_jbig2_embedded(blob)
+        expect = np.zeros((28, 44), np.uint8)
+        for m in range(7):
+            for n in range(11):
+                expect[m * 4:(m + 1) * 4, n * 4:(n + 1) * 4] = \
+                    self.PATTERNS[gray[m, n]]
+        assert (out == np.where(expect, 0, 255)).all()
+
+    def test_mmr_gray_planes_match_arithmetic(self):
+        rng = np.random.default_rng(15)
+        gray = rng.integers(0, 4, (5, 9))
+        a = decode_jbig2_embedded(
+            jb.encode_jbig2_halftone_embedded(gray, self.PATTERNS))
+        b = decode_jbig2_embedded(
+            jb.encode_jbig2_halftone_embedded(gray, self.PATTERNS,
+                                              mmr=True))
+        assert np.array_equal(a, b)
+
+    def test_truncated_mmr_gray_planes_is_error(self):
+        # truncate INSIDE the halftone payload so the failure comes
+        # from the MMR plane decoder, not the segment-header parser
+        rng = np.random.default_rng(16)
+        gray = rng.integers(0, 4, (6, 8))
+        region = jb._encode_halftone_region(gray, self.PATTERNS,
+                                            32, 24, mmr=True)
+        blob = (jb._segment(1, 48, 1,
+                            struct.pack(">IIII", 32, 24, 0, 0)
+                            + b"\x01\x00\x00")
+                + jb._segment(2, 16, 1,
+                              jb._encode_pattern_dict(self.PATTERNS))
+                + jb._segment(3, 23, 1, region[:-8], refs=(2,))
+                + jb._segment(4, 49, 1, b""))
+        with pytest.raises(Jbig2Error, match="MMR halftone"):
+            decode_jbig2_embedded(blob)
+
     def test_skip_flag_is_unsupported(self):
         region = (struct.pack(">IIIIB", 8, 8, 0, 0, 0)
                   + bytes([1 << 3]) + b"\x00" * 20)
