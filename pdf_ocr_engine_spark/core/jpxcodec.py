@@ -16,8 +16,10 @@ decodes the common PDF-embedded case from the public spec:
   keeps even wavelet parity — true of every real tiler), each tile in
   one or more tile-parts in any order,
 * reversible 5/3 integer wavelet (T.800 Annex F), any 0-10
-  decomposition levels,
-* no-quantization (reversible) QCD,
+  decomposition levels, with a no-quantization QCD — OR the
+  irreversible 9/7 float wavelet (F.4.8) with scalar-expounded
+  quantization and midpoint dequantization (E.1.1) — the LOSSY form
+  photographic archive scans use,
 * EBCOT Tier-1 coefficient coding (Annex D: significance-propagation /
   magnitude-refinement / cleanup passes, run-length mode, sign
   contexts) over the MQ arithmetic coder shared with
@@ -28,9 +30,10 @@ decodes the common PDF-embedded case from the public spec:
   pass accumulation, SOP/EPH packet-boundary markers.
 
 Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
-(a :class:`JpxError`): irreversible 9/7 streams, component counts
-other than 1/3, subsampled images, custom precincts, COC/QCC/POC/PPM
-overrides, coder bypass/termination style bits.  Malformed streams raise
+(a :class:`JpxError`): the irreversible color transform (ICT),
+scalar-derived QCD, component counts other than 1/3, subsampled
+images, custom precincts, COC/QCC/POC/PPM overrides, coder
+bypass/termination style bits.  Malformed streams raise
 :class:`JpxError` — error-as-value at the extraction layer
 (``operators/ocr.py`` maps it to ``status='decode_error'``), never a
 crash, and every allocation is budget-capped before it happens.
@@ -45,6 +48,7 @@ foreign encoder would produce.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -485,6 +489,64 @@ def _inv53_axis(lb: np.ndarray, hb: np.ndarray) -> np.ndarray:
     return out
 
 
+# 9/7 irreversible lifting constants (T.800 F.4.8.1)
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_KAPPA = 1.230174104914001
+
+
+_97_PAD = 4  # one lifting step of boundary staleness per pass
+
+
+def _sym_ext(x: np.ndarray, n: int) -> np.ndarray:
+    """Whole-sample symmetric extension of a length-n signal by
+    ``_97_PAD`` samples each side (period 2(n-1)); the pad is even so
+    extended-index parity equals absolute parity."""
+    if n == 1:
+        return np.repeat(x[:1], 1 + 2 * _97_PAD, axis=0)
+    i = np.arange(-_97_PAD, n + _97_PAD)
+    p = np.mod(np.abs(i), 2 * (n - 1))
+    return x[np.where(p > n - 1, 2 * (n - 1) - p, p)]
+
+
+def _lift97(y: np.ndarray, steps: tuple) -> None:
+    m = y.shape[0]
+    k = np.arange(1, m - 1)
+    even = k[(k & 1) == 0]
+    odd = k[(k & 1) == 1]
+    for coef, parity in steps:
+        sel = odd if parity else even
+        y[sel] += coef * (y[sel - 1] + y[sel + 1])
+
+
+def _fwd97_axis(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """1-D forward 9/7 lifting along axis 0 (float64), whole-sample
+    symmetric extension — the irreversible analysis filter."""
+    n = a.shape[0]
+    x = a.astype(np.float64)
+    if n == 1:
+        return x, x[:0]
+    y = _sym_ext(x, n)
+    _lift97(y, ((_ALPHA, 1), (_BETA, 0), (_GAMMA, 1), (_DELTA, 0)))
+    core = y[_97_PAD:_97_PAD + n]
+    return core[0::2] / _KAPPA, core[1::2] * _KAPPA
+
+
+def _inv97_axis(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    ce, co = lo.shape[0], hi.shape[0]
+    n = ce + co
+    if n == 1:
+        return lo.astype(np.float64)
+    core = np.empty((n,) + lo.shape[1:], np.float64)
+    core[0::2] = lo * _KAPPA
+    core[1::2] = hi / _KAPPA
+    y = _sym_ext(core, n)
+    _lift97(y, ((-_DELTA, 0), (-_GAMMA, 1), (-_BETA, 0), (-_ALPHA, 1)))
+    return y[_97_PAD:_97_PAD + n]
+
+
 def _fwd53_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
     """One decomposition: vertical then horizontal lifting → LL, HL
     (horizontally high-pass), LH, HH.  The inverse mirrors the order, so
@@ -502,6 +564,24 @@ def _inv53_2d(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray,
     hv = _inv53_axis(np.ascontiguousarray(lh.T),
                      np.ascontiguousarray(hh.T)).T
     return _inv53_axis(np.ascontiguousarray(lv), np.ascontiguousarray(hv))
+
+
+def _fwd97_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
+    """One irreversible decomposition, same orientation convention as
+    :func:`_fwd53_2d` (vertical then horizontal)."""
+    lv, hv = _fwd97_axis(a)
+    ll_t, hl_t = _fwd97_axis(np.ascontiguousarray(lv.T))
+    lh_t, hh_t = _fwd97_axis(np.ascontiguousarray(hv.T))
+    return ll_t.T, hl_t.T, lh_t.T, hh_t.T
+
+
+def _inv97_2d(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray,
+              hh: np.ndarray) -> np.ndarray:
+    lv = _inv97_axis(np.ascontiguousarray(ll.T),
+                     np.ascontiguousarray(hl.T)).T
+    hv = _inv97_axis(np.ascontiguousarray(lh.T),
+                     np.ascontiguousarray(hh.T)).T
+    return _inv97_axis(np.ascontiguousarray(lv), np.ascontiguousarray(hv))
 
 
 def _band_dims(w: int, h: int, levels: int) -> list[dict]:
@@ -755,14 +835,19 @@ def _grid(n: int, step: int) -> int:
 
 
 def _encode_component(a: np.ndarray, levels: int, cblk: int,
-                      layout: list[dict]) -> tuple[list, list]:
-    """DC-shifted int64 plane → (per-resolution T1-coded block lists,
-    flat resolution-major per-band max bitplane counts)."""
+                      layout: list[dict],
+                      deltas: list[float] | None = None,
+                      ) -> tuple[list, list]:
+    """DC-shifted plane → (per-resolution T1-coded block lists, flat
+    resolution-major per-band max bitplane counts).  ``deltas`` (one
+    quantization step per flat band index) switches to the irreversible
+    path: 9/7 float wavelet, coefficients quantized toward zero."""
     per_res: list[list[np.ndarray]] = []
     ll = a
     lvl_bands = []
+    fwd = _fwd97_2d if deltas is not None else _fwd53_2d
     for _ in range(levels):
-        ll, hl, lh, hh = _fwd53_2d(ll)
+        ll, hl, lh, hh = fwd(ll)
         lvl_bands.append([hl, lh, hh])
     per_res.append([ll])
     for r in range(1, levels + 1):
@@ -770,10 +855,14 @@ def _encode_component(a: np.ndarray, levels: int, cblk: int,
 
     res_blocks: list[list[list[dict]]] = []
     band_maxes: list[int] = []
+    flat = 0
     for r, resol in enumerate(layout):
         res_blocks.append([])
         for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
             arr = per_res[r][bi]
+            if deltas is not None:
+                arr = np.trunc(arr / deltas[flat]).astype(np.int64)
+            flat += 1
             assert arr.shape == (bh_, bw_), (arr.shape, bw_, bh_)
             blocks = []
             band_max = 0
@@ -860,11 +949,15 @@ def _emit_tile_body(comps: list, layout: list[dict], levels: int,
 
 def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
                      levels: int, cblk: int, mct: int, sop: bool,
-                     eph: bool, tile: int | None) -> bytes:
+                     eph: bool, tile: int | None,
+                     irreversible: bool = False,
+                     step: float = 0.25) -> bytes:
     """DC-shifted component planes → full codestream.  ``tile`` splits
     the image into a ``tile``×``tile`` grid (one tile-part per tile);
     None keeps the single whole-image tile.  The QCD (shared across
-    components and tiles) is derived from the global per-band maxima."""
+    components and tiles) is derived from the global per-band maxima.
+    ``irreversible`` switches to the 9/7 wavelet with scalar-expounded
+    quantization (step 1/4 of a unit in every band)."""
     if tile is None:
         xts = yts = max(w, h)
     else:
@@ -880,6 +973,24 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
             "every tile origin keeps even wavelet parity")
     if ntx * nty > 1 << 16:
         raise ValueError("tile count exceeds the 16-bit Isot field")
+    deltas = None
+    mant = 0
+    if irreversible:
+        gains = [g for resol in _band_dims(max(w, 2), max(h, 2), levels)
+                 for (_c, _w2, _h2, g) in resol["bands"]]
+        if not 2.0 ** -10 <= step <= 2.0 ** 10:
+            raise ValueError(f"quantization step {step} out of range")
+        guard = 3
+        e2 = math.floor(math.log2(step))
+        mant = min(max(int(round((step / 2.0 ** e2 - 1) * 2048)), 0),
+                   2047)
+        exps = [bpc + g - e2 for g in gains]
+        if min(exps) < 0 or max(exps) > 31:
+            raise ValueError("quantization step outside the exponent"
+                             " field for this precision")
+        # the REPRESENTABLE step (mantissa-rounded) — encoder and
+        # decoder must agree exactly
+        deltas = [2.0 ** e2 * (1 + mant / 2048.0) for _ in gains]
     tiles = []                       # (layout, comps_res_blocks)
     maxes: list[int] | None = None
     for ty in range(nty):
@@ -892,16 +1003,23 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
                 sub = plane[ty * yts:ty * yts + th,
                             tx * xts:tx * xts + tw]
                 res_blocks, band_maxes = _encode_component(
-                    sub, levels, cblk, layout)
+                    sub, levels, cblk, layout, deltas=deltas)
                 comps.append(res_blocks)
                 maxes = band_maxes if maxes is None else \
                     [max(a2, b2) for a2, b2 in zip(maxes, band_maxes)]
             tiles.append((layout, comps))
 
-    guard = 2
-    exps = [max(m, 1) - guard + 1 if max(m, 1) - guard + 1 > 0 else 0
-            for m in maxes]
-    mbs = [guard + e - 1 for e in exps]
+    if irreversible:
+        mbs = [guard + e - 1 for e in exps]
+        for m, mb in zip(maxes, mbs):
+            if m > mb:
+                raise ValueError("quantized coefficient range exceeds "
+                                 "the guard-bit budget")
+    else:
+        guard = 2
+        exps = [max(m, 1) - guard + 1 if max(m, 1) - guard + 1 > 0
+                else 0 for m in maxes]
+        mbs = [guard + e - 1 for e in exps]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -912,10 +1030,15 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
     xcb = cblk.bit_length() - 1
     scod = (0x02 if sop else 0) | (0x04 if eph else 0)
     cod = bytes([scod]) + bytes([0]) + struct.pack(">H", 1) \
-        + bytes([mct]) + bytes([levels, xcb - 2, xcb - 2, 0, 1])
+        + bytes([mct]) + bytes([levels, xcb - 2, xcb - 2, 0,
+                                0 if irreversible else 1])
     if max(exps) > 31:
         raise ValueError("coefficient range exceeds QCD exponent field")
-    qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
+    if irreversible:   # scalar expounded: 16-bit (exponent, mantissa)
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", (e << 11) | mant) for e in exps)
+    else:
+        qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
     out = bytearray(b"\xffO" + seg(0xFF51, siz) + seg(0xFF52, cod)
                     + seg(0xFF5C, qcd))
     for i, (layout, comps) in enumerate(tiles):
@@ -961,7 +1084,9 @@ def _check_encode_args(shape: tuple, bpc: int, levels: int,
 def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
                     cblk: int = 64, wrap_jp2: bool = True,
                     sop: bool = False, eph: bool = False,
-                    tile: int | None = None) -> bytes:
+                    tile: int | None = None,
+                    irreversible: bool = False,
+                    step: float = 0.25) -> bytes:
     """Grayscale 2-D uint8 array → lossless JPEG 2000 bytes (JP2 file by
     default; ``wrap_jp2=False`` emits the raw codestream).  ``bpc`` sets
     the component precision: 8 stores samples as-is, lower depths
@@ -970,7 +1095,10 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
     count tiny while exercising the whole wavelet/packet machinery).
     ``sop``/``eph`` emit the optional packet-boundary markers some real
     encoders use; ``tile`` splits the image into a tile grid (one
-    tile-part each), the way scanners tile large pages."""
+    tile-part each), the way scanners tile large pages;
+    ``irreversible=True`` codes through the 9/7 float wavelet with
+    scalar-expounded quantization — the LOSSY form photographic archive
+    scans use (reconstruction error bounded by the 1/4-unit step)."""
     if img.ndim != 2 or img.size == 0:
         raise ValueError("need a non-empty 2-D grayscale array")
     _check_encode_args(img.shape, bpc, levels, cblk)
@@ -982,7 +1110,8 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
         samples = ((img.astype(np.int64) * top + 127) // 255)
     a = samples - (1 << (bpc - 1))
     stream = _emit_codestream([a], w, h, bpc, levels, cblk, mct=0,
-                              sop=sop, eph=eph, tile=tile)
+                              sop=sop, eph=eph, tile=tile,
+                              irreversible=irreversible, step=step)
     return _wrap_boxes(stream, w, h, bpc, 1) if wrap_jp2 else stream
 
 
@@ -1171,19 +1300,36 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
     if cbstyle:
         raise JpxUnsupported("code-block style (bypass/termination/causal)"
                              " not supported")
-    if xfrm != 1:
-        raise JpxUnsupported("irreversible 9/7 transform not supported")
+    if xfrm not in (0, 1):
+        raise JpxError(f"unknown wavelet transform {xfrm}")
+    if xfrm == 0 and mct:
+        raise JpxUnsupported("irreversible color transform (ICT) not"
+                             " supported")
 
     if not qcd:
         raise JpxError("empty QCD")
     sqcd = qcd[0]
-    if sqcd & 0x1F:
-        raise JpxUnsupported("quantized (non-reversible) QCD not supported")
+    qstyle = sqcd & 0x1F
     guard = sqcd >> 5
     nsb = 3 * levels + 1
-    if len(qcd) < 1 + nsb:
-        raise JpxError("QCD too short for decomposition levels")
-    exps = [qcd[1 + i] >> 3 for i in range(nsb)]
+    mants = None
+    if qstyle == 0:                    # no quantization (reversible)
+        if xfrm != 1:
+            raise JpxError("9/7 transform with a no-quantization QCD")
+        if len(qcd) < 1 + nsb:
+            raise JpxError("QCD too short for decomposition levels")
+        exps = [qcd[1 + i] >> 3 for i in range(nsb)]
+    elif qstyle == 2:                  # scalar expounded (irreversible)
+        if xfrm != 0:
+            raise JpxError("5/3 transform with a quantized QCD")
+        if len(qcd) < 1 + 2 * nsb:
+            raise JpxError("QCD too short for decomposition levels")
+        vals = struct.unpack_from(f">{nsb}H", qcd, 1)
+        exps = [v >> 11 for v in vals]
+        mants = [v & 0x7FF for v in vals]
+    else:
+        raise JpxUnsupported(f"QCD quantization style {qstyle} not"
+                             " supported")
 
     ntiles = ntx * nty
     for isot in bodies:
@@ -1192,7 +1338,7 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
     return ({"w": w, "h": h, "bpc": bpc, "levels": levels,
              "cblk_w": 1 << (cbw + 2), "cblk_h": 1 << (cbh + 2),
              "layers": layers, "prog": prog, "guard": guard,
-             "exps": exps, "ncomp": csiz, "mct": mct,
+             "exps": exps, "mants": mants, "ncomp": csiz, "mct": mct,
              "sop": use_sop, "eph": use_eph, "xts": xts, "yts": yts,
              "ntx": ntx, "nty": nty},
             [bodies.get(i, bytearray()) for i in range(ntiles)])
@@ -1311,13 +1457,17 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
             blk.npasses += np_
             pos += ln
 
-    # Tier-1 decode + band assembly + inverse wavelet per component
+    # Tier-1 decode + band assembly (+ dequantization for 9/7 streams)
+    # + inverse wavelet per component
+    irrev = prm["mants"] is not None
+    bpc = prm["bpc"]
     planes = []
     for res_state in comp_state:
         per_res: list[list[np.ndarray]] = []
+        flat = 0
         for r, resol in enumerate(layout):
             arrs = []
-            for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
+            for bi, (cls, bw_, bh_, gain) in enumerate(resol["bands"]):
                 band = res_state[r][bi]
                 arr = np.zeros((bh_, bw_), np.int32)
                 if band is not None:
@@ -1328,12 +1478,27 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
                                         blk.npasses, blk.nbps, cls)
                         y0, x0 = blk.y * ch, blk.x * cw
                         arr[y0:y0 + blk.h, x0:x0 + blk.w] = co
+                if irrev:
+                    # E.1.1: step = 2^(Rb-eps) * (1 + mu/2^11); midpoint
+                    # reconstruction for nonzero magnitudes
+                    delta = (2.0 ** (bpc + gain - prm["exps"][flat])
+                             * (1 + prm["mants"][flat] / 2048.0))
+                    q = arr.astype(np.float64)
+                    arr = (np.sign(q) * (np.abs(q) + 0.5 * (q != 0))
+                           * delta)
+                flat += 1
                 arrs.append(arr)
             per_res.append(arrs)
-        ll = per_res[0][0].astype(np.int64)
-        for r in range(1, levels + 1):
-            hl, lh, hh = per_res[r]
-            ll = _inv53_2d(ll, hl, lh, hh)
+        if irrev:
+            ll = per_res[0][0]
+            for r in range(1, levels + 1):
+                hl, lh, hh = per_res[r]
+                ll = _inv97_2d(ll, hl, lh, hh)
+        else:
+            ll = per_res[0][0].astype(np.int64)
+            for r in range(1, levels + 1):
+                hl, lh, hh = per_res[r]
+                ll = _inv53_2d(ll, hl, lh, hh)
         planes.append(ll)
     return planes
 
@@ -1352,7 +1517,8 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
     w, h = prm["w"], prm["h"]
     xts, yts, ntx = prm["xts"], prm["yts"], prm["ntx"]
     ncomp = prm["ncomp"]
-    planes = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
+    dtype = np.float64 if prm["mants"] is not None else np.int64
+    planes = [np.zeros((h, w), dtype) for _ in range(ncomp)]
     blocks_used = [0]
     for i, body in enumerate(bodies):
         ty, tx = divmod(i, ntx)
@@ -1366,6 +1532,8 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
     bpc = prm["bpc"]
     shift = 1 << (bpc - 1)
     top = (1 << bpc) - 1
+    if prm["mants"] is not None:       # irreversible: round to ints
+        planes = [np.rint(p).astype(np.int64) for p in planes]
     if ncomp == 1:
         out = planes[0] + shift
         np.clip(out, 0, top, out=out)

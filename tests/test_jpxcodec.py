@@ -262,11 +262,13 @@ class TestErrors:
         with pytest.raises(JpxError):
             decode_jpx_gray(data)
 
-    def test_irreversible_unsupported(self):
+    def test_97_claim_with_reversible_qcd_rejected(self):
+        # 9/7 decodes since round 5 — but only with a quantized QCD;
+        # claiming it against a no-quantization QCD is malformed
         raw = self._raw()
         cod = raw.index(b"\xff\x52")
         raw[cod + 13] = 0             # transform: 9/7 irreversible
-        with pytest.raises(JpxUnsupported):
+        with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
 
     def test_multicomponent_unsupported(self):
@@ -286,11 +288,11 @@ class TestErrors:
         with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
 
-    def test_quantized_qcd_unsupported(self):
+    def test_quantized_qcd_with_53_rejected(self):
         raw = self._raw()
         qcd = raw.index(b"\xff\x5c")
-        raw[qcd + 4] |= 0x02          # scalar-derived quantization
-        with pytest.raises(JpxUnsupported):
+        raw[qcd + 4] |= 0x02          # scalar expounded on a 5/3 stream
+        with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
 
     def test_custom_precincts_unsupported(self):
@@ -500,3 +502,69 @@ class TestPropertyFuzz:
             assert np.array_equal(out, luma)
 
         run()
+
+
+class TestIrreversible:
+    """9/7 float wavelet + scalar-expounded quantization — the lossy
+    real-world JP2 form (decode path general; encoder for fixtures)."""
+
+    def test_97_wavelet_roundtrip(self):
+        rng = _rng(53)
+        for shape in ((1, 1), (3, 7), (16, 16), (13, 21), (1, 9)):
+            a = rng.random(shape) * 255 - 128
+            back = jx._inv97_2d(*jx._fwd97_2d(a))
+            assert np.abs(back - a).max() < 1e-9
+
+    def test_fine_step_is_visually_exact(self):
+        img = _rng(59).integers(0, 256, (16, 16), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, levels=1,
+                                              irreversible=True))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("step,bound", [(1.0, 4), (1.5, 6),
+                                            (2.0, 8), (4.0, 16)])
+    def test_coarser_steps_stay_bounded(self, step, bound):
+        # error scales with the quantization step (midpoint dequant
+        # keeps per-coefficient error <= step/2; synthesis gain < 4)
+        img = _rng(61).integers(0, 256, (24, 32), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, levels=2,
+                                              irreversible=True,
+                                              step=step))
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert 0 < err <= bound
+
+    def test_tiled_irreversible(self):
+        img = _rng(67).integers(0, 256, (24, 40), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, levels=2, tile=8,
+                                              irreversible=True))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_qcd_mantissa_in_wire(self):
+        raw = encode_jp2_gray(np.zeros((8, 8), np.uint8), levels=1,
+                              irreversible=True, step=1.5,
+                              wrap_jp2=False)
+        q = raw.index(b"\xff\x5c")
+        sqcd = raw[q + 4]
+        assert sqcd & 0x1F == 2          # scalar expounded
+        v = struct.unpack_from(">H", raw, q + 5)[0]
+        assert v & 0x7FF == 1024         # 1.5 = 2^0 * (1 + 1024/2048)
+        cod = raw.index(b"\xff\x52")
+        assert raw[cod + 13] == 0        # 9/7 transform
+
+    def test_scalar_derived_unsupported(self):
+        raw = bytearray(encode_jp2_gray(np.zeros((8, 8), np.uint8),
+                                        levels=1, irreversible=True,
+                                        wrap_jp2=False))
+        q = raw.index(b"\xff\x5c")
+        raw[q + 4] = (raw[q + 4] & 0xE0) | 1    # style 1
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(raw))
+
+    def test_transform_qcd_mismatch_rejected(self):
+        raw = bytearray(encode_jp2_gray(np.zeros((8, 8), np.uint8),
+                                        levels=1, irreversible=True,
+                                        wrap_jp2=False))
+        cod = raw.index(b"\xff\x52")
+        raw[cod + 13] = 1                # claim 5/3 with quantized QCD
+        with pytest.raises(JpxError):
+            decode_jpx_gray(bytes(raw))
