@@ -9,8 +9,9 @@ decodes the common PDF-embedded case from the public spec:
 
 * JP2 box wrapper or raw codestream (auto-detected),
 * 1-8 bit unsigned components: grayscale, or 3-component color through
-  the reversible color transform (Annex G.2 RCT) — decoded to ITU-R
-  BT.601 luma, the gray the OCR tier reads,
+  the reversible color transform (Annex G.2 RCT) or the float ICT
+  (G.3, irreversible streams) — decoded to ITU-R BT.601 luma, the
+  gray the OCR tier reads,
 * tiled images (the way scanners tile large pages): any power-of-two-
   aligned tile grid (tile size a multiple of 2^levels, so every tile
   keeps even wavelet parity — true of every real tiler), each tile in
@@ -30,10 +31,9 @@ decodes the common PDF-embedded case from the public spec:
   pass accumulation, SOP/EPH packet-boundary markers.
 
 Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
-(a :class:`JpxError`): the irreversible color transform (ICT),
-scalar-derived QCD, component counts other than 1/3, subsampled
-images, custom precincts, COC/QCC/POC/PPM overrides, coder
-bypass/termination style bits.  Malformed streams raise
+(a :class:`JpxError`): scalar-derived QCD, component counts other
+than 1/3, subsampled images, custom precincts, COC/QCC/POC/PPM
+overrides, coder bypass/termination style bits.  Malformed streams raise
 :class:`JpxError` — error-as-value at the extraction layer
 (``operators/ocr.py`` maps it to ``status='decode_error'``), never a
 crash, and every allocation is budget-capped before it happens.
@@ -1117,19 +1117,30 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
 
 def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
                    wrap_jp2: bool = True, sop: bool = False,
-                   eph: bool = False, tile: int | None = None) -> bytes:
-    """(h, w, 3) uint8 RGB → lossless JPEG 2000 bytes: three 8-bit
-    components through the reversible color transform (T.800 Annex G.2
-    RCT) — the form real color archive scans use."""
+                   eph: bool = False, tile: int | None = None,
+                   irreversible: bool = False,
+                   step: float = 0.25) -> bytes:
+    """(h, w, 3) uint8 RGB → JPEG 2000 bytes: three 8-bit components
+    through the reversible color transform (T.800 Annex G.2 RCT,
+    lossless), or — with ``irreversible=True`` — the float ICT (G.3)
+    over the 9/7 wavelet, the lossy color-scan form."""
     if img.ndim != 3 or img.shape[2] != 3 or img.size == 0:
         raise ValueError("need a non-empty (h, w, 3) RGB array")
     _check_encode_args(img.shape[:2], 8, levels, cblk)
     h, w = img.shape[:2]
-    rgb = img.astype(np.int64) - 128          # DC level shift, then RCT
-    r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    planes = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]   # Y, Cb, Cr
+    if irreversible:                   # DC level shift, then float ICT
+        rgb = img.astype(np.float64) - 128.0
+        r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+                  -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_,
+                  0.5 * r_ - 0.418688 * g_ - 0.081312 * b_]
+    else:                              # DC level shift, then RCT
+        rgb = img.astype(np.int64) - 128
+        r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]
     stream = _emit_codestream(planes, w, h, 8, levels, cblk, mct=1,
-                              sop=sop, eph=eph, tile=tile)
+                              sop=sop, eph=eph, tile=tile,
+                              irreversible=irreversible, step=step)
     return _wrap_boxes(stream, w, h, 8, 3) if wrap_jp2 else stream
 
 
@@ -1302,9 +1313,6 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
                              " not supported")
     if xfrm not in (0, 1):
         raise JpxError(f"unknown wavelet transform {xfrm}")
-    if xfrm == 0 and mct:
-        raise JpxUnsupported("irreversible color transform (ICT) not"
-                             " supported")
 
     if not qcd:
         raise JpxError("empty QCD")
@@ -1532,7 +1540,14 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
     bpc = prm["bpc"]
     shift = 1 << (bpc - 1)
     top = (1 << bpc) - 1
-    if prm["mants"] is not None:       # irreversible: round to ints
+    irrev = prm["mants"] is not None
+    if irrev and ncomp == 3 and prm["mct"]:
+        # inverse ICT (T.800 G.3): float YCbCr -> RGB before rounding
+        y_, cb, cr = planes
+        planes = [y_ + 1.402 * cr,
+                  y_ - 0.344136 * cb - 0.714136 * cr,
+                  y_ + 1.772 * cb]
+    if irrev:                          # round the float synthesis
         planes = [np.rint(p).astype(np.int64) for p in planes]
     if ncomp == 1:
         out = planes[0] + shift
@@ -1540,7 +1555,7 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
         if bpc != 8:
             out = (out * 255) // top
         return out.astype(np.uint8)
-    if prm["mct"]:                     # inverse RCT (T.800 G.2)
+    if prm["mct"] and not irrev:       # inverse RCT (T.800 G.2)
         y_, cb, cr = planes
         g_ = y_ - ((cb + cr) >> 2)
         comps = [cr + g_, g_, cb + g_]

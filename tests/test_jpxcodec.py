@@ -551,6 +551,16 @@ class TestIrreversible:
         cod = raw.index(b"\xff\x52")
         assert raw[cod + 13] == 0        # 9/7 transform
 
+    @pytest.mark.parametrize("step,bound", [(0.25, 2), (2.0, 6)])
+    def test_ict_color_to_luma(self, step, bound):
+        rgb = _rng(71).integers(0, 256, (16, 20, 3), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_rgb(rgb, levels=2,
+                                             irreversible=True,
+                                             step=step))
+        r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+        luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+        assert np.abs(out.astype(int) - luma.astype(int)).max() <= bound
+
     def test_scalar_derived_unsupported(self):
         raw = bytearray(encode_jp2_gray(np.zeros((8, 8), np.uint8),
                                         levels=1, irreversible=True,
