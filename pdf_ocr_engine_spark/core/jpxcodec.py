@@ -18,9 +18,9 @@ decodes the common PDF-embedded case from the public spec:
   one or more tile-parts in any order,
 * reversible 5/3 integer wavelet (T.800 Annex F), any 0-10
   decomposition levels, with a no-quantization QCD — OR the
-  irreversible 9/7 float wavelet (F.4.8) with scalar-expounded
-  quantization and midpoint dequantization (E.1.1) — the LOSSY form
-  photographic archive scans use,
+  irreversible 9/7 float wavelet (F.4.8) with scalar quantization
+  (expounded or derived) and midpoint dequantization (E.1.1) — the
+  LOSSY form photographic archive scans use,
 * EBCOT Tier-1 coefficient coding (Annex D: significance-propagation /
   magnitude-refinement / cleanup passes, run-length mode, sign
   contexts) over the MQ arithmetic coder shared with
@@ -31,9 +31,9 @@ decodes the common PDF-embedded case from the public spec:
   pass accumulation, SOP/EPH packet-boundary markers.
 
 Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
-(a :class:`JpxError`): scalar-derived QCD, component counts other
-than 1/3, subsampled images, custom precincts, COC/QCC/POC/PPM
-overrides, coder bypass/termination style bits.  Malformed streams raise
+(a :class:`JpxError`): component counts other than 1/3, subsampled
+images, custom precincts, COC/QCC/POC/PPM overrides, coder
+bypass/termination style bits.  Malformed streams raise
 :class:`JpxError` — error-as-value at the extraction layer
 (``operators/ocr.py`` maps it to ``status='decode_error'``), never a
 crash, and every allocation is budget-capped before it happens.
@@ -951,7 +951,8 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
                      levels: int, cblk: int, mct: int, sop: bool,
                      eph: bool, tile: int | None,
                      irreversible: bool = False,
-                     step: float = 0.25) -> bytes:
+                     step: float = 0.25,
+                     derived: bool = False) -> bytes:
     """DC-shifted component planes → full codestream.  ``tile`` splits
     the image into a ``tile``×``tile`` grid (one tile-part per tile);
     None keeps the single whole-image tile.  The QCD (shared across
@@ -984,13 +985,22 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
         e2 = math.floor(math.log2(step))
         mant = min(max(int(round((step / 2.0 ** e2 - 1) * 2048)), 0),
                    2047)
-        exps = [bpc + g - e2 for g in gains]
+        if derived:
+            # scalar derived: LL carries (eps0, mu); band exponents
+            # drop by one per finer resolution (E.1.1)
+            eps0 = bpc - e2
+            exps = [eps0]
+            for r in range(1, levels + 1):
+                exps += [eps0 - (r - 1)] * 3
+        else:
+            exps = [bpc + g - e2 for g in gains]
         if min(exps) < 0 or max(exps) > 31:
             raise ValueError("quantization step outside the exponent"
                              " field for this precision")
-        # the REPRESENTABLE step (mantissa-rounded) — encoder and
+        # the REPRESENTABLE steps (mantissa-rounded) — encoder and
         # decoder must agree exactly
-        deltas = [2.0 ** e2 * (1 + mant / 2048.0) for _ in gains]
+        deltas = [2.0 ** (bpc + g - e) * (1 + mant / 2048.0)
+                  for g, e in zip(gains, exps)]
     tiles = []                       # (layout, comps_res_blocks)
     maxes: list[int] | None = None
     for ty in range(nty):
@@ -1034,7 +1044,10 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
                                 0 if irreversible else 1])
     if max(exps) > 31:
         raise ValueError("coefficient range exceeds QCD exponent field")
-    if irreversible:   # scalar expounded: 16-bit (exponent, mantissa)
+    if irreversible and derived:   # scalar derived: single 16-bit pair
+        qcd = bytes([(guard << 5) | 1]) \
+            + struct.pack(">H", (exps[0] << 11) | mant)
+    elif irreversible:   # scalar expounded: 16-bit (exponent, mantissa)
         qcd = bytes([(guard << 5) | 2]) + b"".join(
             struct.pack(">H", (e << 11) | mant) for e in exps)
     else:
@@ -1086,7 +1099,8 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
                     sop: bool = False, eph: bool = False,
                     tile: int | None = None,
                     irreversible: bool = False,
-                    step: float = 0.25) -> bytes:
+                    step: float = 0.25,
+                    derived: bool = False) -> bytes:
     """Grayscale 2-D uint8 array → lossless JPEG 2000 bytes (JP2 file by
     default; ``wrap_jp2=False`` emits the raw codestream).  ``bpc`` sets
     the component precision: 8 stores samples as-is, lower depths
@@ -1111,7 +1125,8 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
     a = samples - (1 << (bpc - 1))
     stream = _emit_codestream([a], w, h, bpc, levels, cblk, mct=0,
                               sop=sop, eph=eph, tile=tile,
-                              irreversible=irreversible, step=step)
+                              irreversible=irreversible, step=step,
+                              derived=derived)
     return _wrap_boxes(stream, w, h, bpc, 1) if wrap_jp2 else stream
 
 
@@ -1335,6 +1350,22 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
         vals = struct.unpack_from(f">{nsb}H", qcd, 1)
         exps = [v >> 11 for v in vals]
         mants = [v & 0x7FF for v in vals]
+    elif qstyle == 1:                  # scalar derived (irreversible):
+        # one (eps, mu) pair for LL; band b gets eps_b = eps_0 - N_L +
+        # n_b where n_b is the band's decomposition depth (E.1.1)
+        if xfrm != 0:
+            raise JpxError("5/3 transform with a quantized QCD")
+        if len(qcd) < 3:
+            raise JpxError("QCD too short for derived quantization")
+        v = struct.unpack_from(">H", qcd, 1)[0]
+        eps0, mu0 = v >> 11, v & 0x7FF
+        exps, mants = [eps0], [mu0]
+        for r in range(1, levels + 1):
+            e = eps0 - (r - 1)         # level d = N_L - r + 1
+            if e < 0:
+                raise JpxError("derived exponent underflow")
+            exps += [e, e, e]
+            mants += [mu0, mu0, mu0]
     else:
         raise JpxUnsupported(f"QCD quantization style {qstyle} not"
                              " supported")

@@ -561,14 +561,17 @@ class TestIrreversible:
         luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
         assert np.abs(out.astype(int) - luma.astype(int)).max() <= bound
 
-    def test_scalar_derived_unsupported(self):
-        raw = bytearray(encode_jp2_gray(np.zeros((8, 8), np.uint8),
-                                        levels=1, irreversible=True,
-                                        wrap_jp2=False))
-        q = raw.index(b"\xff\x5c")
-        raw[q + 4] = (raw[q + 4] & 0xE0) | 1    # style 1
-        with pytest.raises(JpxUnsupported):
-            decode_jpx_gray(bytes(raw))
+    def test_scalar_derived_roundtrip(self):
+        # style 1: one (eps, mu) pair, finer resolutions derive coarser
+        # steps — error bound scales with the finest band's step
+        img = _rng(73).integers(0, 256, (24, 32), dtype=np.uint8)
+        data = encode_jp2_gray(img, levels=2, irreversible=True,
+                               step=0.25, derived=True)
+        q = data.index(b"\xff\x5c")
+        assert data[q + 4] & 0x1F == 1          # derived style on wire
+        assert struct.unpack_from(">H", data, q + 2)[0] == 5  # Lqcd
+        out = decode_jpx_gray(data)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
 
     def test_transform_qcd_mismatch_rejected(self):
         raw = bytearray(encode_jp2_gray(np.zeros((8, 8), np.uint8),
