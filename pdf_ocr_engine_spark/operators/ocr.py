@@ -86,9 +86,10 @@ def deterministic_recognizer():
       image dict) — the dominant 1-bit fax/TIFF-style scan encoding;
     * **JPXDecode** image XObjects → JPEG 2000 decode via the
       pure-stdlib T.800 codec (``core/jpxcodec``: JP2 box wrapper or raw
-      codestream, reversible 5/3 wavelet, EBCOT Tier-1 over the shared
-      MQ coder; 3-component RCT color decodes to BT.601 luma) — the
-      archive/ebook scanner format;
+      codestream, reversible 5/3 or lossy 9/7 wavelet with scalar
+      quantization, tiled images, EBCOT Tier-1 over the shared MQ
+      coder; RCT/ICT color decodes to BT.601 luma) — the archive/ebook
+      scanner format;
     * **JBIG2Decode** image XObjects → embedded-stream decode via the
       pure-stdlib T.88 codec (``core/jbig2codec``: MQ arithmetic coder,
       generic regions, symbol-dictionary + text regions — the
