@@ -28,12 +28,15 @@ decodes the common PDF-embedded case from the public spec:
   standards specify the same coder),
 * Tier-2 packet headers (Annex B: tag trees, bit-stuffed headers,
   Lblock length signalling), LRCP/RLCP progressions, multi-layer
-  pass accumulation, SOP/EPH packet-boundary markers.
+  pass accumulation, SOP/EPH packet-boundary markers, and CUSTOM
+  PRECINCTS (per-resolution sizes, per-precinct tag trees and
+  packets, precinct-clamped code-blocks — the random-access layout
+  archive encoders emit).
 
 Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
 (a :class:`JpxError`): component counts other than 1/3, subsampled
-images, custom precincts, COC/QCC/POC/PPM overrides, coder
-bypass/termination style bits.  Malformed streams raise
+images, COC/QCC/POC/PPM overrides, coder bypass/termination style
+bits.  Malformed streams raise
 :class:`JpxError` — error-as-value at the extraction layer
 (``operators/ocr.py`` maps it to ``status='decode_error'``), never a
 crash, and every allocation is budget-capped before it happens.
@@ -834,14 +837,64 @@ def _grid(n: int, step: int) -> int:
     return (n + step - 1) // step
 
 
-def _encode_component(a: np.ndarray, levels: int, cblk: int,
+def _precinct_geometry(tw: int, th: int, levels: int, pps: list,
+                       cw: int, ch: int) -> list[tuple]:
+    """Per resolution r: ``(cw_r, ch_r, cell_w, cell_h, npx, npy)`` —
+    the precinct-CLAMPED code-block size (B.7), the precinct cell in
+    BAND coordinates (halved for r>0, where band coords are half the
+    resolution grid), and the precinct grid counts."""
+    geo = []
+    for r in range(levels + 1):
+        ppx, ppy = pps[r]
+        res_w = _grid(tw, 1 << (levels - r))
+        res_h = _grid(th, 1 << (levels - r))
+        npx = _grid(res_w, 1 << ppx)
+        npy = _grid(res_h, 1 << ppy)
+        sub = 1 if r else 0
+        cell_w, cell_h = 1 << max(ppx - sub, 0), 1 << max(ppy - sub, 0)
+        geo.append((min(cw, cell_w), min(ch, cell_h),
+                    cell_w, cell_h, npx, npy))
+    return geo
+
+
+def _band_precincts(bw_: int, bh_: int, geo_r: tuple) -> list[dict]:
+    """One band's code-blocks grouped per precinct (raster order):
+    ``{"blocks": [(blk, lx, ly)], "incl": tree, "imsb": tree}`` with
+    block coordinates local to the precinct's tag-tree grid."""
+    cw_r, ch_r, cell_w, cell_h, npx, npy = geo_r
+    gw, gh = _grid(bw_, cw_r), _grid(bh_, ch_r)
+    sx, sy = cell_w // cw_r, cell_h // ch_r   # blocks per precinct axis
+    precs = []
+    for py in range(npy):
+        for px in range(npx):
+            x0, y0 = px * sx, py * sy
+            lgw = min(sx, gw - x0)
+            lgh = min(sy, gh - y0)
+            if lgw <= 0 or lgh <= 0:
+                precs.append(None)
+                continue
+            blocks = []
+            for ly in range(lgh):
+                for lx in range(lgw):
+                    bx, by = x0 + lx, y0 + ly
+                    blocks.append((_Block(
+                        bx, by, min(cw_r, bw_ - bx * cw_r),
+                        min(ch_r, bh_ - by * ch_r)), lx, ly))
+            precs.append({"blocks": blocks, "incl": _TagTree(lgw, lgh),
+                          "imsb": _TagTree(lgw, lgh)})
+    return precs
+
+
+def _encode_component(a: np.ndarray, levels: int, geo: list[tuple],
                       layout: list[dict],
                       deltas: list[float] | None = None,
                       ) -> tuple[list, list]:
     """DC-shifted plane → (per-resolution T1-coded block lists, flat
-    resolution-major per-band max bitplane counts).  ``deltas`` (one
-    quantization step per flat band index) switches to the irreversible
-    path: 9/7 float wavelet, coefficients quantized toward zero."""
+    resolution-major per-band max bitplane counts).  ``geo`` is the
+    :func:`_precinct_geometry` of the tile (carries the per-resolution
+    clamped block size); ``deltas`` (one quantization step per flat
+    band index) switches to the irreversible path: 9/7 float wavelet,
+    coefficients quantized toward zero."""
     per_res: list[list[np.ndarray]] = []
     ll = a
     lvl_bands = []
@@ -858,6 +911,7 @@ def _encode_component(a: np.ndarray, levels: int, cblk: int,
     flat = 0
     for r, resol in enumerate(layout):
         res_blocks.append([])
+        cw_r, ch_r = geo[r][0], geo[r][1]
         for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
             arr = per_res[r][bi]
             if deltas is not None:
@@ -866,10 +920,10 @@ def _encode_component(a: np.ndarray, levels: int, cblk: int,
             assert arr.shape == (bh_, bw_), (arr.shape, bw_, bh_)
             blocks = []
             band_max = 0
-            for by in range(_grid(bh_, cblk)):
-                for bx in range(_grid(bw_, cblk)):
-                    sub = arr[by * cblk:(by + 1) * cblk,
-                              bx * cblk:(bx + 1) * cblk]
+            for by in range(_grid(bh_, ch_r)):
+                for bx in range(_grid(bw_, cw_r)):
+                    sub = arr[by * ch_r:(by + 1) * ch_r,
+                              bx * cw_r:(bx + 1) * cw_r]
                     data, npasses, nbps = _t1_encode(sub, cls)
                     band_max = max(band_max, nbps)
                     blocks.append({"x": bx, "y": by, "data": data,
@@ -880,12 +934,12 @@ def _encode_component(a: np.ndarray, levels: int, cblk: int,
 
 
 def _emit_tile_body(comps: list, layout: list[dict], levels: int,
-                    cblk: int, mbs: list[int], sop: bool,
+                    geo: list[tuple], mbs: list[int], sop: bool,
                     eph: bool) -> bytes:
     """One tile's per-component T1-coded blocks → packet bytes, LRCP
-    order (single layer / precinct): resolution outer, component inner.
-    ``mbs`` are the codestream-wide per-band magnitude bitplane counts
-    (QCD is shared)."""
+    order (single layer): resolution, then component, then precinct in
+    raster order.  ``mbs`` are the codestream-wide per-band magnitude
+    bitplane counts (QCD is shared)."""
     for res_blocks in comps:
         flat = 0
         for r in range(levels + 1):
@@ -897,53 +951,73 @@ def _emit_tile_body(comps: list, layout: list[dict], levels: int,
     body = bytearray()
     nsop = 0
     for r, resol in enumerate(layout):
+        cw_r, ch_r, cell_w, cell_h, npx, npy = geo[r]
+        sx, sy = cell_w // cw_r, cell_h // ch_r
         for res_blocks in comps:
-            if sop:
-                body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
-                nsop += 1
-            hdr = _HdrWriter()
-            included = [blk for band in res_blocks[r] for blk in band
-                        if blk["npasses"]]
-            if not included:
-                hdr.bit(0)
+            # bucket each band's blocks by precinct ONCE (mirror of the
+            # decoder's _band_precincts grouping; avoids an O(blocks x
+            # precincts) rescan)
+            grouped: list[dict[int, list]] = []
+            for band in res_blocks[r]:
+                buckets: dict[int, list] = {}
+                for blk in band:
+                    px, py = blk["x"] // sx, blk["y"] // sy
+                    buckets.setdefault(py * npx + px, []).append(
+                        (blk, blk["x"] - px * sx, blk["y"] - py * sy))
+                grouped.append(buckets)
+            for p in range(npx * npy):
+                py, px = divmod(p, npx)
+                x0, y0 = px * sx, py * sy
+                if sop:
+                    body += struct.pack(">HHH", 0xFF91, 4,
+                                        nsop & 0xFFFF)
+                    nsop += 1
+                hdr = _HdrWriter()
+                if not any(blk["npasses"]
+                           for buckets in grouped
+                           for blk, _lx, _ly in buckets.get(p, ())):
+                    hdr.bit(0)
+                    body += hdr.flush()
+                    if eph:
+                        body += b"\xff\x92"
+                    continue
+                hdr.bit(1)
+                payload = bytearray()
+                for bi, (cls, bw_, bh_, _gain) in \
+                        enumerate(resol["bands"]):
+                    local = grouped[bi].get(p)
+                    if not local:
+                        continue
+                    gw, gh = _grid(bw_, cw_r), _grid(bh_, ch_r)
+                    lgw = min(sx, gw - x0)
+                    lgh = min(sy, gh - y0)
+                    incl = _TagTree(lgw, lgh)
+                    imsb = _TagTree(lgw, lgh)
+                    for blk, lx, ly in local:
+                        incl.set(lx, ly, 0 if blk["npasses"] else 1)
+                        imsb.set(lx, ly,
+                                 blk["p"] if blk["npasses"] else 0)
+                    incl.finalize()
+                    imsb.finalize()
+                    for blk, lx, ly in local:
+                        incl.encode(lx, ly, 1, hdr)
+                        if not blk["npasses"]:
+                            continue
+                        imsb.encode(lx, ly, blk["p"] + 1, hdr)
+                        _write_npasses(hdr, blk["npasses"])
+                        length = len(blk["data"])
+                        lblock = 3
+                        nbits = lblock + blk["npasses"].bit_length() - 1
+                        extra = max(0, length.bit_length() - nbits)
+                        for _ in range(extra):
+                            hdr.bit(1)
+                        hdr.bit(0)
+                        hdr.bits(length, nbits + extra)
+                        payload += blk["data"]
                 body += hdr.flush()
                 if eph:
                     body += b"\xff\x92"
-                continue
-            hdr.bit(1)
-            payload = bytearray()
-            for bi, (cls, bw_, bh_, _gain) in enumerate(resol["bands"]):
-                if bw_ == 0 or bh_ == 0:
-                    continue
-                gw, gh = _grid(bw_, cblk), _grid(bh_, cblk)
-                incl = _TagTree(gw, gh)
-                imsb = _TagTree(gw, gh)
-                for blk in res_blocks[r][bi]:
-                    incl.set(blk["x"], blk["y"],
-                             0 if blk["npasses"] else 1)
-                    imsb.set(blk["x"], blk["y"],
-                             blk["p"] if blk["npasses"] else 0)
-                incl.finalize()
-                imsb.finalize()
-                for blk in res_blocks[r][bi]:
-                    incl.encode(blk["x"], blk["y"], 1, hdr)
-                    if not blk["npasses"]:
-                        continue
-                    imsb.encode(blk["x"], blk["y"], blk["p"] + 1, hdr)
-                    _write_npasses(hdr, blk["npasses"])
-                    length = len(blk["data"])
-                    lblock = 3
-                    nbits = lblock + blk["npasses"].bit_length() - 1
-                    extra = max(0, length.bit_length() - nbits)
-                    for _ in range(extra):
-                        hdr.bit(1)
-                    hdr.bit(0)
-                    hdr.bits(length, nbits + extra)
-                    payload += blk["data"]
-            body += hdr.flush()
-            if eph:
-                body += b"\xff\x92"
-            body += payload
+                body += payload
     return bytes(body)
 
 
@@ -952,7 +1026,9 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
                      eph: bool, tile: int | None,
                      irreversible: bool = False,
                      step: float = 0.25,
-                     derived: bool = False) -> bytes:
+                     derived: bool = False,
+                     precincts: list[tuple[int, int]] | None = None,
+                     ) -> bytes:
     """DC-shifted component planes → full codestream.  ``tile`` splits
     the image into a ``tile``×``tile`` grid (one tile-part per tile);
     None keeps the single whole-image tile.  The QCD (shared across
@@ -1001,23 +1077,37 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
         # decoder must agree exactly
         deltas = [2.0 ** (bpc + g - e) * (1 + mant / 2048.0)
                   for g, e in zip(gains, exps)]
-    tiles = []                       # (layout, comps_res_blocks)
+    if precincts is not None:
+        if ntx > 1 or nty > 1:
+            raise ValueError("custom precincts with multiple tiles are"
+                             " out of scope (reference-grid anchoring)")
+        if len(precincts) != levels + 1:
+            raise ValueError("need one precinct size per resolution")
+        for r, (px, py) in enumerate(precincts):
+            if not (0 <= px <= 15 and 0 <= py <= 15) \
+                    or (r > 0 and (px == 0 or py == 0)):
+                raise ValueError(f"invalid precinct exponents ({px},"
+                                 f" {py}) at resolution {r}")
+    pps = precincts if precincts is not None \
+        else [(15, 15)] * (levels + 1)
+    tiles = []                       # (layout, geo, comps_res_blocks)
     maxes: list[int] | None = None
     for ty in range(nty):
         for tx in range(ntx):
             tw = min(xts, w - tx * xts)
             th = min(yts, h - ty * yts)
             layout = _band_dims(tw, th, levels)
+            geo = _precinct_geometry(tw, th, levels, pps, cblk, cblk)
             comps = []
             for plane in planes:
                 sub = plane[ty * yts:ty * yts + th,
                             tx * xts:tx * xts + tw]
                 res_blocks, band_maxes = _encode_component(
-                    sub, levels, cblk, layout, deltas=deltas)
+                    sub, levels, geo, layout, deltas=deltas)
                 comps.append(res_blocks)
                 maxes = band_maxes if maxes is None else \
                     [max(a2, b2) for a2, b2 in zip(maxes, band_maxes)]
-            tiles.append((layout, comps))
+            tiles.append((layout, geo, comps))
 
     if irreversible:
         mbs = [guard + e - 1 for e in exps]
@@ -1038,10 +1128,13 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xts, yts, 0, 0,
                       ncomp) + bytes([bpc - 1, 1, 1]) * ncomp
     xcb = cblk.bit_length() - 1
-    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    scod = (0x01 if precincts is not None else 0) \
+        | (0x02 if sop else 0) | (0x04 if eph else 0)
     cod = bytes([scod]) + bytes([0]) + struct.pack(">H", 1) \
         + bytes([mct]) + bytes([levels, xcb - 2, xcb - 2, 0,
                                 0 if irreversible else 1])
+    if precincts is not None:
+        cod += bytes((py << 4) | px for px, py in precincts)
     if max(exps) > 31:
         raise ValueError("coefficient range exceeds QCD exponent field")
     if irreversible and derived:   # scalar derived: single 16-bit pair
@@ -1054,8 +1147,8 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
         qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
     out = bytearray(b"\xffO" + seg(0xFF51, siz) + seg(0xFF52, cod)
                     + seg(0xFF5C, qcd))
-    for i, (layout, comps) in enumerate(tiles):
-        body = _emit_tile_body(comps, layout, levels, cblk, mbs, sop,
+    for i, (layout, geo, comps) in enumerate(tiles):
+        body = _emit_tile_body(comps, layout, levels, geo, mbs, sop,
                                eph)
         psot = 2 + 10 + 2 + len(body)     # SOT..Lsot seg..SOD..body
         out += seg(0xFF90, struct.pack(">HIBB", i, psot, 0, 1))
@@ -1100,7 +1193,9 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
                     tile: int | None = None,
                     irreversible: bool = False,
                     step: float = 0.25,
-                    derived: bool = False) -> bytes:
+                    derived: bool = False,
+                    precincts: list[tuple[int, int]] | None = None,
+                    ) -> bytes:
     """Grayscale 2-D uint8 array → lossless JPEG 2000 bytes (JP2 file by
     default; ``wrap_jp2=False`` emits the raw codestream).  ``bpc`` sets
     the component precision: 8 stores samples as-is, lower depths
@@ -1126,15 +1221,16 @@ def encode_jp2_gray(img: np.ndarray, bpc: int = 8, levels: int = 1,
     stream = _emit_codestream([a], w, h, bpc, levels, cblk, mct=0,
                               sop=sop, eph=eph, tile=tile,
                               irreversible=irreversible, step=step,
-                              derived=derived)
+                              derived=derived, precincts=precincts)
     return _wrap_boxes(stream, w, h, bpc, 1) if wrap_jp2 else stream
 
 
 def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
                    wrap_jp2: bool = True, sop: bool = False,
                    eph: bool = False, tile: int | None = None,
-                   irreversible: bool = False,
-                   step: float = 0.25) -> bytes:
+                   irreversible: bool = False, step: float = 0.25,
+                   precincts: list[tuple[int, int]] | None = None,
+                   ) -> bytes:
     """(h, w, 3) uint8 RGB → JPEG 2000 bytes: three 8-bit components
     through the reversible color transform (T.800 Annex G.2 RCT,
     lossless), or — with ``irreversible=True`` — the float ICT (G.3)
@@ -1155,7 +1251,8 @@ def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
         planes = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]
     stream = _emit_codestream(planes, w, h, 8, levels, cblk, mct=1,
                               sop=sop, eph=eph, tile=tile,
-                              irreversible=irreversible, step=step)
+                              irreversible=irreversible, step=step,
+                              precincts=precincts)
     return _wrap_boxes(stream, w, h, 8, 3) if wrap_jp2 else stream
 
 
@@ -1299,8 +1396,6 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
     if len(cod) < 10:
         raise JpxError("truncated COD")
     scod = cod[0]
-    if scod & 0x01:
-        raise JpxUnsupported("custom precincts not supported")
     use_sop, use_eph = bool(scod & 0x02), bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], cod[4]
     if prog not in (0, 1):
@@ -1328,6 +1423,26 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
                              " not supported")
     if xfrm not in (0, 1):
         raise JpxError(f"unknown wavelet transform {xfrm}")
+    if scod & 0x01:                    # per-resolution precinct sizes
+        if ntx > 1 or nty > 1:
+            # T.800 B.6 anchors precinct grids at the REFERENCE-GRID
+            # origin; tiles whose origins sit mid-precinct need
+            # absolute-coordinate block anchoring.  Real archive
+            # encoders use tiles or precincts, not both.
+            raise JpxUnsupported("custom precincts with multiple tiles"
+                                 " not supported")
+        if len(cod) < 10 + levels + 1:
+            raise JpxError("COD too short for precinct sizes")
+        pps = []
+        for r in range(levels + 1):
+            b = cod[10 + r]
+            ppx, ppy = b & 0x0F, b >> 4
+            if (ppx == 0 or ppy == 0) and r > 0:
+                raise JpxError("precinct exponent 0 only valid at the"
+                               " lowest resolution")
+            pps.append((ppx, ppy))
+    else:
+        pps = [(15, 15)] * (levels + 1)   # default: maximal precincts
 
     if not qcd:
         raise JpxError("empty QCD")
@@ -1379,7 +1494,7 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
              "layers": layers, "prog": prog, "guard": guard,
              "exps": exps, "mants": mants, "ncomp": csiz, "mct": mct,
              "sop": use_sop, "eph": use_eph, "xts": xts, "yts": yts,
-             "ntx": ntx, "nty": nty},
+             "ntx": ntx, "nty": nty, "pps": pps},
             [bodies.get(i, bytearray()) for i in range(ntiles)])
 
 
@@ -1393,14 +1508,15 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
     cw, ch = prm["cblk_w"], prm["cblk_h"]
     layout = _band_dims(tw, th, levels)
 
-    # per-component, per-band block grids + persistent tag trees
+    # per-component, per-band, per-precinct block grids + tag trees
     ncomp = prm["ncomp"]
+    geo = _precinct_geometry(tw, th, levels, prm["pps"], cw, ch)
     comp_state = []
     n_blocks = blocks_used[0]
     for _c in range(ncomp):
         res_state = []
         exp_i = 0
-        for resol in layout:
+        for r, resol in enumerate(layout):
             bands = []
             for cls, bw_, bh_, _gain in resol["bands"]:
                 mb = prm["guard"] + prm["exps"][exp_i] - 1
@@ -1411,35 +1527,34 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
                 if bw_ == 0 or bh_ == 0:
                     bands.append(None)
                     continue
-                gw, gh = _grid(bw_, cw), _grid(bh_, ch)
-                n_blocks += gw * gh
+                cw_r, ch_r = geo[r][0], geo[r][1]
+                n_blocks += _grid(bw_, cw_r) * _grid(bh_, ch_r)
                 if n_blocks > _MAX_BLOCKS:
                     raise JpxError("code-block count exceeds budget")
-                blocks = []
-                for by in range(gh):
-                    for bx in range(gw):
-                        blocks.append(_Block(
-                            bx, by,
-                            min(cw, bw_ - bx * cw),
-                            min(ch, bh_ - by * ch)))
                 bands.append({"cls": cls, "w": bw_, "h": bh_, "mb": mb,
-                              "gw": gw, "gh": gh, "blocks": blocks,
-                              "incl": _TagTree(gw, gh),
-                              "imsb": _TagTree(gw, gh)})
+                              "cw": cw_r, "ch": ch_r,
+                              "precs": _band_precincts(bw_, bh_,
+                                                       geo[r])})
             res_state.append(bands)
         comp_state.append(res_state)
     blocks_used[0] = n_blocks
 
     # packet walk — LRCP (layer outer) or RLCP (resolution outer);
-    # component is always the inner loop ahead of the single precinct
+    # component then precinct (raster order) are the inner loops.
+    # Built LAZILY: layers x precincts can be huge on crafted streams,
+    # and the header reader's truncation guard bounds the walk by the
+    # actual body length.
     pos = 0
+    nprec = [g[4] * g[5] for g in geo]
     if prm["prog"] == 0:
-        order = [(lay, r, c) for lay in range(prm["layers"])
-                 for r in range(levels + 1) for c in range(ncomp)]
+        order = ((lay, r, c, p) for lay in range(prm["layers"])
+                 for r in range(levels + 1) for c in range(ncomp)
+                 for p in range(nprec[r]))
     else:
-        order = [(lay, r, c) for r in range(levels + 1)
-                 for lay in range(prm["layers"]) for c in range(ncomp)]
-    for lay, r, c in order:
+        order = ((lay, r, c, p) for r in range(levels + 1)
+                 for lay in range(prm["layers"]) for c in range(ncomp)
+                 for p in range(nprec[r]))
+    for lay, r, c, p in order:
         if prm["sop"] and body[pos:pos + 2] == b"\xff\x91":
             if body[pos + 2:pos + 4] != b"\x00\x04" or pos + 6 > len(body):
                 raise JpxError("malformed SOP marker")
@@ -1448,24 +1563,24 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
         seglens: list[tuple[_Block, int, int]] = []
         if br.bit():                       # non-empty packet
             for band in comp_state[c][r]:
-                if band is None:
+                if band is None or band["precs"][p] is None:
                     continue
-                for blk in band["blocks"]:
+                prec = band["precs"][p]
+                for blk, lx, ly in prec["blocks"]:
                     if not blk.included:
-                        inc = band["incl"].decode(blk.x, blk.y, lay + 1, br)
+                        inc = prec["incl"].decode(lx, ly, lay + 1, br)
                     else:
                         inc = bool(br.bit())
                     if not inc:
                         continue
                     if not blk.included:
                         k = 1
-                        while not band["imsb"].decode(blk.x, blk.y, k, br):
+                        while not prec["imsb"].decode(lx, ly, k, br):
                             k += 1
                             if k > _MAX_MB + 2:
                                 raise JpxError("runaway zero-bitplane tag"
                                                " tree")
-                        p = k - 1
-                        blk.nbps = band["mb"] - p
+                        blk.nbps = band["mb"] - (k - 1)
                         if blk.nbps <= 0:
                             raise JpxError("non-positive bitplane count")
                         blk.included = True
@@ -1510,13 +1625,18 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
                 band = res_state[r][bi]
                 arr = np.zeros((bh_, bw_), np.int32)
                 if band is not None:
-                    for blk in band["blocks"]:
-                        if not blk.npasses:
+                    bcw, bch = band["cw"], band["ch"]
+                    for prec in band["precs"]:
+                        if prec is None:
                             continue
-                        co = _t1_decode(bytes(blk.data), blk.w, blk.h,
-                                        blk.npasses, blk.nbps, cls)
-                        y0, x0 = blk.y * ch, blk.x * cw
-                        arr[y0:y0 + blk.h, x0:x0 + blk.w] = co
+                        for blk, _lx, _ly in prec["blocks"]:
+                            if not blk.npasses:
+                                continue
+                            co = _t1_decode(bytes(blk.data), blk.w,
+                                            blk.h, blk.npasses,
+                                            blk.nbps, cls)
+                            y0, x0 = blk.y * bch, blk.x * bcw
+                            arr[y0:y0 + blk.h, x0:x0 + blk.w] = co
                 if irrev:
                     # E.1.1: step = 2^(Rb-eps) * (1 + mu/2^11); midpoint
                     # reconstruction for nonzero magnitudes

@@ -295,11 +295,12 @@ class TestErrors:
         with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
 
-    def test_custom_precincts_unsupported(self):
+    def test_precinct_flag_without_sizes_rejected(self):
+        # Scod bit 0 set but no per-resolution size bytes follow
         raw = self._raw()
         cod = raw.index(b"\xff\x52")
         raw[cod + 4] |= 0x01
-        with pytest.raises(JpxUnsupported):
+        with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
 
     def test_signed_component_unsupported(self):
@@ -579,5 +580,105 @@ class TestIrreversible:
                                         wrap_jp2=False))
         cod = raw.index(b"\xff\x52")
         raw[cod + 13] = 1                # claim 5/3 with quantized QCD
+        with pytest.raises(JpxError):
+            decode_jpx_gray(bytes(raw))
+
+
+class TestPrecincts:
+    """Custom precincts: per-resolution sizes, per-precinct tag trees
+    and packets, precinct-clamped code-blocks (B.6/B.7)."""
+
+    @pytest.mark.parametrize("shape,levels,pps,cblk", [
+        ((40, 56), 2, [(5, 5), (5, 5), (5, 5)], 64),  # clamps blocks
+        ((33, 21), 1, [(3, 4), (4, 3)], 16),          # asymmetric
+        ((24, 24), 0, [(3, 3)], 8),                   # no wavelet
+        ((17, 9), 2, [(2, 2), (3, 3), (4, 4)], 64),   # tiny precincts
+    ])
+    def test_lossless_roundtrip(self, shape, levels, pps, cblk):
+        img = _rng(sum(shape) + levels).integers(0, 256, shape,
+                                                 dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(img, levels=levels,
+                                              cblk=cblk,
+                                              precincts=pps))
+        assert np.array_equal(out, img)
+
+    def test_precincts_with_markers_and_rlcp(self):
+        img = _rng(79).integers(0, 256, (24, 40), dtype=np.uint8)
+        raw = bytearray(encode_jp2_gray(
+            img, levels=1, precincts=[(3, 3), (4, 4)],
+            sop=True, eph=True, wrap_jp2=False))
+        assert np.array_equal(decode_jpx_gray(bytes(raw)), img)
+        cod = raw.index(b"\xff\x52")
+        raw[cod + 5] = 1              # RLCP: same packets, same decode
+        assert np.array_equal(decode_jpx_gray(bytes(raw)), img)
+
+    def test_precincts_with_tiles_out_of_scope(self):
+        # precinct grids anchor at the reference-grid origin (B.6);
+        # tile origins mid-precinct need absolute anchoring — rejected
+        # on both sides rather than decoded wrongly
+        img = np.zeros((24, 40), np.uint8)
+        with pytest.raises(ValueError):
+            encode_jp2_gray(img, levels=1, tile=16,
+                            precincts=[(3, 3), (4, 4)])
+        raw = bytearray(encode_jp2_gray(img, levels=1, tile=16,
+                                        wrap_jp2=False))
+        cod = raw.index(b"\xff\x52")
+        # splice a precinct-flagged COD with size bytes into the header
+        lcod = struct.unpack_from(">H", raw, cod + 2)[0]
+        patched = (raw[:cod + 2] + struct.pack(">H", lcod + 2)
+                   + bytes([raw[cod + 4] | 1]) + raw[cod + 5:cod + 2 + lcod]
+                   + b"\x33\x44" + raw[cod + 2 + lcod:])
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(bytes(patched))
+
+    def test_crafted_layer_precinct_blowup_bounded(self):
+        # 4096 layers x thousands of precincts with a tiny body must
+        # fail fast on the truncation guard, not materialize the
+        # packet-order product
+        raw = bytearray(encode_jp2_gray(np.zeros((64, 64), np.uint8),
+                                        levels=1,
+                                        precincts=[(2, 2), (2, 2)],
+                                        wrap_jp2=False))
+        cod = raw.index(b"\xff\x52")
+        struct.pack_into(">H", raw, cod + 6, 4096)   # layer count
+        import time
+        t = time.time()
+        with pytest.raises(JpxError):
+            decode_jpx_gray(bytes(raw))
+        assert time.time() - t < 5.0
+
+    def test_precincts_with_lossy_and_color(self):
+        img = _rng(83).integers(0, 256, (16, 24), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_gray(
+            img, levels=2, irreversible=True, precincts=[(3, 3)] * 3))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+        rgb = _rng(89).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        out = decode_jpx_gray(encode_jp2_rgb(rgb, levels=1,
+                                             precincts=[(4, 4), (4, 4)]))
+        r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+        luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+        assert np.array_equal(out, luma)
+
+    def test_wire_format(self):
+        raw = encode_jp2_gray(np.zeros((16, 16), np.uint8), levels=1,
+                              precincts=[(3, 4), (5, 5)],
+                              wrap_jp2=False)
+        cod = raw.index(b"\xff\x52")
+        assert raw[cod + 4] & 0x01            # Scod precinct flag
+        assert raw[cod + 14] == (4 << 4) | 3  # PPy<<4 | PPx per res
+        assert raw[cod + 15] == (5 << 4) | 5
+
+    def test_invalid_precinct_exponents_rejected(self):
+        img = np.zeros((8, 8), np.uint8)
+        with pytest.raises(ValueError):
+            encode_jp2_gray(img, levels=1, precincts=[(3, 3)])  # count
+        with pytest.raises(ValueError):
+            encode_jp2_gray(img, levels=1,
+                            precincts=[(3, 3), (0, 3)])  # 0 at r>0
+        raw = bytearray(encode_jp2_gray(img, levels=1,
+                                        precincts=[(3, 3), (3, 3)],
+                                        wrap_jp2=False))
+        cod = raw.index(b"\xff\x52")
+        raw[cod + 15] = 0                     # r=1 exponent 0 on wire
         with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
