@@ -1340,7 +1340,10 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
                 if tm == 0xFF93:
                     tpos += 2
                     break
-                if tm in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D, 0xFF5E, 0xFF61):
+                if tm in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D, 0xFF5E,
+                          0xFF5F, 0xFF61):
+                    # COD/QCD/COC/QCC/RGN/POC/PPT change decoding
+                    # semantics; PLT/COM are informational and skip
                     raise JpxUnsupported("tile-part coding overrides not"
                                          " supported")
                 if tpos + 4 > n:

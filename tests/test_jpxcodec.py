@@ -682,3 +682,28 @@ class TestPrecincts:
         raw[cod + 15] = 0                     # r=1 exponent 0 on wire
         with pytest.raises(JpxError):
             decode_jpx_gray(bytes(raw))
+
+
+class TestTilePartMarkers:
+    def test_plt_and_com_skip_poc_rejects(self):
+        img = _rng(97).integers(0, 256, (10, 12), dtype=np.uint8)
+        raw = encode_jp2_gray(img, levels=1, wrap_jp2=False)
+        sot = raw.index(b"\xff\x90")
+        sod = raw.index(b"\xff\x93", sot)
+        psot = struct.unpack_from(">I", raw, sot + 6)[0]
+
+        def with_marker(seg):
+            # splice a marker into the tile-part header, fixing Psot
+            # (SOT layout: marker+Lsot+Isot = 6 bytes, then Psot)
+            out = bytearray(raw[:sot + 6])
+            out += struct.pack(">I", psot + len(seg))
+            out += raw[sot + 10:sod] + seg + raw[sod:]
+            return bytes(out)
+
+        plt = struct.pack(">HHB", 0xFF58, 3, 0)       # PLT: skip
+        assert np.array_equal(decode_jpx_gray(with_marker(plt)), img)
+        com = struct.pack(">HHH", 0xFF64, 4, 1)       # COM: skip
+        assert np.array_equal(decode_jpx_gray(with_marker(com)), img)
+        poc = struct.pack(">HH", 0xFF5F, 9) + b"\x00" * 7   # POC
+        with pytest.raises(JpxUnsupported):
+            decode_jpx_gray(with_marker(poc))
