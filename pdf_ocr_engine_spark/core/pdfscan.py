@@ -284,8 +284,8 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
 
     if codec not in ("flate", "jpeg", "jpegprog", "jpeglossy", "jpegcolor",
                      "ccitt", "g3", "g3mixed", "jbig2", "jbig2sym",
-                     "jbig2huff", "jbig2huffct", "jpx", "jpxcolor",
-                     "gray1", "rgb", "noisy"):
+                     "jbig2huff", "jbig2huffct", "jpx", "jpxprec",
+                     "jpxcolor", "gray1", "rgb", "noisy"):
         raise ValueError(f"unknown raster codec {codec!r}")
 
     n_pages = len(pages)
@@ -388,18 +388,22 @@ def build_pixel_scanned_pdf(pages: list[dict], codec: str = "flate") -> bytes:
                           .reshape(int(h), int(w))),
                 levels=1)
             filter_name = "JPXDecode"
-        elif codec == "jpx":
+        elif codec in ("jpx", "jpxprec"):
             import numpy as np
 
             from .jpxcodec import encode_jp2_gray
             # bilevel JP2 (1-bit component, one 5/3 level): the lossless
             # JPEG 2000 form whose T1 pass count stays codec-cheap; the
             # bpc=1 re-quantizer thresholds at 128, and the decoder
-            # scales back to 0/255 gray for the recognizer
+            # scales back to 0/255 gray for the recognizer.  "jpxprec"
+            # adds custom 32x32 precincts (per-precinct tag trees and
+            # packets — the random-access layout archive encoders emit)
             img = encode_jp2_gray(
                 np.frombuffer(samples, dtype=np.uint8)
                 .reshape(int(h), int(w)),
-                bpc=1, levels=1)
+                bpc=1, levels=1,
+                precincts=[(5, 5), (5, 5)] if codec == "jpxprec"
+                else None)
             filter_name = "JPXDecode"
         elif codec == "gray1":
             import numpy as np

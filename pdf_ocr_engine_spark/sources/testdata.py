@@ -146,8 +146,9 @@ def _text_to_mixed_payload(text, doc_id):
     arrangement (SDHUFF/SBHUFF) at doc_id % 128 == 113 — with Annex-B
     STANDARD tables at doc_id % 256 == 113 and a type-53 CUSTOM DW
     table (Annex B.2) at doc_id % 256 == 241 —
-    bilevel lossless JPEG 2000 behind JPXDecode (doc_id % 128 == 97, the
-    archive/ebook scanner format), raw packed 1-bit rows behind plain
+    bilevel lossless JPEG 2000 behind JPXDecode (doc_id % 128 == 97,
+    the archive/ebook scanner format — with custom 32x32 precincts at
+    doc_id % 256 == 225), raw packed 1-bit rows behind plain
     FlateDecode (doc_id % 128 == 33), raw 8-bit DeviceGray behind
     FlateDecode
     (doc_id % 128 == 1), and the same with deterministic salt/pepper
@@ -178,6 +179,7 @@ def _text_to_mixed_payload(text, doc_id):
                      else "jbig2sym" if d % 128 == 49
                      else "jbig2huffct" if d % 256 == 241
                      else "jbig2huff" if d % 128 == 113
+                     else "jpxprec" if d % 256 == 225
                      else "jpx" if d % 128 == 97
                      else "gray1" if d % 64 == 33
                      else "noisy" if d % 128 == 65 else "flate")

@@ -707,3 +707,19 @@ class TestTilePartMarkers:
         poc = struct.pack(">HH", 0xFF5F, 9) + b"\x00" * 7   # POC
         with pytest.raises(JpxUnsupported):
             decode_jpx_gray(with_marker(poc))
+
+    def test_ocr_extraction_through_precinct_jpx_pdf(self):
+        from pdf_ocr_engine_spark.core.extract_doc import extract_document
+        from pdf_ocr_engine_spark.core.pdfscan import build_pixel_scanned_pdf
+        from pdf_ocr_engine_spark.operators.ocr import (
+            deterministic_recognizer,
+        )
+
+        pages = [{"width": 200, "height": 60,
+                  "words": [("precinct", 10, 10, 58, 18),
+                            ("words", 66, 10, 96, 18)]}]
+        r = extract_document(
+            build_pixel_scanned_pdf(pages, codec="jpxprec"), "eng",
+            recognizer=deterministic_recognizer())
+        assert r["status"] == "ok"
+        assert r["text"] == "precinct words"
