@@ -33,10 +33,11 @@ decodes the common PDF-embedded case from the public spec:
   packets, precinct-clamped code-blocks — the random-access layout
   archive encoders emit).
 
-Out-of-scope arrangements reject cleanly as :class:`JpxUnsupported`
-(a :class:`JpxError`): component counts other than 1/3, subsampled
-images, COC/QCC/POC/PPM overrides, coder bypass/termination style
-bits.  Malformed streams raise
+QCC per-component quantization overrides (the chroma-coarser form
+lossy color encoders emit) are honored.  Out-of-scope arrangements
+reject cleanly as :class:`JpxUnsupported` (a :class:`JpxError`):
+component counts other than 1/3, subsampled images, COC/POC/PPM
+overrides, coder bypass/termination style bits.  Malformed streams raise
 :class:`JpxError` — error-as-value at the extraction layer
 (``operators/ocr.py`` maps it to ``status='decode_error'``), never a
 crash, and every allocation is budget-capped before it happens.
@@ -934,18 +935,18 @@ def _encode_component(a: np.ndarray, levels: int, geo: list[tuple],
 
 
 def _emit_tile_body(comps: list, layout: list[dict], levels: int,
-                    geo: list[tuple], mbs: list[int], sop: bool,
-                    eph: bool) -> bytes:
+                    geo: list[tuple], comp_mbs: list[list[int]],
+                    sop: bool, eph: bool) -> bytes:
     """One tile's per-component T1-coded blocks → packet bytes, LRCP
     order (single layer): resolution, then component, then precinct in
-    raster order.  ``mbs`` are the codestream-wide per-band magnitude
-    bitplane counts (QCD is shared)."""
-    for res_blocks in comps:
+    raster order.  ``comp_mbs`` are the per-component per-band
+    magnitude bitplane counts (QCD, overridden per component by QCC)."""
+    for c, res_blocks in enumerate(comps):
         flat = 0
         for r in range(levels + 1):
             for band in res_blocks[r]:
                 for blk in band:
-                    blk["p"] = mbs[flat] - blk["nbps"]
+                    blk["p"] = comp_mbs[c][flat] - blk["nbps"]
                 flat += 1
 
     body = bytearray()
@@ -1028,7 +1029,7 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
                      step: float = 0.25,
                      derived: bool = False,
                      precincts: list[tuple[int, int]] | None = None,
-                     ) -> bytes:
+                     comp_steps: list[float] | None = None) -> bytes:
     """DC-shifted component planes → full codestream.  ``tile`` splits
     the image into a ``tile``×``tile`` grid (one tile-part per tile);
     None keeps the single whole-image tile.  The QCD (shared across
@@ -1050,33 +1051,42 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
             "every tile origin keeps even wavelet parity")
     if ntx * nty > 1 << 16:
         raise ValueError("tile count exceeds the 16-bit Isot field")
-    deltas = None
-    mant = 0
+    ncomp = len(planes)
+    csteps = comp_steps if comp_steps is not None else [step] * ncomp
+    if len(csteps) != ncomp:
+        raise ValueError("need one quantization step per component")
+    comp_deltas: list = [None] * ncomp
+    comp_exps: list = [None] * ncomp
+    comp_mants = [0] * ncomp
     if irreversible:
         gains = [g for resol in _band_dims(max(w, 2), max(h, 2), levels)
                  for (_c, _w2, _h2, g) in resol["bands"]]
-        if not 2.0 ** -10 <= step <= 2.0 ** 10:
-            raise ValueError(f"quantization step {step} out of range")
         guard = 3
-        e2 = math.floor(math.log2(step))
-        mant = min(max(int(round((step / 2.0 ** e2 - 1) * 2048)), 0),
-                   2047)
-        if derived:
-            # scalar derived: LL carries (eps0, mu); band exponents
-            # drop by one per finer resolution (E.1.1)
-            eps0 = bpc - e2
-            exps = [eps0]
-            for r in range(1, levels + 1):
-                exps += [eps0 - (r - 1)] * 3
-        else:
-            exps = [bpc + g - e2 for g in gains]
-        if min(exps) < 0 or max(exps) > 31:
-            raise ValueError("quantization step outside the exponent"
-                             " field for this precision")
-        # the REPRESENTABLE steps (mantissa-rounded) — encoder and
-        # decoder must agree exactly
-        deltas = [2.0 ** (bpc + g - e) * (1 + mant / 2048.0)
-                  for g, e in zip(gains, exps)]
+        for c, cstep in enumerate(csteps):
+            if not 2.0 ** -10 <= cstep <= 2.0 ** 10:
+                raise ValueError(f"quantization step {cstep} out of"
+                                 " range")
+            e2 = math.floor(math.log2(cstep))
+            mant = min(max(int(round((cstep / 2.0 ** e2 - 1) * 2048)),
+                           0), 2047)
+            if derived:
+                # scalar derived: LL carries (eps0, mu); band exponents
+                # drop by one per finer resolution (E.1.1)
+                eps0 = bpc - e2
+                exps = [eps0]
+                for r in range(1, levels + 1):
+                    exps += [eps0 - (r - 1)] * 3
+            else:
+                exps = [bpc + g - e2 for g in gains]
+            if min(exps) < 0 or max(exps) > 31:
+                raise ValueError("quantization step outside the"
+                                 " exponent field for this precision")
+            # the REPRESENTABLE steps (mantissa-rounded) — encoder and
+            # decoder must agree exactly
+            comp_exps[c] = exps
+            comp_mants[c] = mant
+            comp_deltas[c] = [2.0 ** (bpc + g - e) * (1 + mant / 2048.0)
+                              for g, e in zip(gains, exps)]
     if precincts is not None:
         if ntx > 1 or nty > 1:
             raise ValueError("custom precincts with multiple tiles are"
@@ -1091,7 +1101,7 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
     pps = precincts if precincts is not None \
         else [(15, 15)] * (levels + 1)
     tiles = []                       # (layout, geo, comps_res_blocks)
-    maxes: list[int] | None = None
+    comp_maxes: list = [None] * ncomp
     for ty in range(nty):
         for tx in range(ntx):
             tw = min(xts, w - tx * xts)
@@ -1099,27 +1109,32 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
             layout = _band_dims(tw, th, levels)
             geo = _precinct_geometry(tw, th, levels, pps, cblk, cblk)
             comps = []
-            for plane in planes:
+            for c, plane in enumerate(planes):
                 sub = plane[ty * yts:ty * yts + th,
                             tx * xts:tx * xts + tw]
                 res_blocks, band_maxes = _encode_component(
-                    sub, levels, geo, layout, deltas=deltas)
+                    sub, levels, geo, layout, deltas=comp_deltas[c])
                 comps.append(res_blocks)
-                maxes = band_maxes if maxes is None else \
-                    [max(a2, b2) for a2, b2 in zip(maxes, band_maxes)]
+                comp_maxes[c] = band_maxes if comp_maxes[c] is None \
+                    else [max(a2, b2) for a2, b2
+                          in zip(comp_maxes[c], band_maxes)]
             tiles.append((layout, geo, comps))
 
     if irreversible:
-        mbs = [guard + e - 1 for e in exps]
-        for m, mb in zip(maxes, mbs):
-            if m > mb:
-                raise ValueError("quantized coefficient range exceeds "
-                                 "the guard-bit budget")
+        comp_mbs = [[guard + e - 1 for e in comp_exps[c]]
+                    for c in range(ncomp)]
+        for c in range(ncomp):
+            for m, mb in zip(comp_maxes[c], comp_mbs[c]):
+                if m > mb:
+                    raise ValueError("quantized coefficient range"
+                                     " exceeds the guard-bit budget")
     else:
         guard = 2
+        maxes = [max(ms) for ms in zip(*comp_maxes)]   # shared QCD
         exps = [max(m, 1) - guard + 1 if max(m, 1) - guard + 1 > 0
                 else 0 for m in maxes]
-        mbs = [guard + e - 1 for e in exps]
+        comp_exps = [exps] * ncomp
+        comp_mbs = [[guard + e - 1 for e in exps]] * ncomp
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1135,21 +1150,29 @@ def _emit_codestream(planes: list[np.ndarray], w: int, h: int, bpc: int,
                                 0 if irreversible else 1])
     if precincts is not None:
         cod += bytes((py << 4) | px for px, py in precincts)
-    if max(exps) > 31:
-        raise ValueError("coefficient range exceeds QCD exponent field")
-    if irreversible and derived:   # scalar derived: single 16-bit pair
-        qcd = bytes([(guard << 5) | 1]) \
-            + struct.pack(">H", (exps[0] << 11) | mant)
-    elif irreversible:   # scalar expounded: 16-bit (exponent, mantissa)
-        qcd = bytes([(guard << 5) | 2]) + b"".join(
-            struct.pack(">H", (e << 11) | mant) for e in exps)
-    else:
-        qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
+
+    def quant_seg(c: int) -> bytes:
+        exps_, mant_ = comp_exps[c], comp_mants[c]
+        if max(exps_) > 31:
+            raise ValueError("coefficient range exceeds QCD exponent"
+                             " field")
+        if irreversible and derived:   # derived: single 16-bit pair
+            return bytes([(guard << 5) | 1]) \
+                + struct.pack(">H", (exps_[0] << 11) | mant_)
+        if irreversible:               # expounded: (exponent, mantissa)
+            return bytes([(guard << 5) | 2]) + b"".join(
+                struct.pack(">H", (e << 11) | mant_) for e in exps_)
+        return bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps_)
+
     out = bytearray(b"\xffO" + seg(0xFF51, siz) + seg(0xFF52, cod)
-                    + seg(0xFF5C, qcd))
+                    + seg(0xFF5C, quant_seg(0)))
+    for c in range(1, ncomp):          # QCC for components that differ
+        if comp_exps[c] != comp_exps[0] \
+                or comp_mants[c] != comp_mants[0]:
+            out += seg(0xFF5D, bytes([c]) + quant_seg(c))
     for i, (layout, geo, comps) in enumerate(tiles):
-        body = _emit_tile_body(comps, layout, levels, geo, mbs, sop,
-                               eph)
+        body = _emit_tile_body(comps, layout, levels, geo, comp_mbs,
+                               sop, eph)
         psot = 2 + 10 + 2 + len(body)     # SOT..Lsot seg..SOD..body
         out += seg(0xFF90, struct.pack(">HIBB", i, psot, 0, 1))
         out += b"\xff\x93" + body
@@ -1230,7 +1253,7 @@ def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
                    eph: bool = False, tile: int | None = None,
                    irreversible: bool = False, step: float = 0.25,
                    precincts: list[tuple[int, int]] | None = None,
-                   ) -> bytes:
+                   chroma_step: float | None = None) -> bytes:
     """(h, w, 3) uint8 RGB → JPEG 2000 bytes: three 8-bit components
     through the reversible color transform (T.800 Annex G.2 RCT,
     lossless), or — with ``irreversible=True`` — the float ICT (G.3)
@@ -1249,10 +1272,15 @@ def encode_jp2_rgb(img: np.ndarray, levels: int = 1, cblk: int = 64,
         rgb = img.astype(np.int64) - 128
         r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         planes = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]
+    if chroma_step is not None and not irreversible:
+        raise ValueError("chroma_step needs irreversible coding")
+    comp_steps = [step, chroma_step, chroma_step] \
+        if chroma_step is not None else None
     stream = _emit_codestream(planes, w, h, 8, levels, cblk, mct=1,
                               sop=sop, eph=eph, tile=tile,
                               irreversible=irreversible, step=step,
-                              precincts=precincts)
+                              precincts=precincts,
+                              comp_steps=comp_steps)
     return _wrap_boxes(stream, w, h, 8, 3) if wrap_jp2 else stream
 
 
@@ -1292,6 +1320,7 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
         raise JpxError("missing SOC marker")
     pos = 2
     siz = cod = qcd = None
+    qccs: list[bytes] = []
     n = len(cs)
     bodies: dict[int, bytearray] = {}
     while True:
@@ -1317,13 +1346,15 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
         elif marker == 0xFF5C:
             qcd = seg_
             pos += 2 + ln
+        elif marker == 0xFF5D:          # QCC: per-component quantization
+            qccs.append(seg_)
+            pos += 2 + ln
         elif marker in (0xFF64, 0xFF55, 0xFF57, 0xFF63):  # COM/TLM/PLM/CRG
             pos += 2 + ln
-        elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF58, 0xFF60,
-                        0xFF61):
+        elif marker in (0xFF53, 0xFF5E, 0xFF5F, 0xFF58, 0xFF60, 0xFF61):
             raise JpxUnsupported(
-                f"marker 0x{marker:04X} (per-component/POC/PPM overrides)"
-                " not supported")
+                f"marker 0x{marker:04X} (per-component coding/POC/PPM"
+                " overrides) not supported")
         elif marker == 0xFF90:          # SOT
             if ln != 10:
                 raise JpxError("bad SOT length")
@@ -1449,44 +1480,66 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
 
     if not qcd:
         raise JpxError("empty QCD")
-    sqcd = qcd[0]
-    qstyle = sqcd & 0x1F
-    guard = sqcd >> 5
-    nsb = 3 * levels + 1
-    mants = None
-    if qstyle == 0:                    # no quantization (reversible)
-        if xfrm != 1:
-            raise JpxError("9/7 transform with a no-quantization QCD")
-        if len(qcd) < 1 + nsb:
-            raise JpxError("QCD too short for decomposition levels")
-        exps = [qcd[1 + i] >> 3 for i in range(nsb)]
-    elif qstyle == 2:                  # scalar expounded (irreversible)
-        if xfrm != 0:
-            raise JpxError("5/3 transform with a quantized QCD")
-        if len(qcd) < 1 + 2 * nsb:
-            raise JpxError("QCD too short for decomposition levels")
-        vals = struct.unpack_from(f">{nsb}H", qcd, 1)
-        exps = [v >> 11 for v in vals]
-        mants = [v & 0x7FF for v in vals]
-    elif qstyle == 1:                  # scalar derived (irreversible):
-        # one (eps, mu) pair for LL; band b gets eps_b = eps_0 - N_L +
-        # n_b where n_b is the band's decomposition depth (E.1.1)
-        if xfrm != 0:
-            raise JpxError("5/3 transform with a quantized QCD")
-        if len(qcd) < 3:
-            raise JpxError("QCD too short for derived quantization")
-        v = struct.unpack_from(">H", qcd, 1)[0]
-        eps0, mu0 = v >> 11, v & 0x7FF
-        exps, mants = [eps0], [mu0]
-        for r in range(1, levels + 1):
-            e = eps0 - (r - 1)         # level d = N_L - r + 1
-            if e < 0:
-                raise JpxError("derived exponent underflow")
-            exps += [e, e, e]
-            mants += [mu0, mu0, mu0]
-    else:
-        raise JpxUnsupported(f"QCD quantization style {qstyle} not"
-                             " supported")
+
+    def parse_quant(payload: bytes, what: str) -> tuple:
+        sq = payload[0]
+        qstyle = sq & 0x1F
+        guard_ = sq >> 5
+        nsb = 3 * levels + 1
+        mants_ = None
+        if qstyle == 0:                # no quantization (reversible)
+            if xfrm != 1:
+                raise JpxError(f"9/7 transform with a no-quantization"
+                               f" {what}")
+            if len(payload) < 1 + nsb:
+                raise JpxError(f"{what} too short for decomposition"
+                               " levels")
+            exps_ = [payload[1 + i] >> 3 for i in range(nsb)]
+        elif qstyle == 2:              # scalar expounded (irreversible)
+            if xfrm != 0:
+                raise JpxError(f"5/3 transform with a quantized {what}")
+            if len(payload) < 1 + 2 * nsb:
+                raise JpxError(f"{what} too short for decomposition"
+                               " levels")
+            vals = struct.unpack_from(f">{nsb}H", payload, 1)
+            exps_ = [v >> 11 for v in vals]
+            mants_ = [v & 0x7FF for v in vals]
+        elif qstyle == 1:              # scalar derived (irreversible):
+            # one (eps, mu) pair for LL; band b gets eps_b = eps_0 -
+            # N_L + n_b with n_b the band's decomposition depth (E.1.1)
+            if xfrm != 0:
+                raise JpxError(f"5/3 transform with a quantized {what}")
+            if len(payload) < 3:
+                raise JpxError(f"{what} too short for derived"
+                               " quantization")
+            v = struct.unpack_from(">H", payload, 1)[0]
+            eps0, mu0 = v >> 11, v & 0x7FF
+            exps_, mants_ = [eps0], [mu0]
+            for r in range(1, levels + 1):
+                e = eps0 - (r - 1)     # level d = N_L - r + 1
+                if e < 0:
+                    raise JpxError("derived exponent underflow")
+                exps_ += [e, e, e]
+                mants_ += [mu0, mu0, mu0]
+        else:
+            raise JpxUnsupported(f"{what} quantization style {qstyle}"
+                                 " not supported")
+        return guard_, exps_, mants_
+
+    guard, exps, mants = parse_quant(qcd, "QCD")
+    comp_exps = [exps] * csiz
+    comp_mants = [mants] * csiz
+    comp_guard = [guard] * csiz
+    for seg_ in qccs:                  # per-component overrides (A.6.5)
+        if len(seg_) < 2:
+            raise JpxError("truncated QCC")
+        cq = seg_[0]                   # Cqcc is 1 byte while Csiz < 257
+        if cq >= csiz:
+            raise JpxError(f"QCC component {cq} out of range")
+        g2, e2_, m2 = parse_quant(seg_[1:], "QCC")
+        comp_guard[cq] = g2
+        comp_exps[cq] = e2_
+        comp_mants[cq] = m2
 
     ntiles = ntx * nty
     for isot in bodies:
@@ -1494,10 +1547,11 @@ def _parse_markers(cs: bytes) -> tuple[dict, list[bytearray]]:
             raise JpxError(f"SOT tile index {isot} out of range")
     return ({"w": w, "h": h, "bpc": bpc, "levels": levels,
              "cblk_w": 1 << (cbw + 2), "cblk_h": 1 << (cbh + 2),
-             "layers": layers, "prog": prog, "guard": guard,
-             "exps": exps, "mants": mants, "ncomp": csiz, "mct": mct,
-             "sop": use_sop, "eph": use_eph, "xts": xts, "yts": yts,
-             "ntx": ntx, "nty": nty, "pps": pps},
+             "layers": layers, "prog": prog,
+             "exps": comp_exps, "mants": comp_mants,
+             "guards": comp_guard, "irrev": xfrm == 0, "ncomp": csiz,
+             "mct": mct, "sop": use_sop, "eph": use_eph, "xts": xts,
+             "yts": yts, "ntx": ntx, "nty": nty, "pps": pps},
             [bodies.get(i, bytearray()) for i in range(ntiles)])
 
 
@@ -1522,7 +1576,7 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
         for r, resol in enumerate(layout):
             bands = []
             for cls, bw_, bh_, _gain in resol["bands"]:
-                mb = prm["guard"] + prm["exps"][exp_i] - 1
+                mb = prm["guards"][_c] + prm["exps"][_c][exp_i] - 1
                 exp_i += 1
                 if mb < 0 or mb > _MAX_MB:
                     raise JpxError(f"magnitude bitplane count {mb} out of"
@@ -1616,10 +1670,10 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
 
     # Tier-1 decode + band assembly (+ dequantization for 9/7 streams)
     # + inverse wavelet per component
-    irrev = prm["mants"] is not None
+    irrev = prm["irrev"]
     bpc = prm["bpc"]
     planes = []
-    for res_state in comp_state:
+    for ci, res_state in enumerate(comp_state):
         per_res: list[list[np.ndarray]] = []
         flat = 0
         for r, resol in enumerate(layout):
@@ -1643,8 +1697,9 @@ def _decode_tile(body: bytes, prm: dict, tw: int, th: int,
                 if irrev:
                     # E.1.1: step = 2^(Rb-eps) * (1 + mu/2^11); midpoint
                     # reconstruction for nonzero magnitudes
-                    delta = (2.0 ** (bpc + gain - prm["exps"][flat])
-                             * (1 + prm["mants"][flat] / 2048.0))
+                    delta = (2.0 ** (bpc + gain
+                                     - prm["exps"][ci][flat])
+                             * (1 + prm["mants"][ci][flat] / 2048.0))
                     q = arr.astype(np.float64)
                     arr = (np.sign(q) * (np.abs(q) + 0.5 * (q != 0))
                            * delta)
@@ -1679,7 +1734,7 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
     w, h = prm["w"], prm["h"]
     xts, yts, ntx = prm["xts"], prm["yts"], prm["ntx"]
     ncomp = prm["ncomp"]
-    dtype = np.float64 if prm["mants"] is not None else np.int64
+    dtype = np.float64 if prm["irrev"] else np.int64
     planes = [np.zeros((h, w), dtype) for _ in range(ncomp)]
     blocks_used = [0]
     for i, body in enumerate(bodies):
@@ -1694,7 +1749,7 @@ def decode_jpx_gray(data: bytes) -> np.ndarray:
     bpc = prm["bpc"]
     shift = 1 << (bpc - 1)
     top = (1 << bpc) - 1
-    irrev = prm["mants"] is not None
+    irrev = prm["irrev"]
     if irrev and ncomp == 3 and prm["mct"]:
         # inverse ICT (T.800 G.3): float YCbCr -> RGB before rounding
         y_, cb, cr = planes

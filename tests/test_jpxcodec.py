@@ -723,3 +723,36 @@ class TestTilePartMarkers:
             recognizer=deterministic_recognizer())
         assert r["status"] == "ok"
         assert r["text"] == "precinct words"
+
+
+class TestQcc:
+    """QCC per-component quantization overrides (A.6.5) — the
+    chroma-coarser form real lossy color encoders emit."""
+
+    def test_chroma_coarse_roundtrip(self):
+        rgb = _rng(101).integers(0, 256, (16, 20, 3), dtype=np.uint8)
+        data = encode_jp2_rgb(rgb, levels=2, irreversible=True,
+                              chroma_step=2.0)
+        assert b"\xff\x5d" in data           # QCC markers on the wire
+        uniform = encode_jp2_rgb(rgb, levels=2, irreversible=True)
+        assert len(data) < len(uniform)      # coarser chroma shrinks
+        out = decode_jpx_gray(data)
+        r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+        luma = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+        # luma dominated by comp 0 (fine step); chroma error leaks a
+        # little through the inverse ICT
+        assert np.abs(out.astype(int) - luma.astype(int)).max() <= 4
+
+    def test_qcc_component_out_of_range_rejected(self):
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        raw = bytearray(encode_jp2_rgb(rgb, levels=1, irreversible=True,
+                                       chroma_step=2.0, wrap_jp2=False))
+        q = raw.index(b"\xff\x5d")
+        raw[q + 4] = 7                       # Cqcc beyond Csiz
+        with pytest.raises(JpxError):
+            decode_jpx_gray(bytes(raw))
+
+    def test_chroma_step_needs_irreversible(self):
+        with pytest.raises(ValueError):
+            encode_jp2_rgb(np.zeros((8, 8, 3), np.uint8),
+                           chroma_step=2.0)
