@@ -466,10 +466,14 @@ class TestPropertyFuzz:
                st.sampled_from([1, 2, 4, 8]), st.integers(0, 3),
                st.sampled_from([4, 16, 64]),
                st.sampled_from([None, 8, 16]),
+               st.sampled_from([None, 3, 5]),
                st.booleans(), st.booleans(), st.integers(0, 2 ** 31 - 1))
-        def run(w, h, bpc, levels, cblk, tile, sop, eph, seed):
+        def run(w, h, bpc, levels, cblk, tile, pp, sop, eph, seed):
             if tile is not None and tile % (1 << levels):
                 tile = tile * (1 << levels)
+            precincts = [(pp, pp)] * (levels + 1) if pp else None
+            if precincts is not None and tile is not None:
+                tile = None            # combination is out of scope
             img = np.random.default_rng(seed).integers(
                 0, 256, (h, w), dtype=np.uint8)
             top = (1 << bpc) - 1
@@ -477,7 +481,7 @@ class TestPropertyFuzz:
                    * 255 // top).astype(np.uint8)
             out = decode_jpx_gray(encode_jp2_gray(
                 img, bpc=bpc, levels=levels, cblk=cblk, tile=tile,
-                sop=sop, eph=eph))
+                sop=sop, eph=eph, precincts=precincts))
             assert np.array_equal(out, img)
 
         run()
